@@ -1,0 +1,71 @@
+"""ORC timestamp split encoding: DATA = seconds since the ORC epoch
+(2015-01-01 UTC), SECONDARY = nanoseconds with the trailing-zero trick.
+
+Trailing-zero trick (ORC v1 spec): if the nanosecond value has >= 2 trailing
+decimal zeros, ``removed`` (2..8) zeros are stripped and the low 3 bits store
+``removed - 1``; otherwise the low 3 bits are 0 and nothing is stripped.
+
+ORC-763: timestamps below the UNIX epoch with nanoseconds > 999_999 are
+stored with seconds + 1 so the reader's adjustment (seconds - 1) round-trips.
+(reference parity: src/encoding/timestamp.rs:121-151, decode side;
+src/array_decoder/timestamp.rs:51 for the epoch constant)
+
+Spark timestamps are microsecond-precision int64; we encode
+(seconds, nanos = us * 1000) losslessly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .rle_v2 import decode_rlev2, encode_rlev2
+
+NANOS_PER_SECOND = 1_000_000_000
+# seconds from 1970-01-01 to 2015-01-01 UTC
+ORC_EPOCH_SECONDS = 1_420_070_400
+
+
+def split_timestamp_ns(ts_ns: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """int64 nanos-since-unix-epoch -> (orc_seconds, encoded_nanos)."""
+    ts = np.ascontiguousarray(ts_ns, dtype=np.int64)
+    secs = np.floor_divide(ts, NANOS_PER_SECOND)
+    nanos = ts - secs * NANOS_PER_SECOND  # in [0, 1e9)
+    # ORC-763 writer-side inverse: below-epoch with nanos > 999_999 stores +1s
+    adj = (secs < 0) & (nanos > 999_999)
+    stored_secs = np.where(adj, secs + 1, secs) - ORC_EPOCH_SECONDS
+
+    # trailing decimal zero stripping, vectorized: try removing 8..2 zeros
+    enc = nanos << np.int64(3)
+    removed = np.zeros_like(nanos)
+    stripped = nanos.copy()
+    for r in range(8, 1, -1):
+        p = np.int64(10**r)
+        hit = (removed == 0) & (nanos > 0) & (nanos % p == 0)
+        removed[hit] = r
+        stripped[hit] = nanos[hit] // p
+    has = removed > 0
+    enc[has] = (stripped[has] << np.int64(3)) | (removed[has] - 1)
+    return stored_secs, enc
+
+
+def combine_timestamp_ns(stored_secs: np.ndarray, enc_nanos: np.ndarray) -> np.ndarray:
+    """(orc_seconds, encoded_nanos) -> int64 nanos since unix epoch."""
+    zeros = enc_nanos & np.int64(0x7)
+    nanos = enc_nanos >> np.int64(3)
+    mult = np.power(10, np.where(zeros != 0, zeros + 1, 0)).astype(np.int64)
+    nanos = nanos * mult
+    secs = stored_secs + ORC_EPOCH_SECONDS
+    secs = np.where((secs < 0) & (nanos > 999_999), secs - 1, secs)
+    return secs * np.int64(NANOS_PER_SECOND) + nanos
+
+
+def encode_timestamp(ts_ns: np.ndarray) -> tuple[bytes, bytes]:
+    """-> (DATA stream bytes, SECONDARY stream bytes), both RLEv2."""
+    secs, nanos = split_timestamp_ns(ts_ns)
+    return encode_rlev2(secs, signed=True), encode_rlev2(nanos, signed=False)
+
+
+def decode_timestamp(data: bytes, secondary: bytes, n: int) -> np.ndarray:
+    secs = decode_rlev2(data, n, signed=True)
+    nanos = decode_rlev2(secondary, n, signed=False)
+    return combine_timestamp_ns(secs, nanos)
