@@ -1,0 +1,107 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from orc_rust_spark.codecs.fsst import (
+    ESCAPE,
+    FsstTable,
+    fsst_decode,
+    fsst_encode,
+    train_fsst,
+)
+
+
+def _offsets(strings: list[bytes]) -> tuple[bytes, np.ndarray]:
+    data = b"".join(strings)
+    off = np.zeros(len(strings) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in strings], out=off[1:])
+    return data, off
+
+
+def _roundtrip(strings: list[bytes], table: FsstTable) -> None:
+    data, off = _offsets(strings)
+    enc, enc_off = fsst_encode(data, off, table)
+    dec, dec_off = fsst_decode(enc, enc_off, table)
+    assert dec == data
+    assert dec_off.tolist() == off.tolist()
+
+
+def test_known_table_compresses():
+    table = FsstTable([b"http://", b"www.", b".com/", b"example"])
+    strings = [b"http://www.example.com/a", b"http://www.example.com/bb"]
+    data, off = _offsets(strings)
+    enc, enc_off = fsst_encode(data, off, table)
+    assert len(enc) < len(data) / 2
+    dec, dec_off = fsst_decode(enc, enc_off, table)
+    assert dec == data and dec_off.tolist() == off.tolist()
+
+
+def test_escape_only_table():
+    # empty table -> every byte escapes, output = 2x input
+    table = FsstTable([])
+    strings = [b"abc", b"", b"\xff\xff"]
+    data, off = _offsets(strings)
+    enc, enc_off = fsst_encode(data, off, table)
+    assert len(enc) == 2 * len(data)
+    dec, dec_off = fsst_decode(enc, enc_off, table)
+    assert dec == data and dec_off.tolist() == off.tolist()
+
+
+def test_escape_byte_in_data():
+    # 0xff both as literal and adjacent to symbols
+    table = FsstTable([b"ab", b"\xffz"])
+    _roundtrip([b"ab\xff\xffzab", b"\xff", b"\xff\xff\xff"], table)
+
+
+def test_longest_match_wins():
+    table = FsstTable([b"a", b"ab", b"abc"])
+    data, off = _offsets([b"abcab"])
+    enc, enc_off = fsst_encode(data, off, table)
+    # greedy: abc + ab = 2 tokens
+    assert len(enc) == 2
+    dec, _ = fsst_decode(enc, enc_off, table)
+    assert dec == b"abcab"
+
+
+def test_train_on_urls_wins_big():
+    urls = [f"https://host-{i % 50}.example.com/path/to/page/{i}".encode() for i in range(2000)]
+    sample = b"".join(urls[:200])
+    table = train_fsst(sample)
+    data, off = _offsets(urls)
+    enc, enc_off = fsst_encode(data, off, table)
+    ratio = len(data) / len(enc)
+    assert ratio > 2.0, f"FSST must win on url-like strings, got {ratio:.2f}x"
+    dec, dec_off = fsst_decode(enc, enc_off, table)
+    assert dec == data and dec_off.tolist() == off.tolist()
+
+
+def test_table_serialization():
+    table = train_fsst(b"the quick brown fox jumps over the lazy dog " * 50)
+    clone = FsstTable.deserialize(table.serialize())
+    assert clone.symbols == table.symbols
+    _roundtrip([b"the quick brown fox", b"lazy dog"], clone)
+
+
+def test_empty_inputs():
+    table = FsstTable([b"x"])
+    _roundtrip([], table)
+    _roundtrip([b"", b""], table)
+    assert train_fsst(b"").symbols == []
+
+
+@given(st.lists(st.binary(min_size=0, max_size=60), min_size=1, max_size=80))
+@settings(max_examples=30, deadline=None)
+def test_roundtrip_random_binary(strings):
+    sample = b"".join(strings)
+    table = train_fsst(sample, iterations=2)
+    _roundtrip(strings, table)
+
+
+@given(st.lists(st.text(alphabet="abcdef /:.", min_size=0, max_size=100), min_size=1, max_size=60))
+@settings(max_examples=30, deadline=None)
+def test_roundtrip_texty(strings):
+    bs = [s.encode() for s in strings]
+    table = train_fsst(b"".join(bs), iterations=3)
+    _roundtrip(bs, table)
