@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline engine queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+plus extra keys: encode GB/s, compression ratio vs raw, per-codec stats.
+
+The headline workload is the north-rule one: encode a deterministic
+synthetic webtext table (input_hint schema) into the chunk table, then
+decode-verify. The webtext parquet is generated once per size and cached
+under /tmp so the bench measures the ENGINE, not the generator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "120000"))
+CACHE_DIR = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/orc_rust_spark_bench")
+
+
+def _webtext_parquet(spark, n_rows: int, partitions: int) -> str:
+    from orc_rust_spark.sources.webtext import webtext_df
+
+    path = os.path.join(CACHE_DIR, f"webtext_{n_rows}_{partitions}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        webtext_df(spark, n_rows, num_partitions=partitions).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from orc_rust_spark.operators.decode import decode_table
+    from orc_rust_spark.operators.encode import encode_table
+    from orc_rust_spark.plans.pipeline import plan_codecs
+    from orc_rust_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    n_cpus = int(CPUS)
+    spark = get_spark("orc_rust_spark-bench", master=f"local[{n_cpus}]",
+                      shuffle_partitions=n_cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    extra: dict[str, object] = {}
+
+    # --- headline: webtext encode ------------------------------------------
+    wt_path = _webtext_parquet(spark, BENCH_ROWS, n_cpus * 2)
+    src = spark.read.parquet(wt_path)
+    plan = plan_codecs(src)
+
+    # warm-up: this sandbox has pathologically slow first-touch pages, so a
+    # fresh python worker's first big allocations cost seconds. One untimed
+    # full pass brings every worker's heap to its high-water mark so the
+    # timed run measures the engine (a real cluster's long-lived executors
+    # are always in this warm state).
+    encode_table(src, plan=plan).count()
+
+    t0 = time.time()
+    chunks = encode_table(src, plan=plan)
+    agg = chunks.agg(
+        F.sum("raw_bytes").alias("raw"), F.sum("final_bytes").alias("fin")
+    ).collect()[0]
+    encode_sec = time.time() - t0
+    queries["webtext_encode"] = round(encode_sec, 3)
+    raw_gb = (agg["raw"] or 0) / 1e9
+    extra["raw_gb"] = round(raw_gb, 4)
+    extra["compressed_gb"] = round((agg["fin"] or 0) / 1e9, 4)
+    extra["encode_gb_per_sec"] = round(raw_gb / encode_sec, 4)
+    extra["compression_ratio"] = round((agg["raw"] or 1) / max(1, agg["fin"] or 1), 3)
+
+    # --- decode + verify ------------------------------------------------------
+    from orc_rust_spark.sources.webtext import WEBTEXT_SCHEMA
+
+    t0 = time.time()
+    chunks_cached = encode_table(src, plan=plan)
+    decoded = decode_table(chunks_cached, WEBTEXT_SCHEMA)
+    s, d = src.alias("s"), decoded.alias("d")
+    bad = (
+        s.join(d, on="url", how="full")
+        .where(~F.col("s.text").eqNullSafe(F.col("d.text")))
+        .count()
+    )
+    queries["webtext_decode_verify"] = round(time.time() - t0, 3)
+    extra["verify_mismatches"] = bad
+
+    # --- driver-contract queries at SF_DIR -----------------------------------
+    for name, fn in entry_mod.queries().items():
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.collect() if df.schema else None
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "engine_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **extra,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -45,7 +45,7 @@ def available_codecs() -> list[str]:
 
 
 def compress_stream(
-    raw: bytes, codec: str = "zlib", block_size: int = DEFAULT_BLOCK_SIZE, level: int = 6
+    raw: bytes, codec: str = "zlib", block_size: int = DEFAULT_BLOCK_SIZE, level: int = 3
 ) -> bytes:
     """Frame + compress a stream. codec='none' returns raw bytes unframed."""
     if codec == "none":

@@ -192,26 +192,20 @@ def fsst_encode(data: bytes, offsets: np.ndarray, table: FsstTable) -> tuple[byt
     advance = np.where(escaped, 1, match_len)
     tok_bytes = np.where(escaped, 2, 1).astype(np.int64)
 
-    # --- phase 2a: chain walk to size per-string outputs --------------------
+    # --- phase 2: single chain walk into an over-allocated buffer ----------
+    # worst case output is 2 bytes per input byte, so give each string a
+    # capacity region of 2x its length, then compact with one ragged gather
     starts0 = offsets[:-1]
     ends = offsets[1:]
-    out_lens = np.zeros(n, dtype=np.int64)
+    cap_starts = starts0 * 2
+    out = np.empty(2 * nb, dtype=np.uint8)
     cur = starts0.copy()
+    out_cur = cap_starts.copy()
     active = np.flatnonzero(cur < ends)
-    while active.size:
-        p = cur[active]
-        out_lens[active] += tok_bytes[p]
-        cur[active] = p + advance[p]
-        active = active[cur[active] < ends[active]]
-    enc_offsets = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(out_lens, out=enc_offsets[1:])
-
-    # --- phase 2b: chain walk again, writing output directly ----------------
-    out = np.empty(int(enc_offsets[-1]), dtype=np.uint8)
-    cur = starts0.copy()
-    out_cur = enc_offsets[:-1].copy()
-    active = np.flatnonzero(cur < ends)
-    while active.size:
+    # transposed-vectorized while the active set is large; a Python tail
+    # finishes the few longest strings (per-step numpy overhead would
+    # otherwise dominate the long tail)
+    while active.size > 64:
         p = cur[active]
         o = out_cur[active]
         esc = escaped[p]
@@ -221,7 +215,36 @@ def fsst_encode(data: bytes, offsets: np.ndarray, table: FsstTable) -> tuple[byt
         out_cur[active] = o + tok_bytes[p]
         cur[active] = p + advance[p]
         active = active[cur[active] < ends[active]]
-    return out.tobytes(), enc_offsets
+    if active.size:
+        for si in active.tolist():
+            p = int(cur[si])
+            e = int(ends[si])
+            o = int(out_cur[si])
+            mseg = match_code[p:e].tolist()
+            aseg = advance[p:e].tolist()
+            eseg = escaped[p:e].tolist()
+            bseg = buf[p:e].tolist()
+            base = p
+            while p < e:
+                i = p - base
+                if eseg[i]:
+                    out[o] = ESCAPE
+                    out[o + 1] = bseg[i]
+                    o += 2
+                    p += 1
+                else:
+                    out[o] = mseg[i]
+                    o += 1
+                    p += aseg[i]
+            out_cur[si] = o
+    enc_lens = out_cur - cap_starts
+    enc_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(enc_lens, out=enc_offsets[1:])
+    total = int(enc_offsets[-1])
+    # ragged gather compaction
+    base = np.repeat(cap_starts, enc_lens)
+    within = np.arange(total, dtype=np.int64) - np.repeat(enc_offsets[:-1], enc_lens)
+    return out[base + within].tobytes(), enc_offsets
 
 
 # ---------------------------------------------------------------------------

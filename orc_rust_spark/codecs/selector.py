@@ -1,0 +1,106 @@
+"""Per-chunk codec auto-selector — the engine's writer 'optimizer'.
+
+Mirrors the reference's layered choice (SURVEY §4 'Writer optimizer'):
+- per *type*, a static stream layout (src/writer/stripe.rs:173-189)
+- per *run*, RLEv2's dynamic sub-encoding heuristic (E2 — implemented
+  inside codecs.rle_v2)
+- per *column chunk* (our stripe analog), THIS module picks the string
+  strategy: DICTIONARY vs FSST vs DIRECT, from cardinality / run-length /
+  entropy / length stats, like the ORC Java writer's 0.8 distinct-ratio
+  dictionary check plus an FSST sample-gain test.
+
+Inputs are pyarrow arrays (dense, nulls stripped); outputs are plain dicts
+so decisions serialize into the chunk-table metadata and metrics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .fsst import FsstTable, fsst_encode
+
+DICT_DISTINCT_RATIO = 0.8  # ORC Java writer default threshold
+DICT_MAX_SIZE = 100_000
+# FSST wins on short url-like strings; longer text does better under
+# direct + block zlib (bigger match windows), and FSST's transposed encode
+# cost grows with max-string-length, so cap it
+FSST_MAX_AVG_LEN = 256
+FSST_MIN_GAIN = 1.15
+FSST_SAMPLE_STRINGS = 256
+
+
+def string_chunk_stats(arr: pa.Array) -> dict:
+    """cardinality / run / entropy / length profile of a string chunk."""
+    n = len(arr)
+    if n == 0:
+        return {"n": 0, "distinct": 0, "distinct_ratio": 1.0, "avg_len": 0.0,
+                "run_density": 1.0, "byte_entropy": 0.0, "total_bytes": 0}
+    denc = arr.dictionary_encode()
+    distinct = len(denc.dictionary)
+    indices = denc.indices.to_numpy(zero_copy_only=False)
+    runs = 1 + int(np.count_nonzero(np.diff(indices))) if n > 1 else 1
+    offsets_type = np.int64 if pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    total = int(pa.compute.binary_length(arr).cast(pa.int64()).sum().as_py() or 0)
+    # byte entropy over a bounded sample of the raw data buffer
+    data_buf = bufs[2] if len(bufs) > 2 and bufs[2] is not None else None
+    if data_buf is not None and len(data_buf) > 0:
+        sample = np.frombuffer(data_buf, dtype=np.uint8, count=min(len(data_buf), 65536))
+        hist = np.bincount(sample, minlength=256).astype(np.float64)
+        p = hist[hist > 0] / sample.size
+        entropy = float(-(p * np.log2(p)).sum())
+    else:
+        entropy = 0.0
+    return {
+        "n": n,
+        "distinct": distinct,
+        "distinct_ratio": distinct / n,
+        "avg_len": total / n,
+        "run_density": runs / n,
+        "byte_entropy": entropy,
+        "total_bytes": total,
+    }
+
+
+def choose_string_codec(
+    arr: pa.Array, stats: dict, fsst_table: FsstTable | None
+) -> tuple[str, dict]:
+    """-> (codec name in {'dict','fsst','direct'}, decision detail)."""
+    detail = dict(stats)
+    if stats["n"] == 0:
+        return "direct", detail
+    if (
+        stats["distinct_ratio"] <= DICT_DISTINCT_RATIO
+        and stats["distinct"] <= DICT_MAX_SIZE
+    ):
+        return "dict", detail
+    if fsst_table is not None and 0 < stats["avg_len"] <= FSST_MAX_AVG_LEN:
+        # sample-gain test: encode the first few strings, demand real savings
+        k = min(FSST_SAMPLE_STRINGS, stats["n"])
+        sample = arr.slice(0, k)
+        sample = sample.cast(pa.large_binary()) if not pa.types.is_large_binary(sample.type) else sample
+        offsets = np.frombuffer(sample.buffers()[1], dtype=np.int64,
+                                count=k + 1, offset=sample.offset * 8)
+        data = sample.buffers()[2].to_pybytes()[offsets[0]: offsets[-1]]
+        local = offsets.astype(np.int64) - offsets[0]
+        enc, _ = fsst_encode(data, local, fsst_table)
+        gain = len(data) / max(1, len(enc))
+        detail["fsst_sample_gain"] = gain
+        if gain >= FSST_MIN_GAIN:
+            return "fsst", detail
+    return "direct", detail
+
+
+def integer_chunk_stats(values: np.ndarray) -> dict:
+    """run/width profile for metrics (RLEv2 picks sub-encodings itself)."""
+    n = values.size
+    if n == 0:
+        return {"n": 0, "run_density": 1.0, "distinct_ratio": 1.0}
+    runs = 1 + int(np.count_nonzero(np.diff(values))) if n > 1 else 1
+    return {
+        "n": n,
+        "run_density": runs / n,
+        "min": int(values.min()),
+        "max": int(values.max()),
+    }

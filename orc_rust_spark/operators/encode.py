@@ -1,0 +1,221 @@
+"""The encode operator: DataFrame -> chunk table, via mapInArrow.
+
+Spark lifecycle analog of the reference writer (SURVEY §3.2): executors
+stream Arrow batches into a per-task stripe buffer; when the buffered raw
+size crosses the stripe threshold (64 MiB, matching
+src/arrow_writer.rs:52,118) the stripe is flushed through the per-column
+encoders and emitted as chunk-table rows. All value work is NumPy/pyarrow;
+rows never materialize as Python objects (mapInArrow, not per-row UDFs).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+
+from ..codecs import block as blockc
+from ..codecs.boolean_rle import encode_boolean_rle
+from ..codecs.float_plain import encode_float
+from ..codecs.fsst import FsstTable, fsst_encode
+from ..codecs.rle_v2 import encode_rlev2
+from ..codecs.selector import choose_string_codec, integer_chunk_stats, string_chunk_stats
+from ..codecs.timestamp_split import split_timestamp_ns
+from ..sources import chunk_table as ct
+
+STRIPE_BYTES = 64 * 1024 * 1024  # reference stripe flush threshold
+BLOCK_MIN_BYTES = 4096  # streams smaller than this skip general compression
+
+
+def _flatten_large_binary(arr: pa.Array) -> tuple[bytes, np.ndarray]:
+    arr = arr.cast(pa.large_binary()) if not pa.types.is_large_binary(arr.type) else arr
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=len(arr) + 1,
+                         offset=arr.offset * 8)
+    data = arr.buffers()[2].to_pybytes()[offs[0]: offs[-1]] if len(arr) else b""
+    return data, (offs - offs[0]).astype(np.int64)
+
+
+def _encode_string_column(
+    dense: pa.Array, fsst_table_bytes: bytes | None
+) -> tuple[str, dict, list[tuple[str, bytes]], int]:
+    """-> (codec, stats, [(stream_kind, bytes)], dict_size)."""
+    dense = dense.cast(pa.large_binary()) if not pa.types.is_large_binary(dense.type) else dense
+    stats = string_chunk_stats(dense)
+    table = FsstTable.deserialize(fsst_table_bytes) if fsst_table_bytes else None
+    codec, detail = choose_string_codec(dense, stats, table)
+    data, offsets = _flatten_large_binary(dense)
+    lengths = np.diff(offsets)
+    if codec == "dict":
+        denc = dense.dictionary_encode()
+        indices = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dict_vals = denc.dictionary.to_pylist()
+        order = np.argsort(np.array(dict_vals, dtype=object), kind="stable")
+        rank = np.empty_like(order)
+        rank[order] = np.arange(order.size)
+        sorted_dict = [dict_vals[i] for i in order.tolist()]
+        dict_data = b"".join(sorted_dict)
+        dict_lens = np.array([len(s) for s in sorted_dict], dtype=np.int64)
+        streams = [
+            (ct.DATA, encode_rlev2(rank[indices], signed=False)),
+            (ct.DICTIONARY_DATA, dict_data),
+            (ct.LENGTH, encode_rlev2(dict_lens, signed=False)),
+        ]
+        return codec, detail, streams, len(sorted_dict)
+    if codec == "fsst":
+        enc, _ = fsst_encode(data, offsets, table)
+        streams = [
+            (ct.DATA, enc),
+            (ct.LENGTH, encode_rlev2(lengths, signed=False)),
+            (ct.SYMBOL_TABLE, table.serialize()),
+        ]
+        return codec, detail, streams, 0
+    streams = [
+        (ct.DATA, data),
+        (ct.LENGTH, encode_rlev2(lengths, signed=False)),
+    ]
+    return "direct", detail, streams, 0
+
+
+def encode_chunk(
+    table: pa.Table, part_id: int, chunk_ord: int, plan: dict
+) -> pa.RecordBatch:
+    """Encode one stripe of rows into chunk-table rows."""
+    rows: dict[str, list] = {f.name: [] for f in ct.CHUNK_ARROW_SCHEMA}
+    n = table.num_rows
+
+    def emit(column, kind, codec, data_bytes, *, null_count=0, dict_size=0,
+             raw=0, minv=None, maxv=None, ms=0.0, stats=None, block_codec="none"):
+        final = data_bytes
+        enc_len = len(data_bytes)
+        if block_codec != "none":
+            final = blockc.compress_stream(data_bytes, block_codec)
+        rows["part_id"].append(part_id)
+        rows["chunk_ord"].append(chunk_ord)
+        rows["column"].append(column)
+        rows["stream_kind"].append(kind)
+        rows["codec"].append(codec)
+        rows["block_codec"].append(block_codec)
+        rows["data"].append(final)
+        rows["row_count"].append(n)
+        rows["null_count"].append(null_count)
+        rows["dict_size"].append(dict_size)
+        rows["raw_bytes"].append(raw)
+        rows["enc_bytes"].append(enc_len)
+        rows["final_bytes"].append(len(final))
+        rows["min_val"].append(minv)
+        rows["max_val"].append(maxv)
+        rows["crc32"].append(zlib.crc32(final))
+        rows["encode_ms"].append(ms)
+        rows["stats_json"].append(json.dumps(stats) if stats else None)
+
+    for name in table.column_names:
+        col_plan = plan.get(name, {})
+        block_codec_pref = col_plan.get("block_codec", "zlib")
+        arr = table.column(name)
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        t0 = time.perf_counter()
+        null_count = arr.null_count
+        if null_count:
+            not_null = np.asarray(arr.is_valid())
+            present = encode_boolean_rle(not_null)
+            dense = arr.drop_null()
+        else:
+            present = None
+            dense = arr
+        typ = arr.type
+        minv = maxv = None
+        stats = None
+        dict_size = 0
+        if pa.types.is_integer(typ):
+            vals = dense.to_numpy(zero_copy_only=False).astype(np.int64)
+            stats = integer_chunk_stats(vals)
+            codec = "rle_v2"
+            streams = [(ct.DATA, encode_rlev2(vals, signed=True))]
+            raw = n * 8
+            if vals.size:
+                minv, maxv = str(int(vals.min())), str(int(vals.max()))
+        elif pa.types.is_timestamp(typ):
+            us = dense.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            ns = us * 1000
+            secs, nanos = split_timestamp_ns(ns)
+            codec = "timestamp_split"
+            streams = [
+                (ct.DATA, encode_rlev2(secs, signed=True)),
+                (ct.SECONDARY, encode_rlev2(nanos, signed=False)),
+            ]
+            raw = n * 8
+            if us.size:
+                minv, maxv = str(int(us.min())), str(int(us.max()))
+        elif pa.types.is_floating(typ):
+            vals = dense.to_numpy(zero_copy_only=False)
+            codec = "float_plain"
+            streams = [(ct.DATA, encode_float(np.ascontiguousarray(vals)))]
+            raw = n * vals.dtype.itemsize
+        elif pa.types.is_boolean(typ):
+            vals = np.asarray(dense)
+            codec = "boolean_rle"
+            streams = [(ct.DATA, encode_boolean_rle(vals))]
+            raw = n
+        elif (pa.types.is_string(typ) or pa.types.is_large_string(typ)
+              or pa.types.is_binary(typ) or pa.types.is_large_binary(typ)):
+            is_str = pa.types.is_string(typ) or pa.types.is_large_string(typ)
+            fsst_bytes = col_plan.get("fsst_table")
+            codec, stats, streams, dict_size = _encode_string_column(dense, fsst_bytes)
+            raw = stats["total_bytes"]
+            if is_str and len(dense):
+                mm = pa.compute.min_max(dense.cast(pa.large_string()))
+                minv = (mm["min"].as_py() or "")[:64]
+                maxv = (mm["max"].as_py() or "")[:64]
+        else:
+            raise TypeError(f"unsupported column type {typ} for {name!r}")
+
+        ms = (time.perf_counter() - t0) * 1000
+        if present is not None:
+            emit(name, ct.PRESENT, "boolean_rle", present, null_count=null_count)
+        first = True
+        for kind, data_bytes in streams:
+            bc = (
+                block_codec_pref
+                if len(data_bytes) >= BLOCK_MIN_BYTES and kind != ct.SYMBOL_TABLE
+                else "none"
+            )
+            emit(name, kind, codec, data_bytes, null_count=null_count,
+                 dict_size=dict_size, raw=raw if first else 0,
+                 minv=minv if first else None, maxv=maxv if first else None,
+                 ms=ms if first else 0.0, stats=stats if first else None,
+                 block_codec=bc)
+            first = False
+    return pa.RecordBatch.from_pydict(rows, schema=ct.CHUNK_ARROW_SCHEMA)
+
+
+def encode_table(
+    df: DataFrame, plan: dict | None = None, stripe_bytes: int = STRIPE_BYTES
+) -> DataFrame:
+    """DataFrame -> chunk-table DataFrame (one row per column stream)."""
+    plan = plan or {}
+
+    def encode_iter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        part_id = TaskContext.get().partitionId()
+        buf: list[pa.RecordBatch] = []
+        buffered = 0
+        chunk_ord = 0
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            buf.append(b)
+            buffered += b.nbytes
+            if buffered >= stripe_bytes:
+                yield encode_chunk(pa.Table.from_batches(buf), part_id, chunk_ord, plan)
+                buf, buffered = [], 0
+                chunk_ord += 1
+        if buf:
+            yield encode_chunk(pa.Table.from_batches(buf), part_id, chunk_ord, plan)
+
+    return df.mapInArrow(encode_iter, schema=ct.CHUNK_SPARK_SCHEMA)

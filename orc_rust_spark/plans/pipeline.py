@@ -1,0 +1,200 @@
+"""The end-to-end resumable encode plan.
+
+Two-pass lifecycle (SURVEY §3.2 'Spark lifecycle analog'):
+
+  pass 1 (stats):  sample the source -> per-string-column FSST tables +
+                   global codec hints (broadcast as a small plan dict)
+  pass 2 (encode): optional salted repartition on xxhash64(url) to defuse
+                   host-domain skew -> mapInArrow encode -> chunk table
+                   parquet + per-partition manifest (lineage: snapshot id,
+                   partition range, codecs, checksum, sizes)
+  verify:          decode chunk table -> join source on the key column ->
+                   count value mismatches (byte-identical text per url)
+
+Resume: a re-run with the same snapshot_id skips partitions already
+present in the manifest (their chunk files are kept), re-encoding only
+the rest — the checkpoint model the north rule requires.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..codecs.fsst import train_fsst
+from ..operators.decode import decode_table
+from ..operators.encode import STRIPE_BYTES, encode_table
+
+FSST_TRAIN_STRINGS = 512
+FSST_MAX_TRAIN_AVG_LEN = 4096
+
+
+def plan_codecs(df: DataFrame, sample_rows: int = 2000) -> dict:
+    """Pass 1: train FSST tables / set block codecs from a driver sample."""
+    string_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "string"]
+    plan: dict[str, dict] = {f.name: {"block_codec": "zlib"} for f in df.schema.fields}
+    if not string_cols:
+        return plan
+    sample = df.select(*string_cols).limit(sample_rows).collect()
+    for c in string_cols:
+        vals = [r[c] for r in sample if r[c]]
+        if not vals:
+            continue
+        avg_len = sum(len(v) for v in vals) / len(vals)
+        if avg_len > FSST_MAX_TRAIN_AVG_LEN:
+            continue
+        corpus = "".join(vals[:FSST_TRAIN_STRINGS]).encode()
+        table = train_fsst(corpus)
+        if table.symbols:
+            plan[c]["fsst_table"] = table.serialize()
+    return plan
+
+
+def salted_repartition(df: DataFrame, key: str = "url", partitions: int | None = None) -> DataFrame:
+    """Defuse host-domain skew: repartition on xxhash64(key).
+
+    The key is unique per row (urls are), so hashing it spreads any hot
+    domain uniformly — the salt is the hash itself. Only needed when the
+    source layout is skewed; costs one shuffle.
+    """
+    if partitions:
+        return df.repartition(partitions, F.xxhash64(F.col(key)))
+    return df.repartition(F.xxhash64(F.col(key)))
+
+
+def encode_dataset(
+    spark: SparkSession,
+    source: DataFrame,
+    output_dir: str,
+    snapshot_id: str | None = None,
+    plan: dict | None = None,
+    stripe_bytes: int = STRIPE_BYTES,
+    repartition_on: str | None = None,
+    num_partitions: int | None = None,
+) -> dict:
+    """Run the resumable encode; returns a run summary dict."""
+    os.makedirs(output_dir, exist_ok=True)
+    chunks_dir = os.path.join(output_dir, "chunks")
+    manifest_dir = os.path.join(output_dir, "manifest")
+    snapshot_id = snapshot_id or uuid.uuid4().hex
+
+    if repartition_on:
+        source = salted_repartition(source, repartition_on, num_partitions)
+    elif num_partitions:
+        source = source.repartition(num_partitions)
+
+    plan = plan if plan is not None else plan_codecs(source)
+
+    done: set[int] = set()
+    if os.path.exists(manifest_dir):
+        try:
+            prev = spark.read.parquet(manifest_dir)
+            done = {
+                r.part_id
+                for r in prev.where(
+                    (F.col("snapshot_id") == snapshot_id) & (F.col("status") == "done")
+                ).select("part_id").collect()
+            }
+        except Exception:
+            done = set()
+
+    if done:
+        source = source.withColumn("_pid", F.spark_partition_id()).where(
+            ~F.col("_pid").isin(*[int(p) for p in done])
+        ).drop("_pid")
+
+    t0 = time.time()
+    chunks = encode_table(source, plan=plan, stripe_bytes=stripe_bytes)
+    chunks.write.mode("append").parquet(chunks_dir)
+    wall = time.time() - t0
+
+    # manifest from what actually landed (lineage per partition)
+    landed = spark.read.parquet(chunks_dir)
+    manifest = (
+        landed.groupBy("part_id")
+        .agg(
+            F.max("chunk_ord").alias("max_chunk_ord"),
+            F.sum(F.when(F.col("stream_kind") == "DATA", F.col("row_count")).otherwise(0)).alias(
+                "stream_rows"
+            ),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("final_bytes").alias("final_bytes"),
+            F.xxhash64(F.concat_ws(",", F.collect_list(F.col("crc32").cast("string")))).alias(
+                "checksum"
+            ),
+        )
+        .withColumn("snapshot_id", F.lit(snapshot_id))
+        .withColumn("status", F.lit("done"))
+        .withColumn(
+            "plan_json",
+            F.lit(json.dumps({k: {kk: vv for kk, vv in v.items() if kk != "fsst_table"}
+                              for k, v in plan.items()})),
+        )
+    )
+    manifest.write.mode("overwrite").parquet(manifest_dir)
+
+    totals = landed.agg(
+        F.sum("raw_bytes").alias("raw"), F.sum("final_bytes").alias("final")
+    ).collect()[0]
+    return {
+        "snapshot_id": snapshot_id,
+        "wall_sec": wall,
+        "raw_bytes": int(totals["raw"] or 0),
+        "compressed_bytes": int(totals["final"] or 0),
+        "skipped_partitions": len(done),
+        "chunks_dir": chunks_dir,
+        "manifest_dir": manifest_dir,
+    }
+
+
+def verify_roundtrip(
+    spark: SparkSession, source: DataFrame, chunks_dir: str, key: str = "url"
+) -> dict:
+    """Decode the chunk table and compare every column per key row."""
+    chunks = spark.read.parquet(chunks_dir)
+    decoded = decode_table(chunks, source.schema)
+    cols = [f.name for f in source.schema.fields if f.name != key]
+    s = source.alias("s")
+    d = decoded.alias("d")
+    joined = s.join(d, on=key, how="full")
+    mismatch_expr = None
+    for c in cols:
+        ne = ~F.col(f"s.{c}").eqNullSafe(F.col(f"d.{c}"))
+        mismatch_expr = ne if mismatch_expr is None else (mismatch_expr | ne)
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(mismatch_expr, 1).otherwise(0)).alias("mismatches"),
+        F.sum(F.when(F.col(f"s.{key}").isNull() | F.col(f"d.{key}").isNull(), 1).otherwise(0)).alias(
+            "unmatched_keys"
+        ),
+    ).collect()[0]
+    return {
+        "rows": agg["rows"],
+        "mismatches": int(agg["mismatches"] or 0),
+        "unmatched_keys": int(agg["unmatched_keys"] or 0),
+    }
+
+
+def per_codec_metrics(spark: SparkSession, chunks_dir: str) -> DataFrame:
+    """Per-codec compression-ratio + throughput metrics (north-rule output)."""
+    chunks = spark.read.parquet(chunks_dir)
+    return (
+        chunks.groupBy("column", "codec")
+        .agg(
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("final_bytes").alias("compressed_bytes"),
+            F.sum("encode_ms").alias("encode_ms"),
+            F.count(F.lit(1)).alias("streams"),
+        )
+        .withColumn("ratio", F.try_divide(F.col("raw_bytes"), F.col("compressed_bytes")))
+        .withColumn(
+            "mb_per_sec",
+            F.try_divide(F.col("raw_bytes") / 1e6, F.col("encode_ms") / 1000),
+        )
+        .orderBy("column", "codec")
+    )

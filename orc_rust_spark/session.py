@@ -1,0 +1,55 @@
+"""SparkSession factory with the engine's required configuration.
+
+- Arrow-batched UDF transport (the engine's in-flight representation)
+- AQE on (runtime re-planning, skew-join handling)
+- glibc malloc tuning exported to Python workers: this sandbox has very
+  slow first-touch pages, so worker processes must reuse freed arenas
+  instead of munmap-ing them (MALLOC_MMAP_THRESHOLD_/MALLOC_TRIM_THRESHOLD_).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+MALLOC_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": "2147483648",
+    "MALLOC_TRIM_THRESHOLD_": "2147483648",
+    "MALLOC_TOP_PAD_": "268435456",
+}
+
+# rows per Arrow batch handed to pandas UDFs — the analog of the reference
+# writer's 1024-row encode slices (src/arrow_writer.rs:50), scaled up since
+# NumPy kernels amortize better over bigger batches
+ARROW_BATCH_ROWS = 65536
+
+
+def get_spark(
+    app_name: str = "orc_rust_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    # export before the JVM forks so python workers inherit
+    for k, v in MALLOC_ENV.items():
+        os.environ.setdefault(k, v)
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.python.worker.reuse", "true")
+    )
+    for k, v in MALLOC_ENV.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
+    return builder.getOrCreate()

@@ -1,0 +1,135 @@
+"""End-to-end Spark pipeline tests: webtext -> encode -> chunk table ->
+decode -> byte-identical per url (the north-rule invariant), plus the
+selector's choices, resume-from-checkpoint, and metrics emission."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from orc_rust_spark.operators.decode import decode_table
+from orc_rust_spark.operators.encode import encode_table
+from orc_rust_spark.plans.pipeline import (
+    encode_dataset,
+    per_codec_metrics,
+    plan_codecs,
+    verify_roundtrip,
+)
+from orc_rust_spark.sources.webtext import WEBTEXT_SCHEMA, webtext_df
+
+N_ROWS = 3000
+
+
+@pytest.fixture(scope="module")
+def source(spark):
+    df = webtext_df(spark, N_ROWS, num_partitions=4).cache()
+    df.count()
+    return df
+
+
+def test_generator_deterministic(spark):
+    a = webtext_df(spark, 500, num_partitions=2).orderBy("url").collect()
+    b = webtext_df(spark, 500, num_partitions=2).orderBy("url").collect()
+    assert a == b
+    assert len({r.url for r in a}) == 500  # unique urls
+    langs = {r.lang for r in a}
+    assert "en" in langs and len(langs) > 3
+
+
+def test_encode_decode_roundtrip(spark, source):
+    plan = plan_codecs(source)
+    chunks = encode_table(source, plan=plan).cache()
+    assert chunks.count() > 0
+    decoded = decode_table(chunks, WEBTEXT_SCHEMA)
+    s, d = source.alias("s"), decoded.alias("d")
+    joined = s.join(d, on="url", how="full")
+    bad = joined.where(
+        ~F.col("s.text").eqNullSafe(F.col("d.text"))
+        | ~F.col("s.html").eqNullSafe(F.col("d.html"))
+        | ~F.col("s.lang").eqNullSafe(F.col("d.lang"))
+        | ~F.col("s.warc_ts").eqNullSafe(F.col("d.warc_ts"))
+    ).count()
+    assert bad == 0
+    assert decoded.count() == N_ROWS
+    chunks.unpersist()
+
+
+def test_selector_choices(spark, source):
+    plan = plan_codecs(source)
+    chunks = encode_table(source, plan=plan)
+    picks = {
+        (r["column"], r["codec"])
+        for r in chunks.select("column", "codec").distinct().collect()
+    }
+    codec_by_col = {}
+    for col, codec in picks:
+        codec_by_col.setdefault(col, set()).add(codec)
+    # lang: 25 distinct values -> dictionary
+    assert codec_by_col["lang"] == {"dict"}
+    # url: unique + short -> FSST must win
+    assert codec_by_col["url"] == {"fsst"}
+    # timestamps split, ints RLEv2
+    assert codec_by_col["warc_ts"] == {"timestamp_split"}
+    # html: big binary -> direct (+ zlib blocks checked below)
+    assert codec_by_col["html"] == {"direct"}
+    html_data = chunks.where(
+        (F.col("column") == "html") & (F.col("stream_kind") == "DATA")
+    ).select("block_codec", "raw_bytes", "final_bytes").collect()
+    assert all(r.block_codec == "zlib" for r in html_data)
+    total_raw = sum(r.raw_bytes for r in html_data)
+    total_final = sum(r.final_bytes for r in html_data)
+    assert total_final < total_raw / 2  # html must compress well
+
+
+def test_compressed_size_beats_pyarrow_orc(spark, source, tmp_path):
+    """north rule: compressed size <= reference ORC (pyarrow.orc as oracle)."""
+    import pyarrow.orc as pa_orc
+
+    pdf = source.toPandas()
+    import pyarrow as pa
+
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    orc_path = str(tmp_path / "ref.orc")
+    pa_orc.write_table(table, orc_path)  # defaults: zlib
+    ref_size = os.path.getsize(orc_path)
+
+    chunks = encode_table(source, plan=plan_codecs(source))
+    ours = chunks.agg(F.sum("final_bytes")).collect()[0][0]
+    assert ours <= ref_size, f"ours {ours} > reference ORC {ref_size}"
+
+
+def test_encode_dataset_resume(spark, source, tmp_path):
+    out = str(tmp_path / "run1")
+    summary1 = encode_dataset(spark, source, out, snapshot_id="snap1")
+    assert summary1["compressed_bytes"] > 0
+    v = verify_roundtrip(spark, source, summary1["chunks_dir"])
+    assert v["mismatches"] == 0 and v["unmatched_keys"] == 0 and v["rows"] == N_ROWS
+
+    # resume with same snapshot: all partitions already done -> all skipped
+    summary2 = encode_dataset(spark, source, out, snapshot_id="snap1")
+    assert summary2["skipped_partitions"] >= 4
+    # still verifiable after the no-op resume
+    v2 = verify_roundtrip(spark, source, summary2["chunks_dir"])
+    assert v2["mismatches"] == 0 and v2["rows"] == N_ROWS
+
+
+def test_per_codec_metrics(spark, source, tmp_path):
+    out = str(tmp_path / "run_m")
+    summary = encode_dataset(spark, source, out, snapshot_id="m1")
+    m = per_codec_metrics(spark, summary["chunks_dir"]).collect()
+    by_col = {r["column"]: r for r in m}
+    assert by_col["url"]["codec"] == "fsst"
+    assert by_col["url"]["ratio"] > 1.5
+    assert all(r["mb_per_sec"] > 0 for r in m if r["raw_bytes"])
+
+
+def test_nulls_and_empties_roundtrip(spark):
+    # text column has ~1% nulls and ~10% empties by construction
+    df = webtext_df(spark, 2000, num_partitions=2)
+    nulls = df.where(F.col("text").isNull()).count()
+    empties = df.where(F.col("text") == "").count()
+    assert nulls > 0 and empties > 0
+    chunks = encode_table(df, plan={})
+    decoded = decode_table(chunks, WEBTEXT_SCHEMA)
+    assert decoded.where(F.col("text").isNull()).count() == nulls
+    assert decoded.where(F.col("text") == "").count() == empties
