@@ -98,6 +98,83 @@ def q_predicate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- training-data pipeline operators ---------------------------------------
+
+
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orc_rust_spark.operators.text_analysis import (
+        lang_id_col,
+        quality_score_col,
+        token_count_col,
+        fingerprint_col,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count_col(t).alias("n_tokens"),
+        quality_score_col(t).alias("quality"),
+        lang_id_col(t).alias("lang_guess"),
+        fingerprint_col(t).alias("fingerprint"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orc_rust_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs)
+
+
+def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orc_rust_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    return ngram_jaccard_pairs(docs, n=1, threshold=0.5)
+
+
+def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orc_rust_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    return minhash_lsh_pairs(docs, n=2, num_perm=32, bands=8, threshold=0.5)
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orc_rust_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    return simhash_neardup_pairs(docs, max_hamming=8)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orc_rust_spark.operators.similarity import cosine_topk
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(vecs, k=5, round_to=None)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orc_rust_spark.operators.similarity import lsh_topk
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(vecs, dim=64, k=5, n_planes=8)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orc_rust_spark.operators.similarity import embedding_neardup_pairs
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(vecs, tau=0.4).select("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_documents": q_roundtrip_documents,
@@ -106,6 +183,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_collection": q_stats_collection,
         "dictionary_cardinality": q_dictionary_cardinality,
         "predicate_pushdown": q_predicate_pushdown,
+        "text_analysis": q_text_analysis,
+        "dedup_exact": q_dedup_exact,
+        "word_jaccard_pairs": q_word_jaccard_pairs,
+        "minhash_lsh_neardup": q_minhash_lsh_neardup,
+        "simhash_neardup": q_simhash_neardup,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_neardup": q_embedding_neardup,
     }
 
 
@@ -134,4 +219,95 @@ def oracle_sql() -> dict[str, str]:
             "sum(CAST(l_quantity AS BIGINT)) AS qty FROM lineitem "
             "WHERE l_quantity < 5 AND l_returnflag = 'R' "
             "GROUP BY l_linestatus ORDER BY l_linestatus",
+        "text_analysis": r"""
+            WITH t AS (
+              SELECT doc_id, text, coalesce(text, '') AS ct,
+                     string_split_regex(lower(coalesce(text, '')), '\s+') AS toks
+              FROM documents
+            ), scores AS (
+              SELECT doc_id, text, ct, toks,
+                len(list_intersect(toks, ['the','and','of','to','in'])) AS s_en,
+                len(list_intersect(toks, ['der','die','und','ist','das'])) AS s_de,
+                len(list_intersect(toks, ['el','los','que','y','las'])) AS s_es,
+                len(list_intersect(toks, ['le','la','et','les','des'])) AS s_fr,
+                CASE WHEN length(ct) > 0 THEN
+                  (length(ct) - length(regexp_replace(ct, '[^\p{L}\p{N}\s]', '', 'g'))) * 1.0
+                   / length(ct)
+                ELSE 0.0 END AS punct
+              FROM t
+            )
+            SELECT doc_id,
+              CASE WHEN text IS NULL THEN NULL
+                   WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+              least(length(ct) / 500.0, 1.0)
+                * (1.0 - least(punct * 2.0, 1.0) * 0.5) AS quality,
+              CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= 1 THEN 'en'
+                   WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= 1 THEN 'de'
+                   WHEN s_es >= s_fr AND s_es >= 1 THEN 'es'
+                   WHEN s_fr >= 1 THEN 'fr'
+                   ELSE 'und' END AS lang_guess,
+              md5(regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g'))
+                AS fingerprint
+            FROM scores
+        """,
+        "dedup_exact": r"""
+            SELECT min(doc_id) AS doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+                   count(*) AS dup_count
+            FROM documents WHERE text IS NOT NULL
+            GROUP BY 2
+        """,
+        "word_jaccard_pairs": r"""
+            WITH s AS (
+              SELECT doc_id AS id,
+                     list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS sh
+              FROM documents
+              WHERE text IS NOT NULL AND length(trim(text)) > 0
+            ), e AS (
+              SELECT id, len(sh) AS card, unnest(sh) AS s FROM s WHERE len(sh) > 0
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(count(*) * 1.0 / (a.card + b.card - count(*)), 6) AS jaccard
+            FROM e a JOIN e b ON a.s = b.s AND a.id < b.id
+            GROUP BY a.id, b.id, a.card, b.card
+            HAVING round(count(*) * 1.0 / (a.card + b.card - count(*)), 6) >= 0.5
+        """,
+        # minhash_lsh_neardup / simhash_neardup / ann_lsh_topk intentionally
+        # have NO SQL oracle: they are hash-seeded approximate operators
+        # (xxhash64 / random hyperplanes are not reproducible in DuckDB);
+        # the driver records the weaker rows-only check for them.
+        "ann_cosine_topk": """
+            SELECT vec_id, rank, neighbor_id, cosine FROM (
+              SELECT a.vec_id, b.vec_id AS neighbor_id,
+                list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                / (sqrt(list_sum(list_transform(a.embedding,
+                          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(b.embedding,
+                          v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cosine,
+                row_number() OVER (
+                  PARTITION BY a.vec_id
+                  ORDER BY list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                    / (sqrt(list_sum(list_transform(a.embedding,
+                              v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(b.embedding,
+                              v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) DESC,
+                    b.vec_id ASC
+                ) AS rank
+              FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+            ) WHERE rank <= 5
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(
+              list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(a.embedding,
+                        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+               * sqrt(list_sum(list_transform(b.embedding,
+                        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) >= 0.4
+        """,
     }

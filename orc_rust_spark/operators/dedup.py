@@ -1,0 +1,226 @@
+"""Deduplication operators for training-data pipelines, Spark-first.
+
+- exact_dedup          hash-groupBy on a normalized md5 fingerprint
+- ngram_jaccard_pairs  exact n-gram Jaccard via shingle explode + self-join
+- minhash_lsh_pairs    MinHash signatures (xxhash64 perms) -> banded LSH
+                       buckets -> candidate join -> exact-Jaccard verify
+- simhash              64-bit SimHash per document (explode + bit-majority,
+                       all JVM-side)
+- embedding_neardup_pairs  cosine >= tau pairs over an embedding column
+
+Scale notes (100 TB): every operator is explode -> shuffle-on-key ->
+aggregate, so it partitions by shingle/bucket hash; hot shingles are the
+skew risk — minhash_lsh caps documents per bucket (df cap) the way
+production pipelines drop stop-shingles. No Python in any hot path except
+none — everything is built-in pyspark.sql.functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text_analysis import fingerprint_col
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+")
+
+
+def _shingles(text: Column, n: int) -> Column:
+    """Distinct word n-grams of the text (empty array for short docs)."""
+    toks = _tokens(text)
+    if n == 1:
+        return F.array_distinct(toks)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct normalized text: (keeper id, fingerprint, count)."""
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), fingerprint_col(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .select(id_col, "fingerprint", "dup_count")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 1,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard-similar pairs (a < b) on distinct word n-grams."""
+    sh = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), _shingles(F.col(text_col), n).alias("sh"))
+        .where(F.size("sh") > 0)
+        .select("id", F.size("sh").alias("card"), F.explode("sh").alias("s"))
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                 F.col("a.card").alias("card_a"), F.col("b.card").alias("card_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("card_a") + F.col("card_b") - F.col("common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 2, num_perm: int = 32,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, minhash array of num_perm int64) via xxhash64(seed_i, shingle)."""
+    sh = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.explode(_shingles(F.col(text_col), n)).alias("s"))
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_perm)
+    ]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 2,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs: banded-LSH candidates verified by exact Jaccard.
+
+    bands * rows = num_perm; candidate pairs share at least one band
+    bucket; buckets larger than max_bucket are dropped (stop-shingle
+    defense — at 10^12 docs a viral boilerplate bucket would otherwise
+    produce a quadratic join).
+    """
+    rows = num_perm // bands
+    sig = minhash_signatures(docs, n=n, num_perm=num_perm, text_col=text_col, id_col=id_col)
+    bands_df = sig.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(*[F.col("minhash")[b * rows + r] for r in range(rows)]).alias(
+                        "bucket"
+                    ),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    sized = bands_df.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    ).where(F.col("bucket_n") <= max_bucket)
+    x, y = sized.alias("x"), sized.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verify: recompute Jaccard only on candidates
+    sh = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), _shingles(F.col(text_col), n).alias("sh"))
+    )
+    verified = (
+        cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(sh.alias("sb"), F.col("id_b") == F.col("sb.id"))
+        .withColumn("common", F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh"))))
+        .withColumn("union_", F.size(F.array_union(F.col("sa.sh"), F.col("sb.sh"))))
+        .withColumn("jaccard", F.round(F.col("common") / F.col("union_"), 6))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc: bit-majority over xxhash64(token)."""
+    tok = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.explode(_tokens(F.col(text_col))).alias("t"))
+        .where(F.length("t") > 0)
+        .withColumn("h", F.xxhash64("t"))
+    )
+    # per bit: sum of (bit ? +1 : -1); sign -> simhash bit
+    bit_sums = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("bigint")
+    for i in range(64):
+        sim = sim + F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
+        ).otherwise(F.lit(0).cast("bigint"))
+    return bit_sums.select("id", sim.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Scale path: block on 4 16-bit chunks (a pair within distance 3 must
+    agree on at least one chunk), join per chunk, verify popcount.
+    """
+    sim = simhash(docs, text_col=text_col, id_col=id_col)
+    chunks = sim.select(
+        "id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftrightunsigned(F.col("simhash"), c * 16)
+                    .bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                )
+                for c in range(4)
+            ])
+        ).alias("ck"),
+    ).select("id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
