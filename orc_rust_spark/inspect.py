@@ -1,0 +1,68 @@
+"""CLI chunk-table inspector — the analog of the reference's `orc` binary
+subcommands info/stats/layout (src/bin/orc/main.rs:31-66).
+
+Usage:
+    python -m orc_rust_spark.inspect <chunks_dir> [info|stats|layout]
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) < 2:
+        print(__doc__)
+        return 2
+    chunks_dir = argv[1]
+    cmd = argv[2] if len(argv) > 2 else "info"
+    from pyspark.sql import functions as F
+
+    from .session import get_spark
+
+    spark = get_spark("orc_rust_spark-inspect", master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    chunks = spark.read.parquet(chunks_dir)
+    if cmd == "info":
+        agg = chunks.agg(
+            F.countDistinct("part_id").alias("partitions"),
+            F.countDistinct("part_id", "chunk_ord").alias("chunks"),
+            F.sum(F.when(F.col("stream_kind") == "DATA", F.col("row_count"))).alias("rows_x_cols"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("final_bytes").alias("final_bytes"),
+        ).collect()[0]
+        print(f"partitions : {agg['partitions']}")
+        print(f"chunks     : {agg['chunks']}")
+        print(f"raw bytes  : {agg['raw_bytes']:,}")
+        print(f"final bytes: {agg['final_bytes']:,}")
+        print(f"ratio      : {agg['raw_bytes'] / max(1, agg['final_bytes']):.2f}x")
+    elif cmd == "stats":
+        (
+            chunks.where(F.col("stream_kind") == "DATA")
+            .groupBy("column", "codec")
+            .agg(
+                F.sum("row_count").alias("rows"),
+                F.sum("null_count").alias("nulls"),
+                F.min("min_val").alias("min"),
+                F.max("max_val").alias("max"),
+                F.sum("raw_bytes").alias("raw"),
+            )
+            .orderBy("column")
+            .show(100, truncate=40)
+        )
+    elif cmd == "layout":
+        (
+            chunks.groupBy("column", "stream_kind", "codec", "block_codec")
+            .agg(F.count(F.lit(1)).alias("streams"), F.sum("final_bytes").alias("bytes"))
+            .orderBy("column", "stream_kind")
+            .show(100, truncate=40)
+        )
+    else:
+        print(f"unknown command {cmd!r}; use info|stats|layout")
+        return 2
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))

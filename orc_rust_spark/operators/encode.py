@@ -174,6 +174,23 @@ def encode_chunk(
         else:
             raise TypeError(f"unsupported column type {typ} for {name!r}")
 
+        # optional per-chunk bloom filter (equality-pruning index, ORC
+        # BLOOM_FILTER_UTF8 analog) on the dense values
+        if col_plan.get("bloom"):
+            from ..codecs.bloom import BloomFilter
+
+            n_dense = len(dense)
+            bf = BloomFilter.for_expected(n_dense)
+            if pa.types.is_integer(typ):
+                bf.add_i64(dense.to_numpy(zero_copy_only=False).astype(np.int64))
+            else:
+                bdata, boffs = _flatten_large_binary(
+                    dense if not (pa.types.is_string(typ) or pa.types.is_large_string(typ))
+                    else dense.cast(pa.large_binary())
+                )
+                bf.add_bytes(bdata, boffs)
+            streams = list(streams) + [(ct.BLOOM_FILTER, bf.serialize())]
+
         ms = (time.perf_counter() - t0) * 1000
         if present is not None:
             emit(name, ct.PRESENT, "boolean_rle", present, null_count=null_count)

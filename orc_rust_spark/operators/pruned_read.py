@@ -1,0 +1,96 @@
+"""Scan-side pruning over the chunk table — the engine's analog of the
+reference's row-group predicate pushdown (src/row_group_filter.rs:54-205)
+and bloom pruning (:370-408).
+
+A point/range lookup first evaluates chunk-level metadata:
+- min/max statistics (three-valued: definitely-false chunks are skipped;
+  string max values truncated at 64 chars are treated as unbounded)
+- the BLOOM_FILTER stream for equality predicates (maybe-present test)
+
+and only then decodes the surviving chunks. The metadata pass is a pandas
+UDF over chunk rows (distributed — at 10^12-doc scale the chunk table is
+itself big), the decode pass reuses operators.decode.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..codecs import block as blockc
+from ..codecs.bloom import BloomFilter
+from ..sources import chunk_table as ct
+from .decode import decode_table
+
+MAX_STAT_LEN = 64  # string min/max truncation length used by the encoder
+
+
+def prune_chunks_stats(
+    chunks: DataFrame, column: str, eq_value=None, lo=None, hi=None
+) -> DataFrame:
+    """Chunks whose [min,max] could intersect the predicate -> keys DF."""
+    meta = chunks.where(
+        (F.col("column") == column) & (F.col("stream_kind") == ct.DATA)
+    ).select("part_id", "chunk_ord", "min_val", "max_val")
+    if eq_value is not None:
+        lo = hi = eq_value
+    cond = F.lit(True)
+    if lo is not None:
+        # chunk max < lo -> definitely false (unless max was truncated)
+        max_usable = F.length(F.col("max_val")) < MAX_STAT_LEN if isinstance(lo, str) else F.lit(True)
+        cond = cond & ~(max_usable & (F.col("max_val") < F.lit(str(lo))))
+    if hi is not None:
+        cond = cond & ~(F.col("min_val") > F.lit(str(hi)))
+    # chunks with no stats are always kept (three-valued logic)
+    cond = F.col("min_val").isNull() | cond
+    return meta.where(cond).select("part_id", "chunk_ord")
+
+
+def prune_chunks_bloom(chunks: DataFrame, column: str, eq_value) -> DataFrame:
+    """Chunks whose bloom filter says maybe-present -> keys DF.
+
+    Chunks without a bloom stream are kept (filter is advisory).
+    """
+    bloom = chunks.where(
+        (F.col("column") == column) & (F.col("stream_kind") == ct.BLOOM_FILTER)
+    ).select("part_id", "chunk_ord", "data", "block_codec")
+    is_int = isinstance(eq_value, int)
+
+    @F.pandas_udf(T.BooleanType())
+    def maybe(data: pd.Series, codec: pd.Series) -> pd.Series:
+        out = []
+        for raw, bc in zip(data, codec):
+            bf = BloomFilter.deserialize(blockc.decompress_stream(bytes(raw), bc))
+            if is_int:
+                out.append(bf.might_contain_i64(int(eq_value)))
+            else:
+                out.append(bf.might_contain_bytes(str(eq_value).encode()))
+        return pd.Series(out)
+
+    keep = bloom.where(maybe(F.col("data"), F.col("block_codec"))).select(
+        "part_id", "chunk_ord"
+    )
+    with_bloom = bloom.select("part_id", "chunk_ord")
+    without = (
+        chunks.select("part_id", "chunk_ord").distinct()
+        .join(with_bloom, ["part_id", "chunk_ord"], "left_anti")
+    )
+    return keep.union(without)
+
+
+def pruned_point_lookup(
+    chunks: DataFrame, schema: T.StructType, column: str, value
+) -> tuple[DataFrame, DataFrame]:
+    """-> (decoded rows matching column == value, kept chunk keys).
+
+    Stats pruning AND bloom pruning, then decode only surviving chunks and
+    apply the residual filter on the decoded rows.
+    """
+    keys = prune_chunks_stats(chunks, column, eq_value=value).intersect(
+        prune_chunks_bloom(chunks, column, value)
+    )
+    pruned = chunks.join(F.broadcast(keys), ["part_id", "chunk_ord"], "left_semi")
+    decoded = decode_table(pruned, schema)
+    return decoded.where(F.col(column) == F.lit(value)), keys

@@ -21,6 +21,7 @@ LENGTH = "LENGTH"
 DICTIONARY_DATA = "DICTIONARY_DATA"
 SECONDARY = "SECONDARY"
 SYMBOL_TABLE = "SYMBOL_TABLE"
+BLOOM_FILTER = "BLOOM_FILTER"
 
 CHUNK_ARROW_SCHEMA = pa.schema(
     [

@@ -1,0 +1,58 @@
+import pytest
+from pyspark.sql import functions as F
+
+from orc_rust_spark.operators.encode import encode_table
+from orc_rust_spark.operators.pruned_read import (
+    prune_chunks_bloom,
+    prune_chunks_stats,
+    pruned_point_lookup,
+)
+from orc_rust_spark.sources.webtext import WEBTEXT_SCHEMA, webtext_df
+
+
+@pytest.fixture(scope="module")
+def encoded(spark):
+    # small stripes -> many chunks so pruning has something to skip
+    df = webtext_df(spark, 4000, num_partitions=4).cache()
+    plan = {"url": {"bloom": True, "block_codec": "zlib"}}
+    chunks = encode_table(df, plan=plan, stripe_bytes=512 * 1024).cache()
+    chunks.count()
+    return df, chunks
+
+
+def test_bloom_stream_emitted(spark, encoded):
+    _, chunks = encoded
+    n_bloom = chunks.where(
+        (F.col("column") == "url") & (F.col("stream_kind") == "BLOOM_FILTER")
+    ).count()
+    n_chunks = chunks.select("part_id", "chunk_ord").distinct().count()
+    assert n_bloom == n_chunks > 1
+
+
+def test_bloom_pruning_skips_chunks(spark, encoded):
+    df, chunks = encoded
+    target = df.select("url").orderBy("url").limit(1).collect()[0][0]
+    total = chunks.select("part_id", "chunk_ord").distinct().count()
+    kept_bloom = prune_chunks_bloom(chunks, "url", target).count()
+    kept_absent = prune_chunks_bloom(chunks, "url", "https://nope.invalid/xyz").count()
+    assert kept_bloom >= 1
+    assert kept_absent < total  # bloom rules out most chunks for absent keys
+
+
+def test_stats_pruning_ints(spark, encoded):
+    df, chunks = encoded
+    # warc_ts stats prune: a timestamp-us range beyond the data cuts all chunks
+    kept = prune_chunks_stats(chunks, "warc_ts", lo=9_999_999_999_999_999).count()
+    assert kept == 0
+    kept_all = prune_chunks_stats(chunks, "warc_ts", lo=0).count()
+    assert kept_all == chunks.select("part_id", "chunk_ord").distinct().count()
+
+
+def test_pruned_point_lookup_end_to_end(spark, encoded):
+    df, chunks = encoded
+    target = df.select("url").orderBy(F.desc("url")).limit(1).collect()[0][0]
+    rows, keys = pruned_point_lookup(chunks, WEBTEXT_SCHEMA, "url", target)
+    got = rows.collect()
+    assert len(got) == 1 and got[0].url == target
+    total = chunks.select("part_id", "chunk_ord").distinct().count()
+    assert keys.count() < total  # actually pruned something

@@ -1,0 +1,52 @@
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from orc_rust_spark.sources.webtext import webtext_df
+from orc_rust_spark.streaming.encode_stream import encode_stream, stats_stream
+
+
+def test_streaming_encode_resumes_from_checkpoint(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    df1 = webtext_df(spark, 400, num_partitions=2, seed=1)
+    df1.write.mode("append").parquet(input_dir)
+
+    q = encode_stream(spark, input_dir, out_dir, trigger_once=True)
+    q.awaitTermination(120)
+    chunks = spark.read.parquet(os.path.join(out_dir, "chunks"))
+    rows1 = chunks.where(F.col("stream_kind") == "DATA").where(
+        F.col("column") == "url"
+    ).agg(F.sum("row_count")).collect()[0][0]
+    assert rows1 == 400
+    batches1 = {r[0] for r in chunks.select("stream_batch_id").distinct().collect()}
+
+    # new files arrive; restart drains only the delta (checkpoint resume)
+    webtext_df(spark, 200, num_partitions=1, seed=2).write.mode("append").parquet(input_dir)
+    q2 = encode_stream(spark, input_dir, out_dir, trigger_once=True)
+    q2.awaitTermination(120)
+    chunks = spark.read.parquet(os.path.join(out_dir, "chunks"))
+    rows2 = chunks.where(F.col("stream_kind") == "DATA").where(
+        F.col("column") == "url"
+    ).agg(F.sum("row_count")).collect()[0][0]
+    assert rows2 == 600  # 400 + 200, nothing double-encoded
+    batches2 = {r[0] for r in chunks.select("stream_batch_id").distinct().collect()}
+    assert len(batches2) > len(batches1)
+
+
+def test_stats_stream_windowed(spark, tmp_path):
+    input_dir = str(tmp_path / "in2")
+    webtext_df(spark, 300, num_partitions=2).write.mode("append").parquet(input_dir)
+    agg = stats_stream(spark, input_dir)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ingest_stats")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only watermark-closed windows; the plan must at
+    # least run and the table exist
+    assert spark.table("ingest_stats").columns == ["window", "host", "pages", "bytes"]
