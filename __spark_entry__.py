@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 def _roundtrip(spark: SparkSession, sf_dir: str, table: str, cols: list[str]) -> DataFrame:
     """Encode a testdata table into the chunk-table and decode it back."""
-    from orc_rust_spark.operators.decode import decode_table
+    from orc_rust_spark.operators.decode import decode_table_arrow as decode_table
     from orc_rust_spark.operators.encode import encode_table
     from orc_rust_spark.plans.pipeline import plan_codecs
 

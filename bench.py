@@ -37,7 +37,7 @@ def _webtext_parquet(spark, n_rows: int, partitions: int) -> str:
 def main() -> None:
     from pyspark.sql import functions as F
 
-    from orc_rust_spark.operators.decode import decode_table
+    from orc_rust_spark.operators.decode import decode_table_arrow as decode_table
     from orc_rust_spark.operators.encode import encode_table
     from orc_rust_spark.plans.pipeline import plan_codecs
     from orc_rust_spark.session import get_spark

@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""The production encode job — ships via spark-submit --py-files.
+
+    zip -r orc_rust_spark.zip orc_rust_spark
+    spark-submit --py-files orc_rust_spark.zip jobs/encode_job.py \
+        --input /data/webtext --output /data/encoded \
+        --snapshot-id snap-2026-08-16 --repartition-on url
+
+Re-running with the same --snapshot-id resumes from the per-partition
+manifest: completed partitions are skipped (checkpoint lineage carries
+snapshot id, partition range, codec plan, checksum).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="input parquet directory (input_hint schema)")
+    ap.add_argument("--generate", type=int, default=0,
+                    help="generate N synthetic webtext rows instead of --input")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--snapshot-id", default=None)
+    ap.add_argument("--repartition-on", default=None,
+                    help="column for salted xxhash64 repartition (e.g. url)")
+    ap.add_argument("--num-partitions", type=int, default=None)
+    ap.add_argument("--stripe-mb", type=int, default=64)
+    ap.add_argument("--verify", action="store_true",
+                    help="decode and verify byte-identity after encoding")
+    args = ap.parse_args()
+
+    from orc_rust_spark.plans.pipeline import encode_dataset, per_codec_metrics, verify_roundtrip
+    from orc_rust_spark.session import get_spark
+    from orc_rust_spark.sources.webtext import webtext_df
+
+    spark = get_spark("orc_rust_spark-encode-job")
+    if args.generate:
+        source = webtext_df(spark, args.generate)
+    elif args.input:
+        source = spark.read.parquet(args.input)
+    else:
+        ap.error("one of --input / --generate is required")
+        return 2
+
+    summary = encode_dataset(
+        spark,
+        source,
+        args.output,
+        snapshot_id=args.snapshot_id,
+        stripe_bytes=args.stripe_mb * 1024 * 1024,
+        repartition_on=args.repartition_on,
+        num_partitions=args.num_partitions,
+    )
+    if args.verify:
+        summary["verify"] = verify_roundtrip(spark, source, summary["chunks_dir"])
+    print(json.dumps(summary))
+    per_codec_metrics(spark, summary["chunks_dir"]).show(50, truncate=False)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..codecs.fsst import train_fsst
-from ..operators.decode import decode_table
+from ..operators.decode import decode_table_arrow as decode_table
 from ..operators.encode import STRIPE_BYTES, encode_table
 
 FSST_TRAIN_STRINGS = 512
