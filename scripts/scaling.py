@@ -23,7 +23,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "120000"))
 
 
-def measure(cpus: int, reps: int = 3) -> dict:
+def measure(cpus: int, reps: int = int(os.environ.get("SCALING_REPS", "3"))) -> dict:
     sys.path.insert(0, REPO)
     from pyspark.sql import functions as F
 

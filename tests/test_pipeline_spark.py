@@ -90,7 +90,9 @@ def test_compressed_size_beats_pyarrow_orc(spark, source, tmp_path):
 
     table = pa.Table.from_pandas(pdf, preserve_index=False)
     orc_path = str(tmp_path / "ref.orc")
-    pa_orc.write_table(table, orc_path)  # defaults: zlib
+    # explicit ZLIB: pyarrow's default is UNCOMPRESSED, which would make
+    # this gate trivial
+    pa_orc.write_table(table, orc_path, compression="ZLIB")
     ref_size = os.path.getsize(orc_path)
 
     chunks = encode_table(source, plan=plan_codecs(source))

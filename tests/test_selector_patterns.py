@@ -1,0 +1,87 @@
+"""FIXTURES.md §3: per-pattern selector outcomes (mirrors the reference's
+test.orc fixture columns and the expected encodings asserted at
+tests/basic/main.rs:200-233)."""
+
+import numpy as np
+import pyarrow as pa
+
+from orc_rust_spark.codecs.fsst import train_fsst
+from orc_rust_spark.codecs.rle_v2 import encode_rlev2
+from orc_rust_spark.codecs.selector import choose_string_codec, string_chunk_stats
+
+
+def _enc_kind(first_byte: int) -> str:
+    return ["short_repeat", "direct", "patched_base", "delta"][first_byte >> 6]
+
+
+def test_int_short_repeated():
+    # [5,5,None,5,5] -> nulls stripped -> [5,5,5,5] -> short repeat
+    enc = encode_rlev2(np.array([5, 5, 5, 5]), signed=True)
+    assert _enc_kind(enc[0]) == "short_repeat"
+
+
+def test_int_neg_short_repeated():
+    enc = encode_rlev2(np.array([-5, -5, -5, -5]), signed=True)
+    assert _enc_kind(enc[0]) == "short_repeat"
+    # zigzag: -5 -> 9
+    assert enc[1] == 9
+
+
+def test_int_delta_asc_and_desc():
+    enc = encode_rlev2(np.array([1, 2, 4, 5]), signed=True)
+    assert _enc_kind(enc[0]) == "delta"
+    enc = encode_rlev2(np.array([5, 4, 2, 1]), signed=True)
+    assert _enc_kind(enc[0]) == "delta"
+
+
+def test_int_direct():
+    enc = encode_rlev2(np.array([1, 6, 3, 2]), signed=True)
+    assert _enc_kind(enc[0]) == "direct"
+
+
+def test_bigint_mixed():
+    enc = encode_rlev2(np.array([5, -5, 1, 5, 5]), signed=True)
+    assert _enc_kind(enc[0]) == "direct"
+
+
+def test_patched_base_with_outliers():
+    rng = np.random.default_rng(0)
+    vals = rng.integers(2000, 2200, size=31)
+    vals[7] = -25080
+    vals[19] = 31080
+    enc = encode_rlev2(vals, signed=True)
+    assert _enc_kind(enc[0]) == "patched_base"
+    from orc_rust_spark.codecs.rle_v2 import decode_rlev2
+
+    assert decode_rlev2(enc, 31, signed=True).tolist() == vals.tolist()
+
+
+def test_utf8_length_stream_is_delta():
+    from orc_rust_spark.codecs.string_codec import encode_string_direct
+
+    _, lengths = encode_string_direct(["a", "bb", "ccc", "dddd", "eeeee"])
+    assert _enc_kind(lengths[0]) == "delta"
+
+
+def test_low_cardinality_strings_pick_dictionary():
+    vals = pa.array((["en", "de", "fr", "zh"] * 16)).cast(pa.large_binary())
+    stats = string_chunk_stats(vals)
+    codec, _ = choose_string_codec(vals, stats, None)
+    assert codec == "dict"
+
+
+def test_unique_short_strings_pick_fsst():
+    urls = [f"https://host-{i}.example.com/p/{i}".encode() for i in range(512)]
+    arr = pa.array(urls, type=pa.binary()).cast(pa.large_binary())
+    table = train_fsst(b"".join(urls[:100]))
+    codec, detail = choose_string_codec(arr, string_chunk_stats(arr), table)
+    assert codec == "fsst"
+    assert detail["fsst_sample_gain"] > 1.15
+
+
+def test_long_high_entropy_binary_picks_direct():
+    rng = np.random.default_rng(1)
+    vals = [rng.integers(0, 256, 2000, dtype=np.uint8).tobytes() for _ in range(64)]
+    arr = pa.array(vals, type=pa.binary()).cast(pa.large_binary())
+    codec, _ = choose_string_codec(arr, string_chunk_stats(arr), None)
+    assert codec == "direct"
