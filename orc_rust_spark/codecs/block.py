@@ -29,6 +29,10 @@ def _compress_one(codec: str, raw: bytes, level: int) -> bytes:
         return c.compress(raw) + c.flush()
     if codec == "zstd":
         return _zstd.ZstdCompressor(level=level).compress(raw)
+    if codec == "lzma":
+        import lzma
+
+        return lzma.compress(raw, preset=min(level, 6))
     raise ValueError(f"unknown block codec {codec!r}")
 
 
@@ -37,11 +41,18 @@ def _decompress_one(codec: str, comp: bytes) -> bytes:
         return zlib.decompress(comp, -15)
     if codec == "zstd":
         return _zstd.ZstdDecompressor().decompress(comp)
+    if codec == "lzma":
+        import lzma
+
+        return lzma.decompress(comp)
     raise ValueError(f"unknown block codec {codec!r}")
 
 
 def available_codecs() -> list[str]:
-    return ["none", "zlib"] + (["zstd"] if _HAS_ZSTD else [])
+    # the reference reads zlib/snappy/lzo/lz4/zstd (src/compression.rs:142-213);
+    # this container ships zlib + lzma (zstd when the module exists) — the
+    # block framing is codec-agnostic either way
+    return ["none", "zlib", "lzma"] + (["zstd"] if _HAS_ZSTD else [])
 
 
 def compress_stream(

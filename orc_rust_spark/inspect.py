@@ -1,8 +1,10 @@
 """CLI chunk-table inspector — the analog of the reference's `orc` binary
-subcommands info/stats/layout (src/bin/orc/main.rs:31-66).
+subcommands info/export/stats/layout (src/bin/orc/main.rs:31-66).
 
 Usage:
     python -m orc_rust_spark.inspect <chunks_dir> [info|stats|layout]
+    python -m orc_rust_spark.inspect <chunks_dir> export <csv|json> <out_dir>
+      (export needs <chunks_dir>/../schema.json, written by encode_dataset)
 """
 
 from __future__ import annotations
@@ -57,8 +59,37 @@ def main(argv: list[str]) -> int:
             .orderBy("column", "stream_kind")
             .show(100, truncate=40)
         )
+    elif cmd == "export":
+        if len(argv) < 5:
+            print("usage: inspect <chunks_dir> export <csv|json> <out_dir>")
+            return 2
+        fmt, out_dir = argv[3], argv[4]
+        import json as _json
+        import os
+
+        from pyspark.sql import types as T
+
+        from .operators.decode import decode_table_arrow
+
+        schema_path = os.path.join(os.path.dirname(chunks_dir.rstrip("/")), "schema.json")
+        with open(schema_path) as fh:
+            schema = T.StructType.fromJson(_json.load(fh))
+        decoded = decode_table_arrow(chunks, schema)
+        if fmt == "csv":
+            # CSV cannot carry binary columns; base64 them like the
+            # reference's export does for bytes
+            cols = [
+                F.base64(F.col(f.name)).alias(f.name)
+                if isinstance(f.dataType, T.BinaryType)
+                else F.col(f.name)
+                for f in schema.fields
+            ]
+            decoded.select(*cols).write.mode("overwrite").option("header", True).csv(out_dir)
+        else:
+            decoded.write.mode("overwrite").json(out_dir)
+        print(f"exported to {out_dir}")
     else:
-        print(f"unknown command {cmd!r}; use info|stats|layout")
+        print(f"unknown command {cmd!r}; use info|stats|layout|export")
         return 2
     spark.stop()
     return 0

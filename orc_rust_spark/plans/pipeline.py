@@ -82,6 +82,9 @@ def encode_dataset(
     chunks_dir = os.path.join(output_dir, "chunks")
     manifest_dir = os.path.join(output_dir, "manifest")
     snapshot_id = snapshot_id or uuid.uuid4().hex
+    # persist the logical schema (the footer `types` analog) for readers
+    with open(os.path.join(output_dir, "schema.json"), "w") as fh:
+        fh.write(source.schema.json())
 
     if repartition_on:
         source = salted_repartition(source, repartition_on, num_partitions)
