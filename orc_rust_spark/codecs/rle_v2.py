@@ -267,13 +267,62 @@ def _write_patched_base(
 # ---------------------------------------------------------------------------
 
 
-def decode_rlev2(buf, n: int, signed: bool = True) -> np.ndarray:
-    """Decode ``n`` int64 values from an ORC RLEv2 stream."""
+def _run_extent(buf, pos: int) -> tuple[int, int]:
+    """(value_count, next_pos) of the run at ``pos`` WITHOUT decoding values
+    — run-header arithmetic only (reference skip parity: E19,
+    rle_v2/mod.rs:148-175)."""
+    h = buf[pos]
+    enc = h >> 6
+    if enc == 0:  # short repeat
+        width_bytes = ((h >> 3) & 0x7) + 1
+        return (h & 0x7) + MIN_REPEAT, pos + 1 + width_bytes
+    if enc == 1:  # direct
+        width = decode_bit_width((h >> 1) & 0x1F)
+        n = (((h & 1) << 8) | buf[pos + 1]) + 1
+        return n, pos + 2 + (n * width + 7) // 8
+    if enc == 2:  # patched base
+        n = (((h & 1) << 8) | buf[pos + 1]) + 1
+        width = decode_bit_width((h >> 1) & 0x1F)
+        base_bytes = ((buf[pos + 2] >> 5) & 0x7) + 1
+        patch_width = decode_bit_width(buf[pos + 2] & 0x1F)
+        gap_width = ((buf[pos + 3] >> 5) & 0x7) + 1
+        pll = buf[pos + 3] & 0x1F
+        nxt = pos + 4 + base_bytes + (n * width + 7) // 8
+        nxt += (pll * (gap_width + patch_width) + 7) // 8
+        return n, nxt
+    # delta: must walk the two varints
+    width_code = (h >> 1) & 0x1F
+    width = 0 if width_code == 0 else decode_bit_width(width_code)
+    n = (((h & 1) << 8) | buf[pos + 1]) + 1
+    p = pos + 2
+    _, p = read_varint(buf, p)
+    if n > 1:
+        _, p = read_varint(buf, p)  # signed varint is varint-shaped
+        if width:
+            p += ((n - 2) * width + 7) // 8
+    return n, p
+
+
+def decode_rlev2(buf, n: int, signed: bool = True, skip: int = 0) -> np.ndarray:
+    """Decode ``n`` int64 values from an ORC RLEv2 stream, optionally
+    skipping ``skip`` values first (whole runs are skipped via header
+    arithmetic without materializing)."""
+    pos = 0
+    head_trim = 0
+    while skip > 0:
+        count, nxt = _run_extent(buf, pos)
+        if count <= skip:
+            skip -= count
+            pos = nxt
+        else:
+            head_trim = skip
+            skip = 0
     if n == 0:
         return np.zeros(0, dtype=np.int64)
     chunks: list[np.ndarray] = []
+    n_target = n
+    n = n + head_trim  # decode the partial first run fully, trim below
     got = 0
-    pos = 0
     while got < n:
         header = buf[pos]
         enc = header >> 6
@@ -289,7 +338,8 @@ def decode_rlev2(buf, n: int, signed: bool = True) -> np.ndarray:
         got += vals.size
     if got != n:
         raise ValueError(f"RLEv2 stream produced {got} values, expected {n}")
-    return np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+    out = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+    return out[head_trim : head_trim + n_target] if head_trim else out
 
 
 def _read_short_repeat(buf, pos: int, signed: bool) -> tuple[np.ndarray, int]:

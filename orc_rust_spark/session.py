@@ -47,6 +47,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # pre-touch the whole heap at JVM start: this sandbox's first-touch
+        # pages are pathologically slow, so lazy heap growth mid-job would
+        # serialize tasks (see BASELINE.md scaling notes)
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{os.environ.get('SPARK_DRIVER_MEMORY', '8g')} -XX:+AlwaysPreTouch "
+            + os.environ.get("SPARK_DRIVER_EXTRA_JAVA", ""),
+        )
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.python.worker.reuse", "true")
     )

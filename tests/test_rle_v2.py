@@ -188,3 +188,25 @@ def test_roundtrip_runny_small(values):
 @settings(max_examples=40, deadline=None)
 def test_roundtrip_biased_runs(values):
     _roundtrip(values, True)
+
+
+# --- skip (E19) ----------------------------------------------------------------
+
+@given(st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=1500),
+       st.integers(0, 1499))
+@settings(max_examples=40, deadline=None)
+def test_skip_then_decode_equals_slice(values, skip):
+    skip = min(skip, len(values) - 1)
+    v = np.array(values, dtype=np.int64)
+    enc = encode_rlev2(v, signed=True)
+    out = decode_rlev2(enc, v.size - skip, signed=True, skip=skip)
+    assert out.tolist() == values[skip:]
+
+
+def test_skip_across_run_kinds():
+    vals = [5] * 8 + list(range(100)) + [7, 1, 9, 2] * 20 + [2000, 2000000] + [3] * 600
+    v = np.array(vals, dtype=np.int64)
+    enc = encode_rlev2(v, signed=True)
+    for skip in (0, 3, 8, 50, 108, 150, 190, 300, 700):
+        out = decode_rlev2(enc, len(vals) - skip, signed=True, skip=skip)
+        assert out.tolist() == vals[skip:], skip
