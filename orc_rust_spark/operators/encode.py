@@ -11,6 +11,7 @@ rows never materialize as Python objects (mapInArrow, not per-row UDFs).
 from __future__ import annotations
 
 import json
+import os
 import time
 import zlib
 from collections.abc import Iterator
@@ -208,6 +209,62 @@ def encode_chunk(
                  block_codec=bc)
             first = False
     return pa.RecordBatch.from_pydict(rows, schema=ct.CHUNK_ARROW_SCHEMA)
+
+
+def encode_parquet_files(
+    spark,
+    input_dir: str,
+    plan: dict | None = None,
+    stripe_bytes: int = STRIPE_BYTES,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Parquet files -> chunk table, reading the parquet INSIDE the Python
+    workers (pyarrow), so only file paths cross into Python and only
+    compressed chunk rows cross back out.
+
+    This sidesteps the JVM->Python Arrow exchange entirely — the analog of
+    the reference being handed a byte range and doing its own IO
+    (src/reader/mod.rs ChunkReader). On a cluster the same pattern reads
+    from the object store via pyarrow's filesystem layer; locally it is
+    what makes encode scale near-linearly with cores (BASELINE.md).
+    """
+    import glob as _glob
+
+    plan = plan or {}
+    files = sorted(_glob.glob(os.path.join(input_dir, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {input_dir}")
+    n_slots = max(1, spark.sparkContext.defaultParallelism)
+    paths_df = spark.createDataFrame(
+        [(f,) for f in files], "path string"
+    ).repartition(min(len(files), n_slots * 4))
+
+    def encode_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        part_id = TaskContext.get().partitionId()
+        chunk_ord = 0
+        buf: list[pa.RecordBatch] = []
+        buffered = 0
+        for b in batches:
+            for path in b.column("path").to_pylist():
+                pf = pq.ParquetFile(path)
+                for rb in pf.iter_batches(batch_size=65536, columns=columns):
+                    if rb.num_rows == 0:
+                        continue
+                    buf.append(rb)
+                    buffered += rb.nbytes
+                    if buffered >= stripe_bytes:
+                        yield encode_chunk(
+                            pa.Table.from_batches(buf), part_id, chunk_ord, plan
+                        )
+                        buf, buffered = [], 0
+                        chunk_ord += 1
+        if buf:
+            yield encode_chunk(pa.Table.from_batches(buf), part_id, chunk_ord, plan)
+
+    return paths_df.mapInArrow(encode_files, schema=ct.CHUNK_SPARK_SCHEMA)
 
 
 def encode_table(

@@ -1,14 +1,21 @@
 #!/usr/bin/env python
-"""Scaling-efficiency evidence: the identical encode job at local[N] and
-local[4N] on identical input (the sandbox stand-in for N vs 4N executors —
+"""Scaling-efficiency evidence: the identical encode job at N and 4N cores
+on identical input splits (the sandbox stand-in for N vs 4N executors —
 BASELINE.md 'Scaling efficiency' row).
 
-Each measurement runs in a fresh subprocess (its own JVM): full warm-up
-pass, then `reps` timed encodes, min taken. Efficiency = (T_N / T_4N) / 4.
+Measures local[2], local[8], local[32] (each in its own subprocess/JVM,
+full warm-up + min of reps, noop sink so only the encode pipeline is
+timed) and reports efficiency for both 4x pairs:
+
+- 2 -> 8   : the CPU-bound regime (this single box's memory bandwidth is
+             not saturated) — the number comparable to adding executors
+             on a real cluster, where each node brings its own bandwidth
+- 8 -> 32  : additionally crosses this VM's aggregate memory-bandwidth
+             ceiling (~0.7 GB/s end-to-end measured); reported for honesty
 
 Usage:
-  python scripts/scaling.py            # orchestrate 8 vs 32 and print JSON
-  python scripts/scaling.py --measure 8  # one measurement (internal)
+  python scripts/scaling.py             # orchestrate and print JSON
+  python scripts/scaling.py --measure 8 # one measurement (internal)
 """
 
 from __future__ import annotations
@@ -20,7 +27,8 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "120000"))
+ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "2000000"))
+CORES = (2, 8, 32)
 
 
 def measure(cpus: int, reps: int = int(os.environ.get("SCALING_REPS", "3"))) -> dict:
@@ -33,10 +41,9 @@ def measure(cpus: int, reps: int = int(os.environ.get("SCALING_REPS", "3"))) -> 
 
     spark = get_spark(f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    # identical input splits at both cluster sizes (default split planning
+    # identical input splits at every cluster size (default split planning
     # depends on defaultParallelism, which would change the work units)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
-    # fixed partitioning so both cluster sizes do identical work
     path = os.path.join(
         os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/orc_rust_spark_bench"),
         f"webtext_{ROWS}_64.parquet",
@@ -47,14 +54,14 @@ def measure(cpus: int, reps: int = int(os.environ.get("SCALING_REPS", "3"))) -> 
         webtext_df(spark, ROWS, num_partitions=64).write.mode("overwrite").parquet(path)
     src = spark.read.parquet(path)
     plan = plan_codecs(src)
-    raw = None
-    encode_table(src, plan=plan).count()  # warm-up (page-fault amortization)
+    raw = int(
+        encode_table(src, plan=plan).agg(F.sum("raw_bytes")).collect()[0][0]
+    )  # warm-up (page-fault amortization) + raw-size capture
     times = []
     for _ in range(reps):
         t0 = time.time()
-        agg = encode_table(src, plan=plan).agg(F.sum("raw_bytes")).collect()
+        encode_table(src, plan=plan).write.format("noop").mode("overwrite").save()
         times.append(time.time() - t0)
-        raw = int(agg[0][0])
     spark.stop()
     best = min(times)
     return {
@@ -71,24 +78,21 @@ def main() -> None:
         print(json.dumps(measure(int(sys.argv[2]))))
         return
     results = {}
-    for cpus in (8, 32):
+    for cpus in CORES:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--measure", str(cpus)],
-            capture_output=True, text=True, cwd=REPO, timeout=1800,
+            capture_output=True, text=True, cwd=REPO, timeout=3000,
         )
         line = out.stdout.strip().splitlines()[-1]
         results[cpus] = json.loads(line)
-    t_n, t_4n = results[8]["wall_sec"], results[32]["wall_sec"]
-    eff = (t_n / t_4n) / 4
+    eff_2_8 = (results[2]["wall_sec"] / results[8]["wall_sec"]) / 4
+    eff_8_32 = (results[8]["wall_sec"] / results[32]["wall_sec"]) / 4
     summary = {
-        "n_cores": 8,
-        "four_n_cores": 32,
-        "t_n_sec": t_n,
-        "t_4n_sec": t_4n,
-        "gb_per_sec_n": results[8]["gb_per_sec"],
-        "gb_per_sec_4n": results[32]["gb_per_sec"],
-        "scaling_efficiency": round(eff, 3),
         "raw_gb": results[8]["raw_gb"],
+        "wall_sec": {c: results[c]["wall_sec"] for c in CORES},
+        "gb_per_sec": {c: results[c]["gb_per_sec"] for c in CORES},
+        "efficiency_n2_to_4n8": round(eff_2_8, 3),
+        "efficiency_n8_to_4n32": round(eff_8_32, 3),
         "detail": results,
     }
     print(json.dumps(summary))
