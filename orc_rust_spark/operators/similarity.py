@@ -53,14 +53,20 @@ def cosine_topk(
     query side is broadcast; locally either way works. Ties broken by
     neighbor id for determinism.
     """
+    # norms are computed ONCE per row before the join (bitwise-identical to
+    # recomputing per pair, ~3x less work inside the cross product)
     q = (queries or vectors).select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
-    c = vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    c = vectors.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
+        _norm(F.col(vec_col)).alias("nn"),
+    )
     if broadcast_right:
         c = F.broadcast(c)
     pairs = q.join(c, F.col("qid") != F.col("nid"))
-    cos = _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv")))
+    cos = _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
     scored = pairs.withColumn("cosine", F.round(cos, round_to) if round_to else cos)
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
     return (
@@ -127,13 +133,15 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Pairs (a < b) with cosine >= tau (embedding near-duplicate dedup)."""
-    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                       _norm(F.col(vec_col)).alias("na"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                       _norm(F.col(vec_col)).alias("nb"))
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn(
             "cosine",
-            F.round(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6),
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
         )
         .where(F.col("cosine") >= tau)
         .select("id_a", "id_b", "cosine")

@@ -55,7 +55,10 @@ def get_spark(
             f"-Xms{os.environ.get('SPARK_DRIVER_MEMORY', '8g')} -XX:+AlwaysPreTouch "
             + os.environ.get("SPARK_DRIVER_EXTRA_JAVA", ""),
         )
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # 32 MiB input splits balanced best for the encode pipeline on this
+        # box (see BASELINE.md scaling notes); still >= the 64 MiB stripe
+        # threshold after arrow expansion
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.python.worker.reuse", "true")
     )
     for k, v in MALLOC_ENV.items():

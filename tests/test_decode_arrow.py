@@ -41,3 +41,21 @@ def test_decode_arrow_testdata_tables(spark):
             ne = ~F.col(f"s.{c}").eqNullSafe(F.col(f"d.{c}"))
             cond = ne if cond is None else (cond | ne)
         assert joined.where(cond).count() == 0, table
+
+
+def test_encode_parquet_files_roundtrip(spark, tmp_path):
+    from orc_rust_spark.operators.encode import encode_parquet_files
+    from orc_rust_spark.plans.pipeline import plan_codecs
+
+    src_dir = str(tmp_path / "src")
+    df = webtext_df(spark, 1500, num_partitions=3)
+    df.write.mode("overwrite").parquet(src_dir)
+    src = spark.read.parquet(src_dir)
+    chunks = encode_parquet_files(spark, src_dir, plan=plan_codecs(src))
+    decoded = decode_table_arrow(chunks, WEBTEXT_SCHEMA)
+    joined = src.alias("s").join(decoded.alias("d"), on="url", how="full")
+    bad = joined.where(
+        ~F.col("s.text").eqNullSafe(F.col("d.text"))
+        | ~F.col("s.html").eqNullSafe(F.col("d.html"))
+    ).count()
+    assert bad == 0 and decoded.count() == 1500
