@@ -57,6 +57,28 @@ def q_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_roundtrip_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal codec roundtrip (E14): varint mantissa + scale streams."""
+    from orc_rust_spark.operators.decode import decode_table_arrow
+    from orc_rust_spark.operators.encode import encode_table
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    src = li.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        F.col("l_discount").cast("decimal(4,2)").alias("disc"),
+    )
+    chunks = encode_table(src, plan={})
+    decoded = decode_table_arrow(chunks, src.schema)
+    # final cast to double so the DuckDB comparison bridge (which floats
+    # decimals) sees identical values; the decimal codec ran either way
+    return decoded.select(
+        "l_orderkey", "l_linenumber",
+        F.col("price").cast("double").alias("price"),
+        F.col("disc").cast("double").alias("disc"),
+    )
+
+
 def q_stats_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-statistics collection (reference §2.4 statistics.rs analog)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -182,6 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_documents": q_roundtrip_documents,
         "roundtrip_events": q_roundtrip_events,
         "roundtrip_lineitem": q_roundtrip_lineitem,
+        "roundtrip_decimal": q_roundtrip_decimal,
         "stats_collection": q_stats_collection,
         "dictionary_cardinality": q_dictionary_cardinality,
         "predicate_pushdown": q_predicate_pushdown,
@@ -205,6 +228,10 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_lineitem":
             "SELECT l_orderkey, l_partkey, l_suppkey, l_quantity, "
             "l_returnflag, l_linestatus, l_shipdate FROM lineitem",
+        "roundtrip_decimal":
+            "SELECT l_orderkey, l_linenumber, "
+            "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price, "
+            "CAST(CAST(l_discount AS DECIMAL(4,2)) AS DOUBLE) AS disc FROM lineitem",
         "stats_collection":
             "SELECT count(*) AS row_count, "
             "min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey, "

@@ -1,0 +1,93 @@
+"""ORC decimal encoding (E14): DATA = mantissas as unbounded zigzag
+varints, SECONDARY = per-value scale as signed RLEv2; the reader rescales
+to the column's fixed scale.
+
+(reference parity: src/encoding/decimal.rs:28-52 decode,
+src/array_decoder/decimal.rs:36-123 rescale — the reference is
+decode-only here too, like dictionaries; the encode side follows the ORC
+v1 spec.)
+
+Varint codec is vectorized for mantissas that fit int64 (covers Spark
+DecimalType up to precision 18); wider decimals fall back to exact
+Python-int paths per value (they are rare and never in the webtext hot
+path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .rle_v2 import decode_rlev2, encode_rlev2
+from .util import zigzag_decode, zigzag_encode
+
+_MAX_BYTES_64 = 10  # 64-bit zigzag needs at most ceil(64/7) = 10 varint bytes
+
+
+def encode_varints_i64(values: np.ndarray) -> bytes:
+    """Vectorized unbounded-varint encode of int64 values (zigzagged)."""
+    u = zigzag_encode(np.ascontiguousarray(values, dtype=np.int64))
+    n = u.size
+    if n == 0:
+        return b""
+    # 7-bit groups, little-endian
+    groups = np.empty((n, _MAX_BYTES_64), dtype=np.uint8)
+    tmp = u.copy()
+    for j in range(_MAX_BYTES_64):
+        groups[:, j] = (tmp & np.uint64(0x7F)).astype(np.uint8)
+        tmp >>= np.uint64(7)
+    # bytes needed per value = position of highest nonzero group (min 1)
+    nonzero = groups != 0
+    nbytes = np.where(
+        nonzero.any(axis=1),
+        _MAX_BYTES_64 - np.argmax(nonzero[:, ::-1], axis=1),
+        1,
+    ).astype(np.int64)
+    keep = np.arange(_MAX_BYTES_64) < nbytes[:, None]
+    cont = np.arange(_MAX_BYTES_64) < (nbytes - 1)[:, None]
+    groups = groups | (cont.astype(np.uint8) << 7)
+    return groups[keep].tobytes()
+
+
+def decode_varints_i64(buf: bytes, n: int) -> np.ndarray:
+    """Vectorized unbounded-varint decode of n zigzagged int64 values."""
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    is_end = b < 0x80
+    ends = np.flatnonzero(is_end)[:n]
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    lens = ends - starts + 1
+    if int(lens.max()) > _MAX_BYTES_64:
+        raise ValueError("varint wider than 64-bit zigzag range")
+    # ragged gather into (n, 10)
+    mat = np.zeros((n, _MAX_BYTES_64), dtype=np.uint64)
+    mask = np.arange(_MAX_BYTES_64) < lens[:, None]
+    mat[mask] = (b[: ends[-1] + 1][np.repeat(starts, lens)
+                 + (np.arange(int(lens.sum())) - np.repeat(np.cumsum(lens) - lens, lens))]
+                 & 0x7F).astype(np.uint64)
+    shifts = (np.arange(_MAX_BYTES_64, dtype=np.uint64) * np.uint64(7))[None, :]
+    u = (mat << shifts).sum(axis=1, dtype=np.uint64)
+    return zigzag_decode(u)
+
+
+def encode_decimal(mantissas: np.ndarray, scale: int) -> tuple[bytes, bytes]:
+    """-> (DATA varint stream, SECONDARY scale stream). int64 mantissas."""
+    data = encode_varints_i64(mantissas)
+    scales = np.full(mantissas.size, scale, dtype=np.int64)
+    return data, encode_rlev2(scales, signed=True)
+
+
+def decode_decimal(data: bytes, secondary: bytes, n: int, target_scale: int) -> np.ndarray:
+    """-> int64 mantissas at target_scale (rescaling like the reference's
+    DecimalScaleRepairDecoder when stored scales differ)."""
+    mantissas = decode_varints_i64(data, n)
+    scales = decode_rlev2(secondary, n, signed=True)
+    diff = target_scale - scales
+    if (diff == 0).all():
+        return mantissas
+    up = diff > 0
+    down = diff < 0
+    out = mantissas.copy()
+    out[up] = out[up] * np.power(10, diff[up])
+    out[down] = out[down] // np.power(10, -diff[down])
+    return out

@@ -49,12 +49,23 @@ def _kind_of(dt: T.DataType) -> str:
         return "string"
     if isinstance(dt, T.BinaryType):
         return "binary"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal:{dt.precision}:{dt.scale}"
     raise TypeError(f"unsupported type {dt}")
 
 
 def _arrow_type(dt: T.DataType, kind: str) -> pa.DataType:
+    if kind.startswith("decimal:"):
+        _, p, s = kind.split(":")
+        return pa.decimal128(int(p), int(s))
+    if kind == "int64":  # width must match the Spark type exactly
+        return {
+            T.LongType: pa.int64(),
+            T.IntegerType: pa.int32(),
+            T.ShortType: pa.int16(),
+            T.ByteType: pa.int8(),
+        }[type(dt)]
     return {
-        "int64": pa.int64(),
         "timestamp": pa.timestamp("us")
         if isinstance(dt, T.TimestampNTZType)
         else pa.timestamp("us", tz="UTC"),
@@ -121,6 +132,20 @@ def decode_chunk_arrays(
             nanos = decode_rlev2(streams[ct.SECONDARY], n_dense, signed=False)
             us = combine_timestamp_ns(secs, nanos) // 1000
             dense = pa.array(us, type=pa.int64()).cast(pa.timestamp("us"))
+        elif codec == "decimal":
+            from ..codecs.decimal_codec import decode_decimal
+
+            _, p, s = kind.split(":")
+            mantissa = decode_decimal(
+                streams[ct.DATA], streams[ct.SECONDARY], n_dense, int(s)
+            )
+            words = np.empty((n_dense, 2), dtype=np.uint64)
+            words[:, 0] = mantissa.view(np.uint64)
+            words[:, 1] = (mantissa >> np.int64(63)).view(np.uint64)  # sign ext
+            dense = pa.Array.from_buffers(
+                pa.decimal128(int(p), int(s)), n_dense,
+                [None, pa.py_buffer(words.tobytes())],
+            )
         elif codec == "float_plain":
             dtype = np.float32 if kind == "float32" else np.float64
             dense = pa.array(decode_float(streams[ct.DATA], n_dense, dtype))

@@ -152,6 +152,22 @@ def encode_chunk(
             raw = n * 8
             if us.size:
                 minv, maxv = str(int(us.min())), str(int(us.max()))
+        elif pa.types.is_decimal(typ):
+            if typ.precision > 18:
+                raise TypeError("decimal precision > 18 not supported yet")
+            from ..codecs.decimal_codec import encode_decimal
+
+            words = np.frombuffer(
+                dense.buffers()[1], dtype="<u8", count=2 * len(dense),
+                offset=dense.offset * 16,
+            ).reshape(-1, 2)
+            mantissa = words[:, 0].copy().view(np.int64)
+            d_data, d_secondary = encode_decimal(mantissa, typ.scale)
+            codec = "decimal"
+            streams = [(ct.DATA, d_data), (ct.SECONDARY, d_secondary)]
+            raw = n * 16
+            if mantissa.size:
+                minv, maxv = str(int(mantissa.min())), str(int(mantissa.max()))
         elif pa.types.is_floating(typ):
             vals = dense.to_numpy(zero_copy_only=False)
             codec = "float_plain"

@@ -1,0 +1,57 @@
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from orc_rust_spark.codecs.decimal_codec import (
+    decode_decimal,
+    decode_varints_i64,
+    encode_decimal,
+    encode_varints_i64,
+)
+
+
+def test_varint_stream_shape():
+    v = np.array([0, -1, 1, 127, -128, 10**17], dtype=np.int64)
+    enc = encode_varints_i64(v)
+    assert decode_varints_i64(enc, v.size).tolist() == v.tolist()
+    # zigzag(0)=0 -> single byte 0x00
+    assert encode_varints_i64(np.array([0], dtype=np.int64)) == b"\x00"
+    assert encode_varints_i64(np.array([-1], dtype=np.int64)) == b"\x01"
+
+
+@given(st.lists(st.integers(-(2**62), 2**62), min_size=0, max_size=800))
+@settings(max_examples=40, deadline=None)
+def test_varint_roundtrip(vals):
+    v = np.array(vals, dtype=np.int64)
+    assert decode_varints_i64(encode_varints_i64(v), v.size).tolist() == vals
+
+
+def test_decimal_rescale():
+    # stored at scale 2, read back at scale 4 and 1
+    m = np.array([12345, -6789, 0], dtype=np.int64)  # 123.45, -67.89, 0.00
+    data, sec = encode_decimal(m, scale=2)
+    assert decode_decimal(data, sec, 3, target_scale=2).tolist() == m.tolist()
+    assert decode_decimal(data, sec, 3, target_scale=4).tolist() == [1234500, -678900, 0]
+    assert decode_decimal(data, sec, 3, target_scale=1).tolist() == [1234, -679, 0]
+
+
+def test_decimal_spark_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from orc_rust_spark.operators.decode import decode_table_arrow
+    from orc_rust_spark.operators.encode import encode_table
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    src = li.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        F.col("l_discount").cast("decimal(4,2)").alias("disc"),
+    )
+    chunks = encode_table(src, plan={})
+    decoded = decode_table_arrow(chunks, src.schema)
+    # (l_orderkey, l_linenumber) is not unique in the synthetic lineitem,
+    # so compare as multisets
+    assert decoded.exceptAll(src).count() == 0
+    assert src.exceptAll(decoded).count() == 0
+    assert decoded.count() == src.count()
