@@ -25,7 +25,9 @@ def _roundtrip(spark: SparkSession, sf_dir: str, table: str, cols: list[str]) ->
 
     src = spark.read.parquet(f"{sf_dir}/{table}.parquet").select(*cols)
     chunks = encode_table(src, plan=plan_codecs(src))
-    return decode_table(chunks, src.schema).select(*cols)
+    # encode output pipes straight into decode: chunk rows are already
+    # contiguous per task, so the roundtrip is one map-only stage
+    return decode_table(chunks, src.schema, co_locate=False).select(*cols)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -69,13 +71,80 @@ def q_roundtrip_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_discount").cast("decimal(4,2)").alias("disc"),
     )
     chunks = encode_table(src, plan={})
-    decoded = decode_table_arrow(chunks, src.schema)
+    decoded = decode_table_arrow(chunks, src.schema, co_locate=False)
     # final cast to double so the DuckDB comparison bridge (which floats
     # decimals) sees identical values; the decimal codec ran either way
     return decoded.select(
         "l_orderkey", "l_linenumber",
         F.col("price").cast("double").alias("price"),
         F.col("disc").cast("double").alias("disc"),
+    )
+
+
+def q_roundtrip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List<float> roundtrip through the LENGTH-stream offsets model
+    (reference src/array_decoder/list.rs:36-104 analog), verified
+    element-by-element via posexplode."""
+    from orc_rust_spark.operators.decode import decode_table_arrow
+    from orc_rust_spark.operators.encode import encode_table
+
+    src = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    chunks = encode_table(src, plan={})
+    decoded = decode_table_arrow(chunks, src.schema, co_locate=False)
+    return decoded.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", "pos", F.col("val").cast("double").alias("val"))
+
+
+def q_roundtrip_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct + map roundtrip (struct_decoder.rs / map.rs analog): pack
+    lineitem columns into struct/map, roundtrip, flatten back out."""
+    from orc_rust_spark.operators.decode import decode_table_arrow
+    from orc_rust_spark.operators.encode import encode_table
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    src = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.struct(
+            F.col("l_partkey").alias("pk"), F.col("l_returnflag").alias("rf")
+        ).alias("s"),
+        F.create_map(F.lit("qty"), F.col("l_quantity")).alias("m"),
+    )
+    chunks = encode_table(src, plan={})
+    decoded = decode_table_arrow(chunks, src.schema, co_locate=False)
+    return decoded.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("s.pk").alias("pk"),
+        F.col("s.rf").alias("rf"),
+        F.element_at(F.col("m"), "qty").alias("qty"),
+    )
+
+
+def q_roundtrip_date_decimal128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date32 + decimal128 mantissas wider than 64 bits (schema.rs:529,
+    src/array_decoder/decimal.rs:36-123 analogs). The wide decimal is
+    derived deterministically (orderkey * 10^20) so both engines agree."""
+    from orc_rust_spark.operators.decode import decode_table_arrow
+    from orc_rust_spark.operators.encode import encode_table
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    src = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("ship_d"),
+        F.concat(F.col("l_orderkey").cast("string"), F.lit("0" * 20))
+        .cast("decimal(38,0)").alias("wide"),
+    )
+    chunks = encode_table(src, plan={})
+    decoded = decode_table_arrow(chunks, src.schema, co_locate=False)
+    # dates and wide decimals cross the comparison bridge as strings (both
+    # engines render ISO dates / plain integer decimals identically)
+    return decoded.select(
+        "l_orderkey", "l_linenumber",
+        F.col("ship_d").cast("string").alias("ship_d_str"),
+        F.col("wide").cast("string").alias("wide_str"),
     )
 
 
@@ -120,6 +189,60 @@ def q_predicate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lineitem_chunks(spark: SparkSession, sf_dir: str):
+    """Encode lineitem into many small chunks (bloom on l_orderkey) so the
+    pruning operators have something to skip."""
+    from pyspark.sql import types as T
+
+    from orc_rust_spark.operators.encode import encode_table
+
+    src = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate"
+    )
+    plan = {"l_orderkey": {"bloom": True, "block_codec": "zlib"}}
+    chunks = encode_table(src, plan=plan, stripe_bytes=512 * 1024)
+    return src.schema, chunks
+
+
+def q_pruned_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-stats + bloom pruned point lookup (row_group_filter.rs +
+    bloom_filter.rs analog): typed min/max comparison over chunks of mixed
+    digit widths, then decode only surviving chunks."""
+    from orc_rust_spark.operators.pruned_read import pruned_point_lookup
+
+    schema, chunks = _lineitem_chunks(spark, sf_dir)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    target = li.agg(F.max("l_orderkey")).collect()[0][0]
+    rows, _keys = pruned_point_lookup(chunks, schema, "l_orderkey", int(target))
+    return rows
+
+
+def q_pruned_predicate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite predicate AST (And/Or/IsNotNull) pruned scan
+    (src/predicate.rs analog), aggregated so the result is small."""
+    from orc_rust_spark.operators.predicate import (
+        And,
+        Comparison,
+        IsNotNull,
+        Or,
+        pruned_scan,
+    )
+
+    schema, chunks = _lineitem_chunks(spark, sf_dir)
+    pred = And(
+        Or(Comparison("l_orderkey", "<", 1000), Comparison("l_orderkey", ">=", 14000)),
+        Comparison("l_returnflag", "=", "R"),
+        IsNotNull("l_quantity"),
+    )
+    rows, _keys = pruned_scan(chunks, schema, pred)
+    return rows.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+        F.min("l_orderkey").alias("min_ok"),
+        F.max("l_orderkey").alias("max_ok"),
+    )
+
+
 # --- training-data pipeline operators ---------------------------------------
 
 
@@ -160,13 +283,21 @@ def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n=1, threshold=0.5, max_df=100)
 
 
+#: LSH parameters shared between the Spark queries and their SQL oracles —
+#: md5-derived hashes are computed identically by DuckDB, so the oracle
+#: re-runs the ENTIRE approximate algorithm independently (signatures,
+#: banding, bucket caps) rather than settling for a rows-only check.
+MINHASH_PARAMS = dict(n=2, num_perm=32, bands=16, threshold=0.5, max_bucket=1000)
+ANN_LSH_PARAMS = dict(dim=64, k=5, n_planes=8, seed=7)
+
+
 def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orc_rust_spark.operators.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
         F.length(F.trim(F.col("text"))) > 0
     )
-    return minhash_lsh_pairs(docs, n=2, num_perm=32, bands=8, threshold=0.5)
+    return minhash_lsh_pairs(docs, hash_family="md5", **MINHASH_PARAMS)
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -175,7 +306,8 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
         F.length(F.trim(F.col("text"))) > 0
     )
-    return simhash_neardup_pairs(docs, max_hamming=8)
+    # 4x16-bit chunk blocking guarantees recall 1.0 only for hamming <= 3
+    return simhash_neardup_pairs(docs, max_hamming=3, hash_family="md5")
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -186,10 +318,12 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from orc_rust_spark.operators.similarity import lsh_topk
+    from orc_rust_spark.operators.similarity import lsh_topk, make_planes
 
+    p = ANN_LSH_PARAMS
     vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_topk(vecs, dim=64, k=5, n_planes=8)
+    planes = make_planes(p["dim"], p["n_planes"], p["seed"])
+    return lsh_topk(vecs, dim=p["dim"], k=p["k"], planes=planes)
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,9 +339,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_events": q_roundtrip_events,
         "roundtrip_lineitem": q_roundtrip_lineitem,
         "roundtrip_decimal": q_roundtrip_decimal,
+        "roundtrip_embeddings": q_roundtrip_embeddings,
+        "roundtrip_struct_map": q_roundtrip_struct_map,
+        "roundtrip_date_decimal128": q_roundtrip_date_decimal128,
         "stats_collection": q_stats_collection,
         "dictionary_cardinality": q_dictionary_cardinality,
         "predicate_pushdown": q_predicate_pushdown,
+        "pruned_point_lookup": q_pruned_point_lookup,
+        "pruned_predicate_scan": q_pruned_predicate_scan,
         "text_analysis": q_text_analysis,
         "dedup_exact": q_dedup_exact,
         "word_jaccard_pairs": q_word_jaccard_pairs,
@@ -217,6 +356,142 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_neardup": q_embedding_neardup,
     }
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB re-implementation of q_minhash_lsh_neardup (md5 family):
+    same shingles, same md5 minhash perms, same band buckets, same bucket
+    cap, same exact-Jaccard verify."""
+    p = MINHASH_PARAMS
+    num_perm, bands, thr, cap = p["num_perm"], p["bands"], p["threshold"], p["max_bucket"]
+    r = num_perm // bands
+    mins = ", ".join(
+        f"min(md5('{i}|' || s)) AS h{i}" for i in range(num_perm)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT id, {b} AS band, md5({expr}) AS bucket FROM sig".format(
+            b=b,
+            expr=" || '|' || ".join(f"h{b * r + j}" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    return rf"""
+        WITH t AS (
+          SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+        ), sh AS (
+          SELECT id, unnest(list_distinct(list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i+1]))) AS s
+          FROM t WHERE len(toks) >= 2
+        ), sig AS (
+          SELECT id, {mins} FROM sh GROUP BY id
+        ), bands_u AS (
+          {band_selects}
+        ), sized AS (
+          SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bn FROM bands_u
+        ), kept AS (
+          SELECT id, band, bucket FROM sized WHERE bn <= {cap}
+        ), cand AS (
+          SELECT DISTINCT x.id AS id_a, y.id AS id_b
+          FROM kept x JOIN kept y ON x.band = y.band AND x.bucket = y.bucket
+                                  AND x.id < y.id
+        ), lists AS (
+          SELECT id, list(DISTINCT s) AS sl FROM sh GROUP BY id
+        )
+        SELECT id_a, id_b,
+               round(len(list_intersect(a.sl, b.sl)) * 1.0 /
+                     (len(a.sl) + len(b.sl) - len(list_intersect(a.sl, b.sl))), 6)
+                 AS jaccard
+        FROM cand JOIN lists a ON cand.id_a = a.id JOIN lists b ON cand.id_b = b.id
+        WHERE round(len(list_intersect(a.sl, b.sl)) * 1.0 /
+                    (len(a.sl) + len(b.sl) - len(list_intersect(a.sl, b.sl))), 6)
+              >= {thr}
+    """
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """DuckDB re-implementation of q_simhash_neardup (md5 family): same
+    md5-hex-digit bit derivation, bit-majority, 4x16-bit chunks; the
+    oracle joins ALL pairs (no blocking), so it also proves the Spark
+    side's chunk blocking loses no pairs (pigeonhole recall = 1.0)."""
+    digits = ", ".join(
+        f"strpos('0123456789abcdef', substr(h, {k + 1}, 1)) - 1 AS d{k}"
+        for k in range(16)
+    )
+    bits = ", ".join(
+        f"sum(CASE WHEN (d{j // 4} >> {j % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(64)
+    )
+    chunks = ", ".join(
+        "(" + " + ".join(
+            f"CASE WHEN b{16 * q + j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16)
+        ) + f") AS c{q}"
+        for q in range(4)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(CAST(a.c{q} AS BIGINT), CAST(b.c{q} AS BIGINT)))" for q in range(4)
+    )
+    return rf"""
+        WITH tok AS (
+          SELECT doc_id AS id,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+          FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+        ), tok2 AS (
+          SELECT id, md5(t) AS h FROM tok WHERE length(t) > 0
+        ), dig AS (
+          SELECT id, {digits} FROM tok2
+        ), bits AS (
+          SELECT id, {bits} FROM dig GROUP BY id
+        ), ch AS (
+          SELECT id, {chunks} FROM bits
+        )
+        SELECT a.id AS id_a, b.id AS id_b, CAST({ham} AS INT) AS hamming
+        FROM ch a JOIN ch b ON a.id < b.id
+        WHERE {ham} <= {max_hamming}
+    """
+
+
+def _ann_lsh_oracle_sql() -> str:
+    """DuckDB re-implementation of q_ann_lsh_topk with the IDENTICAL
+    hyperplane constants (make_planes is deterministic; the literals are
+    inlined here so both engines compute the same sign-bit buckets)."""
+    from orc_rust_spark.operators.similarity import make_planes
+
+    p = ANN_LSH_PARAMS
+    planes = make_planes(p["dim"], p["n_planes"], p["seed"])
+
+    def dot(vec_expr: str, plane: list[float]) -> str:
+        lits = ", ".join(repr(x) for x in plane)
+        return (
+            f"list_sum(list_transform(list_zip({vec_expr}, [{lits}]), "
+            "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot('embedding', plane)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    cos = (
+        "list_sum(list_transform(list_zip(q.embedding, c.embedding), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / "
+        "(sqrt(list_sum(list_transform(q.embedding, "
+        "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(c.embedding, "
+        "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))"
+    )
+    return f"""
+        WITH b AS (
+          SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+        )
+        SELECT vec_id, rank, neighbor_id, cosine FROM (
+          SELECT q.vec_id, c.vec_id AS neighbor_id, round({cos}, 6) AS cosine,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round({cos}, 6) DESC, c.vec_id ASC
+                 ) AS rank
+          FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+        ) WHERE rank <= {ANN_LSH_PARAMS["k"]}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -232,10 +507,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, "
             "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price, "
             "CAST(CAST(l_discount AS DECIMAL(4,2)) AS DOUBLE) AS disc FROM lineitem",
+        "roundtrip_embeddings":
+            "SELECT vec_id, CAST(i AS INT) AS pos, "
+            "CAST(embedding[i+1] AS DOUBLE) AS val "
+            "FROM embeddings, range(8192) t(i) WHERE i < len(embedding)",
+        "roundtrip_struct_map":
+            "SELECT l_orderkey, l_linenumber, l_partkey AS pk, "
+            "l_returnflag AS rf, l_quantity AS qty FROM lineitem",
+        "roundtrip_date_decimal128":
+            "SELECT l_orderkey, l_linenumber, "
+            "CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_d_str, "
+            "CAST(CAST(concat(CAST(l_orderkey AS VARCHAR), "
+            "'00000000000000000000') AS DECIMAL(38,0)) AS VARCHAR) AS wide_str "
+            "FROM lineitem",
         "stats_collection":
             "SELECT count(*) AS row_count, "
             "min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey, "
-            "sum(CAST(l_quantity AS BIGINT)) AS sum_quantity, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_quantity, "
             "min(l_shipdate) AS min_shipdate, max(l_shipdate) AS max_shipdate, "
             "min(l_returnflag) AS min_returnflag, max(l_returnflag) AS max_returnflag "
             "FROM lineitem",
@@ -245,9 +533,19 @@ def oracle_sql() -> dict[str, str]:
             "count(DISTINCT l_suppkey) AS suppkey_card FROM lineitem",
         "predicate_pushdown":
             "SELECT l_linestatus, count(*) AS cnt, "
-            "sum(CAST(l_quantity AS BIGINT)) AS qty FROM lineitem "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty FROM lineitem "
             "WHERE l_quantity < 5 AND l_returnflag = 'R' "
             "GROUP BY l_linestatus ORDER BY l_linestatus",
+        "pruned_point_lookup":
+            "SELECT l_orderkey, l_partkey, l_quantity, l_returnflag, l_shipdate "
+            "FROM lineitem "
+            "WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)",
+        "pruned_predicate_scan":
+            "SELECT CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, "
+            "min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok FROM lineitem "
+            "WHERE (l_orderkey < 1000 OR l_orderkey >= 14000) "
+            "AND l_returnflag = 'R' AND l_quantity IS NOT NULL",
         "text_analysis": r"""
             WITH t AS (
               SELECT doc_id, text, coalesce(text, '') AS ct,
@@ -306,10 +604,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.id, b.id, a.card, b.card
             HAVING round(count(*) * 1.0 / (a.card + b.card - count(*)), 6) >= 0.5
         """,
-        # minhash_lsh_neardup / simhash_neardup / ann_lsh_topk intentionally
-        # have NO SQL oracle: they are hash-seeded approximate operators
-        # (xxhash64 / random hyperplanes are not reproducible in DuckDB);
-        # the driver records the weaker rows-only check for them.
+        # The approximate operators run their md5-seeded variants, which
+        # DuckDB can recompute EXACTLY — each oracle below independently
+        # re-implements the full algorithm (signatures/bits/buckets) in SQL.
+        "minhash_lsh_neardup": _minhash_oracle_sql(),
+        "simhash_neardup": _simhash_oracle_sql(),
+        "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "ann_cosine_topk": """
             SELECT vec_id, rank, neighbor_id, cosine FROM (
               SELECT a.vec_id, b.vec_id AS neighbor_id,

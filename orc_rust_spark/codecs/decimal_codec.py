@@ -70,6 +70,55 @@ def decode_varints_i64(buf: bytes, n: int) -> np.ndarray:
     return zigzag_decode(u)
 
 
+def encode_varints_exact(values: list[int]) -> bytes:
+    """Exact unbounded zigzag varints over Python ints — the slow path for
+    decimal128 mantissas wider than 64 bits (reference
+    src/encoding/decimal.rs:28-52 reads unbounded varints into i128)."""
+    out = bytearray()
+    for v in values:
+        u = (v << 1) ^ (v >> 127)  # arithmetic shift: sign-spread zigzag
+        while True:
+            b7 = u & 0x7F
+            u >>= 7
+            if u:
+                out.append(b7 | 0x80)
+            else:
+                out.append(b7)
+                break
+    return bytes(out)
+
+
+def decode_varints_exact(buf, n: int) -> list[int]:
+    """Exact decode of n unbounded zigzag varints -> Python ints."""
+    vals: list[int] = []
+    u = 0
+    shift = 0
+    for byte in bytes(buf):
+        u |= (byte & 0x7F) << shift
+        if byte & 0x80:
+            shift += 7
+        else:
+            vals.append((u >> 1) ^ -(u & 1))
+            if len(vals) == n:
+                break
+            u = 0
+            shift = 0
+    if len(vals) != n:
+        raise ValueError(f"varint stream ended early: {len(vals)}/{n}")
+    return vals
+
+
+def i128_words(values: list[int]) -> np.ndarray:
+    """Python ints -> (n, 2) little-endian two's-complement u64 word pairs
+    (the pyarrow decimal128 buffer layout)."""
+    words = np.empty((len(values), 2), dtype=np.uint64)
+    mask = (1 << 64) - 1
+    for i, v in enumerate(values):
+        words[i, 0] = v & mask
+        words[i, 1] = (v >> 64) & mask
+    return words
+
+
 def encode_decimal(mantissas: np.ndarray, scale: int) -> tuple[bytes, bytes]:
     """-> (DATA varint stream, SECONDARY scale stream). int64 mantissas."""
     data = encode_varints_i64(mantissas)

@@ -11,7 +11,11 @@ stored with seconds + 1 so the reader's adjustment (seconds - 1) round-trips.
 src/array_decoder/timestamp.rs:51 for the epoch constant)
 
 Spark timestamps are microsecond-precision int64; we encode
-(seconds, nanos = us * 1000) losslessly.
+(seconds, nanos = us * 1000). One known non-round-trippable range is
+inherited from the ORC format itself (ORC-763): timestamps in
+(-1s, 0) of the UNIX epoch with sub-second parts decode +1s off — format
+parity with the reference decoder, documented by
+test_orc763_boundary_asymmetry_documented.
 """
 
 from __future__ import annotations

@@ -39,6 +39,8 @@ def _kind_of(dt: T.DataType) -> str:
         return "int64"
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return "timestamp"
+    if isinstance(dt, T.DateType):
+        return "date"
     if isinstance(dt, T.DoubleType):
         return "float64"
     if isinstance(dt, T.FloatType):
@@ -51,30 +53,59 @@ def _kind_of(dt: T.DataType) -> str:
         return "binary"
     if isinstance(dt, T.DecimalType):
         return f"decimal:{dt.precision}:{dt.scale}"
+    if isinstance(dt, (T.ArrayType, T.StructType, T.MapType)):
+        return "nested"
     raise TypeError(f"unsupported type {dt}")
 
 
-def _arrow_type(dt: T.DataType, kind: str) -> pa.DataType:
-    if kind.startswith("decimal:"):
-        _, p, s = kind.split(":")
-        return pa.decimal128(int(p), int(s))
-    if kind == "int64":  # width must match the Spark type exactly
-        return {
-            T.LongType: pa.int64(),
-            T.IntegerType: pa.int32(),
-            T.ShortType: pa.int16(),
-            T.ByteType: pa.int8(),
-        }[type(dt)]
+_KIND_TO_TYPE = {
+    "int64": T.LongType(),
+    "timestamp": T.TimestampNTZType(),
+    "date": T.DateType(),
+    "float64": T.DoubleType(),
+    "float32": T.FloatType(),
+    "bool": T.BooleanType(),
+    "string": T.StringType(),
+    "binary": T.BinaryType(),
+}
+
+
+def _as_datatype(kind_or_dt) -> T.DataType:
+    """Accept legacy string kinds or Spark DataTypes."""
+    if isinstance(kind_or_dt, T.DataType):
+        return kind_or_dt
+    if kind_or_dt.startswith("decimal:"):
+        _, p, s = kind_or_dt.split(":")
+        return T.DecimalType(int(p), int(s))
+    return _KIND_TO_TYPE[kind_or_dt]
+
+
+def _arrow_of(dt: T.DataType) -> pa.DataType:
+    """Arrow type matching Spark's Arrow conversion for this Spark type."""
+    if isinstance(dt, T.ArrayType):
+        return pa.list_(_arrow_of(dt.elementType))
+    if isinstance(dt, T.StructType):
+        return pa.struct([pa.field(f.name, _arrow_of(f.dataType)) for f in dt.fields])
+    if isinstance(dt, T.MapType):
+        return pa.map_(_arrow_of(dt.keyType), _arrow_of(dt.valueType))
+    if isinstance(dt, T.DecimalType):
+        return pa.decimal128(dt.precision, dt.scale)
+    if isinstance(dt, T.TimestampNTZType):
+        return pa.timestamp("us")
+    if isinstance(dt, T.TimestampType):
+        return pa.timestamp("us", tz="UTC")
     return {
-        "timestamp": pa.timestamp("us")
-        if isinstance(dt, T.TimestampNTZType)
-        else pa.timestamp("us", tz="UTC"),
-        "float64": pa.float64(),
-        "float32": pa.float32(),
-        "bool": pa.bool_(),
-        "string": pa.string(),
-        "binary": pa.binary(),
-    }[kind]
+        T.LongType: pa.int64(),
+        T.IntegerType: pa.int32(),
+        T.ShortType: pa.int16(),
+        T.ByteType: pa.int8(),
+        T.DateType: pa.date32(),
+        T.DoubleType: pa.float64(),
+        T.FloatType: pa.float32(),
+        T.BooleanType: pa.bool_(),
+        T.StringType: pa.string(),
+        T.BinaryType: pa.binary(),
+    }[type(dt)]
 
 
 def _split_binary(flat: bytes, lengths: np.ndarray) -> pa.LargeBinaryArray:
@@ -96,34 +127,73 @@ def _respace(dense: pa.Array, not_null: np.ndarray) -> pa.Array:
 
 
 def decode_chunk_arrays(
-    stream_rows: list[dict], col_kinds: dict[str, str]
+    stream_rows: list[dict], col_kinds: dict[str, str | T.DataType]
 ) -> dict[str, pa.Array]:
     """Decode one chunk's stream rows -> {column: pa.Array} (dense schema).
 
     ``stream_rows``: dicts with column/stream_kind/codec/block_codec/data/
-    row_count/null_count/dict_size.
+    row_count/null_count/dict_size. ``col_kinds`` values are legacy string
+    kinds (scalar columns) or Spark DataTypes (required for nested types).
+    Nested columns recurse through child stream columns named
+    ``parent.item`` / ``parent.<field>`` / ``parent.key|value`` — the
+    offsets trick of the reference's list/struct/map decoders
+    (src/array_decoder/{list.rs:36-104,struct_decoder.rs:33-95,map.rs:35-123}).
     """
-    n = int(stream_rows[0]["row_count"])
     by_col: dict[str, dict[str, dict]] = {}
     for r in stream_rows:
         by_col.setdefault(r["column"], {})[r["stream_kind"]] = r
-    out: dict[str, pa.Array] = {}
-    for name, kind in col_kinds.items():
-        metas = by_col[name]
-        streams = {
-            k: blockc.decompress_stream(bytes(r["data"]), r["block_codec"])
-            for k, r in metas.items()
-        }
-        data_meta = metas[ct.DATA]
-        codec = data_meta["codec"]
-        null_count = int(data_meta["null_count"])
-        n_dense = n - null_count
-        not_null = (
-            decode_boolean_rle(streams[ct.PRESENT], n)
-            if ct.PRESENT in streams
-            else None
-        )
+    return {
+        name: _decode_column(name, _as_datatype(kind), by_col)
+        for name, kind in col_kinds.items()
+    }
 
+
+def _int32_offsets(lengths: np.ndarray) -> pa.Array:
+    offsets = np.zeros(lengths.size + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+    return pa.array(offsets, type=pa.int32())
+
+
+def _decode_column(name: str, dt: T.DataType, by_col: dict) -> pa.Array:
+    metas = by_col[name]
+    streams = {
+        # data may be bytes (pandas path) or a zero-copy memoryview
+        # (arrow path); decompress_stream accepts any bytes-like
+        k: blockc.decompress_stream(r["data"], r["block_codec"])
+        for k, r in metas.items()
+    }
+    any_meta = next(iter(metas.values()))
+    n = int(any_meta["row_count"])
+    null_count = int(any_meta["null_count"])
+    n_dense = n - null_count
+    not_null = (
+        decode_boolean_rle(streams[ct.PRESENT], n) if ct.PRESENT in streams else None
+    )
+
+    if isinstance(dt, T.ArrayType):
+        lengths = decode_rlev2(streams[ct.LENGTH], n_dense, signed=False)
+        child = _decode_column(f"{name}.item", dt.elementType, by_col)
+        dense = pa.ListArray.from_arrays(_int32_offsets(lengths), child)
+        return _respace(dense, not_null) if not_null is not None else dense
+    if isinstance(dt, T.StructType):
+        children = [
+            _decode_column(f"{name}.{f.name}", f.dataType, by_col) for f in dt.fields
+        ]
+        dense = pa.StructArray.from_arrays(children, [f.name for f in dt.fields])
+        return _respace(dense, not_null) if not_null is not None else dense
+    if isinstance(dt, T.MapType):
+        lengths = decode_rlev2(streams[ct.LENGTH], n_dense, signed=False)
+        keys = _decode_column(f"{name}.key", dt.keyType, by_col)
+        items = _decode_column(f"{name}.value", dt.valueType, by_col)
+        dense = pa.MapArray.from_arrays(_int32_offsets(lengths), keys, items)
+        return _respace(dense, not_null) if not_null is not None else dense
+
+    kind = _kind_of(dt)
+    if isinstance(dt, T.DecimalType):
+        kind = f"decimal:{dt.precision}:{dt.scale}"
+    data_meta = metas[ct.DATA]
+    codec = data_meta["codec"]
+    if True:
         if codec == "rle_v2":
             vals = decode_rlev2(streams[ct.DATA], n_dense, signed=True)
             dense = pa.array(vals, type=pa.int64())
@@ -133,19 +203,35 @@ def decode_chunk_arrays(
             us = combine_timestamp_ns(secs, nanos) // 1000
             dense = pa.array(us, type=pa.int64()).cast(pa.timestamp("us"))
         elif codec == "decimal":
-            from ..codecs.decimal_codec import decode_decimal
+            from ..codecs.decimal_codec import (
+                decode_decimal,
+                decode_varints_exact,
+                i128_words,
+            )
 
             _, p, s = kind.split(":")
-            mantissa = decode_decimal(
-                streams[ct.DATA], streams[ct.SECONDARY], n_dense, int(s)
-            )
-            words = np.empty((n_dense, 2), dtype=np.uint64)
-            words[:, 0] = mantissa.view(np.uint64)
-            words[:, 1] = (mantissa >> np.int64(63)).view(np.uint64)  # sign ext
+            try:
+                mantissa = decode_decimal(
+                    streams[ct.DATA], streams[ct.SECONDARY], n_dense, int(s)
+                )
+                words = np.empty((n_dense, 2), dtype=np.uint64)
+                words[:, 0] = mantissa.view(np.uint64)
+                words[:, 1] = (mantissa >> np.int64(63)).view(np.uint64)  # sign ext
+            except ValueError:
+                # mantissas wider than 64-bit zigzag: exact i128 slow path
+                words = i128_words(decode_varints_exact(streams[ct.DATA], n_dense))
             dense = pa.Array.from_buffers(
                 pa.decimal128(int(p), int(s)), n_dense,
                 [None, pa.py_buffer(words.tobytes())],
             )
+        elif codec == "date":
+            days = decode_rlev2(streams[ct.DATA], n_dense, signed=True)
+            dense = pa.array(days.astype(np.int32), type=pa.int32()).cast(pa.date32())
+        elif codec == "byte_rle":
+            from ..codecs.byte_rle import decode_byte_rle
+
+            u8 = decode_byte_rle(streams[ct.DATA], n_dense)
+            dense = pa.array(u8.view(np.int8), type=pa.int8())
         elif codec == "float_plain":
             dtype = np.float32 if kind == "float32" else np.float64
             dense = pa.array(decode_float(streams[ct.DATA], n_dense, dtype))
@@ -174,8 +260,7 @@ def decode_chunk_arrays(
         else:
             raise ValueError(f"unknown codec {codec!r} for column {name!r}")
 
-        out[name] = _respace(dense, not_null) if not_null is not None else dense
-    return out
+    return _respace(dense, not_null) if not_null is not None else dense
 
 
 def _rows_to_stream_dicts(pdf: pd.DataFrame) -> list[dict]:
@@ -185,14 +270,14 @@ def _rows_to_stream_dicts(pdf: pd.DataFrame) -> list[dict]:
     ].to_dict("records")
 
 
-def decode_chunk_pdf(pdf: pd.DataFrame, col_kinds: dict[str, str]) -> pd.DataFrame:
+def decode_chunk_pdf(pdf: pd.DataFrame, col_kinds: dict) -> pd.DataFrame:
     arrays = decode_chunk_arrays(_rows_to_stream_dicts(pdf), col_kinds)
     cols = {}
     for name, arr in arrays.items():
-        kind = col_kinds[name]
+        kind = _kind_of(_as_datatype(col_kinds[name]))
         if kind == "timestamp":
             cols[name] = arr.cast(pa.timestamp("us")).to_pandas()
-        elif kind in ("string", "binary", "bool"):
+        elif kind in ("string", "binary", "bool", "nested"):
             cols[name] = arr.to_pandas()  # object dtype, None for nulls
         else:
             s = arr.to_pandas()
@@ -205,7 +290,7 @@ def decode_chunk_pdf(pdf: pd.DataFrame, col_kinds: dict[str, str]) -> pd.DataFra
 def decode_table(chunks: DataFrame, schema: T.StructType) -> DataFrame:
     """Chunk-table DataFrame -> DataFrame with the original schema
     (grouped applyInPandas strategy)."""
-    col_kinds = {f.name: _kind_of(f.dataType) for f in schema.fields}
+    col_kinds = {f.name: f.dataType for f in schema.fields}
 
     def decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         return decode_chunk_pdf(pdf, col_kinds)
@@ -213,21 +298,52 @@ def decode_table(chunks: DataFrame, schema: T.StructType) -> DataFrame:
     return chunks.groupBy("part_id", "chunk_ord").applyInPandas(decode_group, schema=schema)
 
 
-def decode_table_arrow(chunks: DataFrame, schema: T.StructType) -> DataFrame:
-    """Fast path: co-locate each chunk's stream rows, decode to Arrow
-    RecordBatches directly — decoded strings never become Python objects."""
-    col_kinds = {f.name: _kind_of(f.dataType) for f in schema.fields}
+def _binary_views(arr: pa.Array) -> list[memoryview]:
+    """Zero-copy memoryview slices of a (large_)binary column's values."""
+    t = arr.type
+    if pa.types.is_large_binary(t) or pa.types.is_large_string(t):
+        offs = np.frombuffer(arr.buffers()[1], np.int64, len(arr) + 1, arr.offset * 8)
+    else:
+        offs = np.frombuffer(arr.buffers()[1], np.int32, len(arr) + 1, arr.offset * 4)
+    mv = memoryview(arr.buffers()[2])
+    return [mv[offs[i]: offs[i + 1]] for i in range(len(arr))]
+
+
+def decode_table_arrow(
+    chunks: DataFrame, schema: T.StructType, co_locate: bool = True
+) -> DataFrame:
+    """Fast path: decode chunk rows to Arrow RecordBatches directly.
+
+    Stream metadata is read column-wise off the Arrow batch (no per-row
+    Python dicts) and the encoded `data` bytes are zero-copy memoryview
+    slices of the batch buffer — the analog of the reference handing
+    Bytes slices to its decoders (src/stripe.rs:312-336).
+
+    ``co_locate=False`` skips the repartition shuffle: valid whenever each
+    chunk's stream rows are already contiguous within a partition, which
+    is true for encode_table output piped directly in (each encode task
+    emits one RecordBatch per chunk) — the whole roundtrip then runs as a
+    single map-only stage with no exchange.
+    """
+    col_kinds = {f.name: f.dataType for f in schema.fields}
     arrow_schema = pa.schema(
-        [pa.field(f.name, _arrow_type(f.dataType, col_kinds[f.name])) for f in schema.fields]
+        [pa.field(f.name, _arrow_of(f.dataType)) for f in schema.fields]
     )
     names = [f.name for f in schema.fields]
+    META_COLS = ("column", "stream_kind", "codec", "block_codec")
 
     def decode_iter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # IMPORTANT lifetime rule: PySpark's Arrow stream reader may reuse
+        # a batch's memory once iteration advances, so zero-copy views are
+        # only valid while the owning batch is current. Complete chunk
+        # groups are therefore decoded immediately (zero-copy); only the
+        # tail group that may continue into the next batch is COPIED into
+        # `pending`.
         pending: list[dict] = []
-        key = None
+        pending_key = None
 
-        def flush():
-            arrays = decode_chunk_arrays(pending, col_kinds)
+        def flush(rows):
+            arrays = decode_chunk_arrays(rows, col_kinds)
             cols = []
             for name in names:
                 arr = arrays[name]
@@ -238,18 +354,54 @@ def decode_table_arrow(chunks: DataFrame, schema: T.StructType) -> DataFrame:
             return pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
 
         for b in batches:
-            tbl = b.to_pylist()
-            for row in tbl:
-                k = (row["part_id"], row["chunk_ord"])
-                if key is not None and k != key and pending:
-                    yield flush()
-                    pending = []
-                key = k
-                pending.append(row)
-        if pending:
-            yield flush()
+            m = b.num_rows
+            if m == 0:
+                continue
+            part = b.column("part_id").to_numpy()
+            cord = b.column("chunk_ord").to_numpy()
+            row_count = b.column("row_count").to_numpy()
+            null_count = b.column("null_count").to_numpy()
+            dict_size = b.column("dict_size").to_numpy()
+            meta = {c: b.column(c).to_pylist() for c in META_COLS}
+            data = _binary_views(b.column("data"))
+            keys = part.astype(np.int64) * (1 << 32) + cord.astype(np.int64)
 
-    co_located = chunks.repartition(
-        F.col("part_id"), F.col("chunk_ord")
-    ).sortWithinPartitions("part_id", "chunk_ord")
-    return co_located.mapInArrow(decode_iter, schema=schema)
+            def row(i):
+                return {
+                    "column": meta["column"][i],
+                    "stream_kind": meta["stream_kind"][i],
+                    "codec": meta["codec"][i],
+                    "block_codec": meta["block_codec"][i],
+                    # bytes() copies the COMPRESSED stream out of the
+                    # batch's reusable memory — mandatory: PySpark's Arrow
+                    # serializer aliases/reuses batch buffers, so views
+                    # must not outlive the yield (measured: corruption
+                    # otherwise). One memcpy per stream, ~raw/4.5 bytes.
+                    "data": bytes(data[i]),
+                    "row_count": int(row_count[i]),
+                    "null_count": int(null_count[i]),
+                    "dict_size": int(dict_size[i]),
+                }
+
+            bounds = np.flatnonzero(np.diff(keys)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [m]))
+            for s, e in zip(starts, ends):
+                k = int(keys[s])
+                if pending and k != pending_key:
+                    yield flush(pending)
+                    pending = []
+                pending.extend(row(i) for i in range(s, e))
+                pending_key = k
+                if e != m:  # group complete within this batch
+                    yield flush(pending)
+                    pending = []
+        if pending:
+            yield flush(pending)
+
+    src = chunks
+    if co_locate:
+        src = chunks.repartition(
+            F.col("part_id"), F.col("chunk_ord")
+        ).sortWithinPartitions("part_id", "chunk_ord")
+    return src.mapInArrow(decode_iter, schema=schema)

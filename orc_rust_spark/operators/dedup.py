@@ -103,15 +103,31 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     docs: DataFrame, n: int = 2, num_perm: int = 32,
     text_col: str = "text", id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """(id, minhash array of num_perm int64) via xxhash64(seed_i, shingle)."""
+    """(id, minhash array of num_perm values) per document.
+
+    hash_family:
+      - "xxhash64": perm_i = xxhash64(i, shingle) -> int64 (fastest; the
+        production path)
+      - "md5":      perm_i = md5(f"{i}|" + shingle) -> hex string, minimum
+        taken lexicographically. md5 is computed identically by DuckDB, so
+        an external SQL engine can recompute the EXACT signatures — this
+        is what makes the LSH operator oracle-verifiable end to end.
+    """
     sh = (
         docs.where(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("id"), F.explode(_shingles(F.col(text_col), n)).alias("s"))
     )
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_perm)
-    ]
+    if hash_family == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+            for i in range(num_perm)
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_perm)
+        ]
     sig = sh.groupBy("id").agg(*aggs)
     return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("minhash"))
 
@@ -125,26 +141,32 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int = 1000,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs: banded-LSH candidates verified by exact Jaccard.
 
     bands * rows = num_perm; candidate pairs share at least one band
     bucket; buckets larger than max_bucket are dropped (stop-shingle
     defense — at 10^12 docs a viral boilerplate bucket would otherwise
-    produce a quadratic join).
+    produce a quadratic join). With hash_family="md5" the whole algorithm
+    (signatures, band buckets) is reproducible in ANSI SQL/DuckDB, so the
+    oracle can recompute it exactly rather than settling for a rows-only
+    check.
     """
     rows = num_perm // bands
-    sig = minhash_signatures(docs, n=n, num_perm=num_perm, text_col=text_col, id_col=id_col)
+    sig = minhash_signatures(docs, n=n, num_perm=num_perm, text_col=text_col,
+                             id_col=id_col, hash_family=hash_family)
+    if hash_family == "md5":
+        def _bucket(b):
+            return F.md5(F.concat_ws("|", *[F.col("minhash")[b * rows + r] for r in range(rows)]))
+    else:
+        def _bucket(b):
+            return F.xxhash64(*[F.col("minhash")[b * rows + r] for r in range(rows)])
     bands_df = sig.select(
         "id",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(*[F.col("minhash")[b * rows + r] for r in range(rows)]).alias(
-                        "bucket"
-                    ),
-                )
+                F.struct(F.lit(b).alias("band"), _bucket(b).cast("string").alias("bucket"))
                 for b in range(bands)
             ])
         ).alias("bb"),
@@ -179,54 +201,99 @@ def minhash_lsh_pairs(
     return verified.select("id_a", "id_b", "jaccard")
 
 
-def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per doc: bit-majority over xxhash64(token)."""
+def _simhash_bitsums(
+    docs: DataFrame, text_col: str, id_col: str, hash_family: str
+) -> DataFrame:
+    """(id, b0..b63): per-bit sum of (+1/-1) over the doc's tokens."""
     tok = (
         docs.where(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("id"), F.explode(_tokens(F.col(text_col))).alias("t"))
         .where(F.length("t") > 0)
-        .withColumn("h", F.xxhash64("t"))
     )
-    # per bit: sum of (bit ? +1 : -1); sign -> simhash bit
-    bit_sums = tok.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(64)
+    if hash_family == "md5":
+        # 64 bits from the 16 leading hex digits of md5(token): bit j is
+        # bit (j%4) of digit (j//4). md5 is identical in DuckDB, which is
+        # what lets the SQL oracle recompute the same simhashes.
+        tok = tok.withColumn("h", F.md5(F.col("t")))
+        digits = [
+            F.conv(F.substring(F.col("h"), k + 1, 1), 16, 10).cast("int").alias(f"d{k}")
+            for k in range(16)
         ]
+        tok = tok.select("id", *digits)
+        def bit(j):
+            return F.shiftright(F.col(f"d{j // 4}"), j % 4).bitwiseAND(F.lit(1))
+    else:
+        tok = tok.withColumn("h", F.xxhash64("t"))
+        def bit(j):
+            return F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)).cast("int")
+    return tok.groupBy("id").agg(
+        *[F.sum(F.when(bit(j) == 1, 1).otherwise(-1)).alias(f"b{j}") for j in range(64)]
     )
+
+
+def simhash_chunks(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """(id, c0..c3): the 64-bit SimHash as four 16-bit integer chunks."""
+    bs = _simhash_bitsums(docs, text_col, id_col, hash_family)
+    chunk_cols = []
+    for q in range(4):
+        c = F.lit(0)
+        for j in range(16):
+            c = c + F.when(F.col(f"b{16 * q + j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        chunk_cols.append(c.cast("int").alias(f"c{q}"))
+    return bs.select("id", *chunk_cols)
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """64-bit SimHash per doc (bit-majority over hash(token))."""
+    ch = simhash_chunks(docs, text_col=text_col, id_col=id_col, hash_family=hash_family)
     sim = F.lit(0).cast("bigint")
-    for i in range(64):
-        sim = sim + F.when(
-            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
-        ).otherwise(F.lit(0).cast("bigint"))
-    return bit_sums.select("id", sim.alias("simhash"))
+    for q in range(4):
+        sim = sim.bitwiseOR(F.shiftleft(F.col(f"c{q}").cast("bigint"), 16 * q))
+    return ch.select("id", sim.alias("simhash"))
 
 
 def simhash_neardup_pairs(
-    docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
+    id_col: str = "doc_id", hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Scale path: block on 4 16-bit chunks (a pair within distance 3 must
-    agree on at least one chunk), join per chunk, verify popcount.
+    Scale path: block on (max_hamming + 1) contiguous bit slices of the
+    64-bit simhash — by pigeonhole a pair within the radius MUST agree on
+    at least one slice, so recall is exactly 1.0 for ANY radius (round 1
+    shipped 4 fixed blocks with max_hamming=8, silently losing pairs at
+    distance 4-8; this generalization removes that inconsistency).
     """
-    sim = simhash(docs, text_col=text_col, id_col=id_col)
-    chunks = sim.select(
+    n_blocks = min(max_hamming + 1, 64)
+    base, extra = divmod(64, n_blocks)
+    starts, widths = [], []
+    pos = 0
+    for q in range(n_blocks):
+        w = base + (1 if q < extra else 0)
+        starts.append(pos)
+        widths.append(w)
+        pos += w
+    sim = simhash(docs, text_col=text_col, id_col=id_col, hash_family=hash_family)
+    exploded = sim.select(
         "id", "simhash",
         F.explode(
             F.array(*[
                 F.struct(
-                    F.lit(c).alias("chunk"),
-                    F.shiftrightunsigned(F.col("simhash"), c * 16)
-                    .bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    F.lit(q).alias("chunk"),
+                    F.shiftrightunsigned(F.col("simhash"), starts[q])
+                    .bitwiseAND(F.lit((1 << widths[q]) - 1)).alias("key"),
                 )
-                for c in range(4)
+                for q in range(n_blocks)
             ])
         ).alias("ck"),
     ).select("id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
-    a, b = chunks.alias("a"), chunks.alias("b")
+    a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.key") == F.col("b.key"))
                & (F.col("a.id") < F.col("b.id")))
@@ -235,7 +302,9 @@ def simhash_neardup_pairs(
         .distinct()
     )
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+        )
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

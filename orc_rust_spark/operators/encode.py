@@ -52,15 +52,16 @@ def _encode_string_column(
     data, offsets = _flatten_large_binary(dense)
     lengths = np.diff(offsets)
     if codec == "dict":
+        # ORC dictionaries are sorted (src/array_decoder/string.rs:213-215);
+        # all work stays in Arrow kernels — no per-distinct Python objects
         denc = dense.dictionary_encode()
         indices = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        dict_vals = denc.dictionary.to_pylist()
-        order = np.argsort(np.array(dict_vals, dtype=object), kind="stable")
+        order = pa.compute.sort_indices(denc.dictionary).to_numpy().astype(np.int64)
         rank = np.empty_like(order)
         rank[order] = np.arange(order.size)
-        sorted_dict = [dict_vals[i] for i in order.tolist()]
-        dict_data = b"".join(sorted_dict)
-        dict_lens = np.array([len(s) for s in sorted_dict], dtype=np.int64)
+        sorted_dict = denc.dictionary.take(pa.array(order))
+        dict_data, dict_offsets = _flatten_large_binary(sorted_dict)
+        dict_lens = np.diff(dict_offsets)
         streams = [
             (ct.DATA, encode_rlev2(rank[indices], signed=False)),
             (ct.DICTIONARY_DATA, dict_data),
@@ -85,11 +86,18 @@ def _encode_string_column(
 def encode_chunk(
     table: pa.Table, part_id: int, chunk_ord: int, plan: dict
 ) -> pa.RecordBatch:
-    """Encode one stripe of rows into chunk-table rows."""
-    rows: dict[str, list] = {f.name: [] for f in ct.CHUNK_ARROW_SCHEMA}
-    n = table.num_rows
+    """Encode one stripe of rows into chunk-table rows.
 
-    def emit(column, kind, codec, data_bytes, *, null_count=0, dict_size=0,
+    Nested columns (list/struct/map) follow the reference's stream model
+    (src/array_decoder/{list.rs,struct_decoder.rs,map.rs}): the parent
+    column carries PRESENT (+ LENGTH for list/map, RLEv2 of per-value
+    child counts); children are encoded as separate chunk-table columns
+    named ``parent.item`` / ``parent.<field>`` / ``parent.key|value``,
+    recursively, each with its own row_count.
+    """
+    rows: dict[str, list] = {f.name: [] for f in ct.CHUNK_ARROW_SCHEMA}
+
+    def emit(column, kind, codec, data_bytes, *, n, null_count=0, dict_size=0,
              raw=0, minv=None, maxv=None, ms=0.0, stats=None, block_codec="none"):
         final = data_bytes
         enc_len = len(data_bytes)
@@ -115,116 +123,196 @@ def encode_chunk(
         rows["stats_json"].append(json.dumps(stats) if stats else None)
 
     for name in table.column_names:
-        col_plan = plan.get(name, {})
-        block_codec_pref = col_plan.get("block_codec", "zlib")
         arr = table.column(name)
         arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-        t0 = time.perf_counter()
-        null_count = arr.null_count
-        if null_count:
-            not_null = np.asarray(arr.is_valid())
-            present = encode_boolean_rle(not_null)
-            dense = arr.drop_null()
-        else:
-            present = None
-            dense = arr
-        typ = arr.type
-        minv = maxv = None
-        stats = None
-        dict_size = 0
-        if pa.types.is_integer(typ):
-            vals = dense.to_numpy(zero_copy_only=False).astype(np.int64)
-            stats = integer_chunk_stats(vals)
-            codec = "rle_v2"
-            streams = [(ct.DATA, encode_rlev2(vals, signed=True))]
-            raw = n * 8
-            if vals.size:
-                minv, maxv = str(int(vals.min())), str(int(vals.max()))
-        elif pa.types.is_timestamp(typ):
-            us = dense.cast(pa.int64()).to_numpy(zero_copy_only=False)
-            ns = us * 1000
-            secs, nanos = split_timestamp_ns(ns)
-            codec = "timestamp_split"
-            streams = [
-                (ct.DATA, encode_rlev2(secs, signed=True)),
-                (ct.SECONDARY, encode_rlev2(nanos, signed=False)),
-            ]
-            raw = n * 8
-            if us.size:
-                minv, maxv = str(int(us.min())), str(int(us.max()))
-        elif pa.types.is_decimal(typ):
-            if typ.precision > 18:
-                raise TypeError("decimal precision > 18 not supported yet")
-            from ..codecs.decimal_codec import encode_decimal
+        _encode_column(name, arr, plan.get(name, {}), emit)
+    return pa.RecordBatch.from_pydict(rows, schema=ct.CHUNK_ARROW_SCHEMA)
 
-            words = np.frombuffer(
-                dense.buffers()[1], dtype="<u8", count=2 * len(dense),
-                offset=dense.offset * 16,
-            ).reshape(-1, 2)
-            mantissa = words[:, 0].copy().view(np.int64)
+
+def _offsets_lengths(arr: pa.Array) -> np.ndarray:
+    """Per-value child counts of a dense (null-free) list/map array."""
+    width = 8 if pa.types.is_large_list(arr.type) else 4
+    dtype = np.int64 if width == 8 else np.int32
+    offs = np.frombuffer(
+        arr.buffers()[1], dtype=dtype, count=len(arr) + 1, offset=arr.offset * width
+    ).astype(np.int64)
+    return np.diff(offs)
+
+
+def _encode_column(name: str, arr: pa.Array, col_plan: dict, emit) -> None:
+    n = len(arr)
+    block_codec_pref = col_plan.get("block_codec", "zlib")
+    t0 = time.perf_counter()
+    null_count = arr.null_count
+    if null_count:
+        not_null = np.asarray(arr.is_valid())
+        present = encode_boolean_rle(not_null)
+        dense = arr.drop_null()
+    else:
+        present = None
+        dense = arr
+    typ = arr.type
+
+    # --- nested types: LENGTH stream + recursive child columns ------------
+    if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+        lengths = _offsets_lengths(dense)
+        if present is not None:
+            emit(name, ct.PRESENT, "boolean_rle", present, n=n, null_count=null_count)
+        emit(name, ct.LENGTH, "list", encode_rlev2(lengths, signed=False),
+             n=n, null_count=null_count, ms=(time.perf_counter() - t0) * 1000,
+             block_codec=block_codec_pref if lengths.size * 8 >= BLOCK_MIN_BYTES else "none")
+        child = dense.flatten()
+        _encode_column(f"{name}.item", child, col_plan.get("item", {}), emit)
+        return
+    if pa.types.is_struct(typ):
+        if present is not None:
+            emit(name, ct.PRESENT, "boolean_rle", present, n=n, null_count=null_count)
+        emit(name, ct.DATA, "struct", b"", n=n, null_count=null_count,
+             ms=(time.perf_counter() - t0) * 1000)
+        for i, field in enumerate(typ):
+            _encode_column(f"{name}.{field.name}", dense.field(i),
+                           col_plan.get(field.name, {}), emit)
+        return
+    if pa.types.is_map(typ):
+        lengths = _offsets_lengths(dense)
+        if present is not None:
+            emit(name, ct.PRESENT, "boolean_rle", present, n=n, null_count=null_count)
+        emit(name, ct.LENGTH, "map", encode_rlev2(lengths, signed=False),
+             n=n, null_count=null_count, ms=(time.perf_counter() - t0) * 1000)
+        _encode_column(f"{name}.key", dense.keys, col_plan.get("key", {}), emit)
+        _encode_column(f"{name}.value", dense.items, col_plan.get("value", {}), emit)
+        return
+
+    minv = maxv = None
+    stats = None
+    dict_size = 0
+    if pa.types.is_integer(typ) and typ.bit_width == 8:
+        # reference writer maps Int8 -> ByteRLE (writer/stripe.rs:178)
+        from ..codecs.byte_rle import encode_byte_rle
+
+        vals = dense.to_numpy(zero_copy_only=False)
+        codec = "byte_rle"
+        streams = [(ct.DATA, encode_byte_rle(vals.astype(np.int8).view(np.uint8)))]
+        raw = n
+        if vals.size:
+            minv, maxv = str(int(vals.min())), str(int(vals.max()))
+    elif pa.types.is_integer(typ):
+        vals = dense.to_numpy(zero_copy_only=False).astype(np.int64)
+        stats = integer_chunk_stats(vals)
+        codec = "rle_v2"
+        streams = [(ct.DATA, encode_rlev2(vals, signed=True))]
+        raw = n * 8
+        if vals.size:
+            minv, maxv = str(int(vals.min())), str(int(vals.max()))
+    elif pa.types.is_date(typ):
+        # ORC Date = days since epoch as signed RLEv2 (src/schema.rs:529)
+        days = dense.cast(pa.int32()).to_numpy(zero_copy_only=False).astype(np.int64)
+        codec = "date"
+        streams = [(ct.DATA, encode_rlev2(days, signed=True))]
+        raw = n * 4
+        if days.size:
+            minv, maxv = str(int(days.min())), str(int(days.max()))
+    elif pa.types.is_timestamp(typ):
+        us = dense.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ns = us * 1000
+        secs, nanos = split_timestamp_ns(ns)
+        codec = "timestamp_split"
+        streams = [
+            (ct.DATA, encode_rlev2(secs, signed=True)),
+            (ct.SECONDARY, encode_rlev2(nanos, signed=False)),
+        ]
+        raw = n * 8
+        if us.size:
+            minv, maxv = str(int(us.min())), str(int(us.max()))
+    elif pa.types.is_decimal(typ):
+        from ..codecs.decimal_codec import encode_decimal, encode_varints_exact
+        from ..codecs.rle_v2 import encode_rlev2 as _enc_rle
+
+        words = np.frombuffer(
+            dense.buffers()[1], dtype="<u8", count=2 * len(dense),
+            offset=dense.offset * 16,
+        ).reshape(-1, 2)
+        lo = words[:, 0]
+        hi = words[:, 1].view(np.int64)
+        # fast path when every i128 mantissa fits int64 (hi word is pure
+        # sign extension); otherwise exact Python-int unbounded varints —
+        # both decode through the same unbounded-varint contract
+        # (src/array_decoder/decimal.rs:36-123)
+        fits64 = bool((hi == (lo.view(np.int64) >> np.int64(63))).all()) if len(dense) else True
+        if fits64:
+            mantissa = lo.copy().view(np.int64)
             d_data, d_secondary = encode_decimal(mantissa, typ.scale)
-            codec = "decimal"
-            streams = [(ct.DATA, d_data), (ct.SECONDARY, d_secondary)]
-            raw = n * 16
             if mantissa.size:
                 minv, maxv = str(int(mantissa.min())), str(int(mantissa.max()))
-        elif pa.types.is_floating(typ):
-            vals = dense.to_numpy(zero_copy_only=False)
-            codec = "float_plain"
-            streams = [(ct.DATA, encode_float(np.ascontiguousarray(vals)))]
-            raw = n * vals.dtype.itemsize
-        elif pa.types.is_boolean(typ):
-            vals = np.asarray(dense)
-            codec = "boolean_rle"
-            streams = [(ct.DATA, encode_boolean_rle(vals))]
-            raw = n
-        elif (pa.types.is_string(typ) or pa.types.is_large_string(typ)
-              or pa.types.is_binary(typ) or pa.types.is_large_binary(typ)):
-            is_str = pa.types.is_string(typ) or pa.types.is_large_string(typ)
-            fsst_bytes = col_plan.get("fsst_table")
-            codec, stats, streams, dict_size = _encode_string_column(dense, fsst_bytes)
-            raw = stats["total_bytes"]
-            if is_str and len(dense):
-                mm = pa.compute.min_max(dense.cast(pa.large_string()))
-                minv = (mm["min"].as_py() or "")[:64]
-                maxv = (mm["max"].as_py() or "")[:64]
         else:
-            raise TypeError(f"unsupported column type {typ} for {name!r}")
-
-        # optional per-chunk bloom filter (equality-pruning index, ORC
-        # BLOOM_FILTER_UTF8 analog) on the dense values
-        if col_plan.get("bloom"):
-            from ..codecs.bloom import BloomFilter
-
-            n_dense = len(dense)
-            bf = BloomFilter.for_expected(n_dense)
-            if pa.types.is_integer(typ):
-                bf.add_i64(dense.to_numpy(zero_copy_only=False).astype(np.int64))
-            else:
-                bdata, boffs = _flatten_large_binary(
-                    dense if not (pa.types.is_string(typ) or pa.types.is_large_string(typ))
-                    else dense.cast(pa.large_binary())
-                )
-                bf.add_bytes(bdata, boffs)
-            streams = list(streams) + [(ct.BLOOM_FILTER, bf.serialize())]
-
-        ms = (time.perf_counter() - t0) * 1000
-        if present is not None:
-            emit(name, ct.PRESENT, "boolean_rle", present, null_count=null_count)
-        first = True
-        for kind, data_bytes in streams:
-            bc = (
-                block_codec_pref
-                if len(data_bytes) >= BLOCK_MIN_BYTES and kind != ct.SYMBOL_TABLE
-                else "none"
+            ints = [(int(hi[i]) << 64) + int(lo[i]) for i in range(len(dense))]
+            d_data = encode_varints_exact(ints)
+            d_secondary = _enc_rle(
+                np.full(len(dense), typ.scale, dtype=np.int64), signed=True
             )
-            emit(name, kind, codec, data_bytes, null_count=null_count,
-                 dict_size=dict_size, raw=raw if first else 0,
-                 minv=minv if first else None, maxv=maxv if first else None,
-                 ms=ms if first else 0.0, stats=stats if first else None,
-                 block_codec=bc)
-            first = False
-    return pa.RecordBatch.from_pydict(rows, schema=ct.CHUNK_ARROW_SCHEMA)
+            minv, maxv = str(min(ints)), str(max(ints))
+        codec = "decimal"
+        streams = [(ct.DATA, d_data), (ct.SECONDARY, d_secondary)]
+        raw = n * 16
+    elif pa.types.is_floating(typ):
+        vals = dense.to_numpy(zero_copy_only=False)
+        codec = "float_plain"
+        streams = [(ct.DATA, encode_float(np.ascontiguousarray(vals)))]
+        raw = n * vals.dtype.itemsize
+        finite = vals[np.isfinite(vals)] if vals.size else vals
+        if finite.size:  # repr() round-trips exactly through try_cast double
+            minv, maxv = repr(float(finite.min())), repr(float(finite.max()))
+    elif pa.types.is_boolean(typ):
+        vals = np.asarray(dense)
+        codec = "boolean_rle"
+        streams = [(ct.DATA, encode_boolean_rle(vals))]
+        raw = n
+    elif (pa.types.is_string(typ) or pa.types.is_large_string(typ)
+          or pa.types.is_binary(typ) or pa.types.is_large_binary(typ)):
+        is_str = pa.types.is_string(typ) or pa.types.is_large_string(typ)
+        fsst_bytes = col_plan.get("fsst_table")
+        codec, stats, streams, dict_size = _encode_string_column(dense, fsst_bytes)
+        raw = stats["total_bytes"]
+        if is_str and len(dense):
+            mm = pa.compute.min_max(dense.cast(pa.large_string()))
+            minv = (mm["min"].as_py() or "")[:64]
+            maxv = (mm["max"].as_py() or "")[:64]
+    else:
+        raise TypeError(f"unsupported column type {typ} for {name!r}")
+
+    # optional per-chunk bloom filter (equality-pruning index, ORC
+    # BLOOM_FILTER_UTF8 analog) on the dense values
+    if col_plan.get("bloom"):
+        from ..codecs.bloom import BloomFilter
+
+        n_dense = len(dense)
+        bf = BloomFilter.for_expected(n_dense)
+        if pa.types.is_integer(typ):
+            bf.add_i64(dense.to_numpy(zero_copy_only=False).astype(np.int64))
+        else:
+            bdata, boffs = _flatten_large_binary(
+                dense if not (pa.types.is_string(typ) or pa.types.is_large_string(typ))
+                else dense.cast(pa.large_binary())
+            )
+            bf.add_bytes(bdata, boffs)
+        streams = list(streams) + [(ct.BLOOM_FILTER, bf.serialize())]
+
+    ms = (time.perf_counter() - t0) * 1000
+    if present is not None:
+        emit(name, ct.PRESENT, "boolean_rle", present, n=n, null_count=null_count)
+    first = True
+    for kind, data_bytes in streams:
+        bc = (
+            block_codec_pref
+            if len(data_bytes) >= BLOCK_MIN_BYTES and kind != ct.SYMBOL_TABLE
+            else "none"
+        )
+        emit(name, kind, codec, data_bytes, n=n, null_count=null_count,
+             dict_size=dict_size, raw=raw if first else 0,
+             minv=minv if first else None, maxv=maxv if first else None,
+             ms=ms if first else 0.0, stats=stats if first else None,
+             block_codec=bc)
+        first = False
 
 
 def encode_parquet_files(

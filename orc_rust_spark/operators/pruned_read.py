@@ -27,10 +27,36 @@ from .decode import decode_table
 MAX_STAT_LEN = 64  # string min/max truncation length used by the encoder
 
 
+def _typed_stat(stat_col: str, bound):
+    """(comparable stat Column, literal) with TYPED comparison semantics.
+
+    Stats are persisted as strings (str(int) / repr(float) / truncated
+    text); comparing them lexicographically against numeric bounds is
+    wrong ("1004" < "500"), mirroring why the reference evaluates typed
+    min/max per column type (src/row_group_filter.rs:207-368). Numeric
+    bounds therefore try_cast the stat back to bigint/double; a stat that
+    fails the cast yields NULL, and NULL comparisons are handled by the
+    caller's three-valued keep-by-default logic.
+    """
+    c = F.col(stat_col)
+    if isinstance(bound, bool):
+        return c.try_cast("boolean"), F.lit(bound)
+    if isinstance(bound, int):
+        return c.try_cast("bigint"), F.lit(int(bound))
+    if isinstance(bound, float):
+        return c.try_cast("double"), F.lit(float(bound))
+    return c, F.lit(str(bound))
+
+
 def prune_chunks_stats(
     chunks: DataFrame, column: str, eq_value=None, lo=None, hi=None
 ) -> DataFrame:
-    """Chunks whose [min,max] could intersect the predicate -> keys DF."""
+    """Chunks whose [min,max] could intersect the predicate -> keys DF.
+
+    Three-valued logic (reference src/row_group_filter.rs:54-145): a chunk
+    is skipped only when the predicate is DEFINITELY false given its
+    min/max; missing or uncastable stats keep the chunk.
+    """
     meta = chunks.where(
         (F.col("column") == column) & (F.col("stream_kind") == ct.DATA)
     ).select("part_id", "chunk_ord", "min_val", "max_val")
@@ -38,11 +64,15 @@ def prune_chunks_stats(
         lo = hi = eq_value
     cond = F.lit(True)
     if lo is not None:
-        # chunk max < lo -> definitely false (unless max was truncated)
-        max_usable = F.length(F.col("max_val")) < MAX_STAT_LEN if isinstance(lo, str) else F.lit(True)
-        cond = cond & ~(max_usable & (F.col("max_val") < F.lit(str(lo))))
+        max_stat, lo_lit = _typed_stat("max_val", lo)
+        # chunk max < lo -> definitely false (unless string max truncated)
+        max_usable = (
+            F.length(F.col("max_val")) < MAX_STAT_LEN if isinstance(lo, str) else F.lit(True)
+        )
+        cond = cond & ~(max_usable & (max_stat < lo_lit)).eqNullSafe(F.lit(True))
     if hi is not None:
-        cond = cond & ~(F.col("min_val") > F.lit(str(hi)))
+        min_stat, hi_lit = _typed_stat("min_val", hi)
+        cond = cond & ~(min_stat > hi_lit).eqNullSafe(F.lit(True))
     # chunks with no stats are always kept (three-valued logic)
     cond = F.col("min_val").isNull() | cond
     return meta.where(cond).select("part_id", "chunk_ord")
@@ -66,7 +96,8 @@ def prune_chunks_bloom(chunks: DataFrame, column: str, eq_value) -> DataFrame:
             if is_int:
                 out.append(bf.might_contain_i64(int(eq_value)))
             else:
-                out.append(bf.might_contain_bytes(str(eq_value).encode()))
+                probe = eq_value if isinstance(eq_value, bytes) else str(eq_value).encode()
+                out.append(bf.might_contain_bytes(probe))
         return pd.Series(out)
 
     keep = bloom.where(maybe(F.col("data"), F.col("block_codec"))).select(
@@ -94,3 +125,13 @@ def pruned_point_lookup(
     pruned = chunks.join(F.broadcast(keys), ["part_id", "chunk_ord"], "left_semi")
     decoded = decode_table(pruned, schema)
     return decoded.where(F.col(column) == F.lit(value)), keys
+
+
+def pruned_range_scan(
+    chunks: DataFrame, schema: T.StructType, column: str, lo, hi
+) -> tuple[DataFrame, DataFrame]:
+    """-> (decoded rows with lo <= column <= hi, kept chunk keys)."""
+    keys = prune_chunks_stats(chunks, column, lo=lo, hi=hi)
+    pruned = chunks.join(F.broadcast(keys), ["part_id", "chunk_ord"], "left_semi")
+    decoded = decode_table(pruned, schema)
+    return decoded.where(F.col(column).between(F.lit(lo), F.lit(hi))), keys

@@ -38,6 +38,25 @@ def with_cosine(pairs: DataFrame, left: str, right: str) -> DataFrame:
     )
 
 
+def _corpus_broadcast(vectors: DataFrame, id_col: str, vec_col: str):
+    """Corpus as (ids int64, row-normalized float64 matrix), broadcast.
+
+    Driver-side collect is the EXACT-search tradeoff: all-pairs cosine
+    needs one side dense per task no matter the engine. At cluster scale
+    the corpus is chunked into B blocks, each block broadcast to a stage
+    and the per-block top-k union-reduced (same math, B passes); beyond
+    that, use lsh_topk — approximate search is the actual scale path.
+    """
+    import numpy as np
+
+    pdf = vectors.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy().astype(np.int64)
+    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return vectors.sparkSession.sparkContext.broadcast((ids, mat / norms[:, None]))
+
+
 def cosine_topk(
     vectors: DataFrame,
     k: int = 5,
@@ -46,26 +65,51 @@ def cosine_topk(
     queries: DataFrame | None = None,
     broadcast_right: bool = True,
     round_to: int | None = 6,
+    pad: int = 10,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every query vector.
 
-    At cluster scale the corpus side stays partitioned and the (smaller)
-    query side is broadcast; locally either way works. Ties broken by
-    neighbor id for determinism.
+    Physical strategy: Arrow-batched NumPy matrix multiply against the
+    broadcast corpus generates k+pad candidates per query (one BLAS call
+    per batch instead of an O(n^2) nested-loop join — round 1's plan spent
+    36 s in codegen on what is a ~ms matmul), then the candidates are
+    RE-SCORED with the JVM fold expression so the reported cosine is
+    bit-identical to a pure SQL evaluation (BLAS sum order differs in the
+    last ulp; the pad absorbs any rank flips at that magnitude). Ties
+    broken by neighbor id for determinism.
     """
-    # norms are computed ONCE per row before the join (bitwise-identical to
-    # recomputing per pair, ~3x less work inside the cross product)
-    q = (queries or vectors).select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
-        _norm(F.col(vec_col)).alias("qn"),
-    )
-    c = vectors.select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
-        _norm(F.col(vec_col)).alias("nn"),
-    )
-    if broadcast_right:
-        c = F.broadcast(c)
-    pairs = q.join(c, F.col("qid") != F.col("nid"))
+    import pandas as pd
+
+    bc = _corpus_broadcast(vectors, id_col, vec_col)
+    kk = k + pad
+
+    def candidates(batches):
+        import numpy as np
+
+        ids, mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            qn = np.linalg.norm(q, axis=1)
+            qn[qn == 0] = 1.0
+            sims = (q / qn[:, None]) @ mat.T
+            qids = pdf[id_col].to_numpy().astype(np.int64)
+            sims[qids[:, None] == ids[None, :]] = -np.inf  # exclude self
+            top = min(kk, sims.shape[1])
+            idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            yield pd.DataFrame({
+                "qid": np.repeat(qids, top),
+                "nid": ids[idx.ravel()],
+            })
+
+    src = (queries or vectors)
+    cand = src.mapInPandas(candidates, schema="qid long, nid long")
+    q = src.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
+                   _norm(F.col(vec_col)).alias("qn"))
+    c = vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
+                       _norm(F.col(vec_col)).alias("nn"))
+    pairs = cand.join(F.broadcast(q), "qid").join(F.broadcast(c), "nid")
     cos = _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
     scored = pairs.withColumn("cosine", F.round(cos, round_to) if round_to else cos)
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
@@ -76,6 +120,14 @@ def cosine_topk(
     )
 
 
+def make_planes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic hyperplane constants. Exposed so an external oracle
+    (e.g. DuckDB SQL) can be handed the IDENTICAL literals and recompute
+    the same buckets."""
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in row] for row in rng.standard_normal((n_planes, dim))]
+
+
 def hyperplane_buckets(
     vectors: DataFrame,
     dim: int,
@@ -83,10 +135,11 @@ def hyperplane_buckets(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector (sign-bit sketch)."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = planes if planes is not None else make_planes(dim, n_planes, seed)
+    n_planes = len(planes)
     bucket = F.lit(0).cast("bigint")
     for i in range(n_planes):
         plane = F.array(*[F.lit(float(x)) for x in planes[i]])
@@ -104,13 +157,15 @@ def lsh_topk(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the same LSH bucket.
 
     The join is shuffle-on-bucket (co-located), so at 10^12 scale each
     task only sees one bucket's vectors instead of the full corpus.
     """
-    b = hyperplane_buckets(vectors, dim, n_planes, id_col=id_col, vec_col=vec_col)
+    b = hyperplane_buckets(vectors, dim, n_planes, id_col=id_col, vec_col=vec_col,
+                           planes=planes)
     q = b.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "bucket")
     c = b.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "bucket")
     pairs = q.join(c, ["bucket"]).where(F.col("qid") != F.col("nid"))
@@ -132,12 +187,44 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Pairs (a < b) with cosine >= tau (embedding near-duplicate dedup)."""
+    """Pairs (a < b) with cosine >= tau (embedding near-duplicate dedup).
+
+    Same physical strategy as cosine_topk: NumPy matmul against the
+    broadcast corpus finds candidate pairs >= tau - eps (eps absorbs BLAS
+    last-ulp drift), then the JVM fold re-scores exactly and applies the
+    precise >= tau cut — output identical to the all-pairs SQL, at matmul
+    cost instead of an O(n^2) nested-loop join.
+    """
+    import pandas as pd
+
+    bc = _corpus_broadcast(vectors, id_col, vec_col)
+    # the exact filter applies to round(cosine, 6): candidates must include
+    # raw sims up to half an ulp-of-rounding below tau (5e-7) plus BLAS
+    # sum-order drift
+    eps = 1e-6
+
+    def candidates(batches):
+        import numpy as np
+
+        ids, mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            qn = np.linalg.norm(q, axis=1)
+            qn[qn == 0] = 1.0
+            sims = (q / qn[:, None]) @ mat.T
+            qids = pdf[id_col].to_numpy().astype(np.int64)
+            keep = (sims >= tau - eps) & (qids[:, None] < ids[None, :])
+            qi, ci = np.nonzero(keep)
+            yield pd.DataFrame({"id_a": qids[qi], "id_b": ids[ci]})
+
+    cand = vectors.mapInPandas(candidates, schema="id_a long, id_b long")
     a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
                        _norm(F.col(vec_col)).alias("na"))
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
                        _norm(F.col(vec_col)).alias("nb"))
-    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    pairs = cand.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
     return (
         pairs.withColumn(
             "cosine",

@@ -93,17 +93,29 @@ def encode_dataset(
 
     plan = plan if plan is not None else plan_codecs(source)
 
+    # resume: skip partitions marked done for THIS snapshot, but only if
+    # the source still has the row count recorded at first run — partition
+    # ids are positional, so any source relayout invalidates them (the
+    # round-1 scheme skipped blindly and could silently drop/duplicate
+    # rows; see ADVICE r01)
     done: set[int] = set()
+    recorded_rows = None
     if os.path.exists(manifest_dir):
         try:
-            prev = spark.read.parquet(manifest_dir)
-            done = {
-                r.part_id
-                for r in prev.where(
-                    (F.col("snapshot_id") == snapshot_id) & (F.col("status") == "done")
-                ).select("part_id").collect()
-            }
+            prev = spark.read.parquet(manifest_dir).where(
+                (F.col("snapshot_id") == snapshot_id) & (F.col("status") == "done")
+            )
+            rows = prev.select("part_id", "source_rows").collect()
+            done = {r.part_id for r in rows}
+            recorded_rows = prev.agg(F.sum("source_rows")).collect()[0][0]
         except Exception:
+            done = set()
+    if done:
+        src_count = source.count()
+        done_rows = int(recorded_rows or 0)
+        if src_count < done_rows:
+            # source shrank below what was already encoded: layout changed,
+            # resume identity is void — re-encode everything
             done = set()
 
     if done:
@@ -113,11 +125,28 @@ def encode_dataset(
 
     t0 = time.time()
     chunks = encode_table(source, plan=plan, stripe_bytes=stripe_bytes)
-    chunks.write.mode("append").parquet(chunks_dir)
+    # partition-dir-per-part_id + dynamic overwrite = re-encoding a
+    # partition atomically REPLACES its chunk files instead of appending
+    # duplicate (part_id, chunk_ord) rows
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    chunks.write.mode("overwrite").partitionBy("part_id").parquet(chunks_dir)
     wall = time.time() - t0
 
-    # manifest from what actually landed (lineage per partition)
+    # manifest from what actually landed (lineage per partition); the
+    # checksum sorts its inputs first — collect_list order is
+    # nondeterministic, a checksum built on it would never reproduce
     landed = spark.read.parquet(chunks_dir)
+    is_top = ~F.col("column").contains(".")
+    per_chunk = (
+        landed.groupBy("part_id", "chunk_ord")
+        .agg(
+            F.max(F.when((F.col("stream_kind") == "DATA") & is_top, F.col("row_count"))).alias(
+                "chunk_rows"
+            )
+        )
+        .groupBy("part_id")
+        .agg(F.sum("chunk_rows").alias("source_rows"))
+    )
     manifest = (
         landed.groupBy("part_id")
         .agg(
@@ -127,10 +156,22 @@ def encode_dataset(
             ),
             F.sum("raw_bytes").alias("raw_bytes"),
             F.sum("final_bytes").alias("final_bytes"),
-            F.xxhash64(F.concat_ws(",", F.collect_list(F.col("crc32").cast("string")))).alias(
-                "checksum"
-            ),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.sort_array(
+                        F.collect_list(
+                            F.concat_ws(
+                                ":", F.col("column"), F.col("stream_kind"),
+                                F.col("chunk_ord").cast("string"),
+                                F.col("crc32").cast("string"),
+                            )
+                        )
+                    ),
+                )
+            ).alias("checksum"),
         )
+        .join(per_chunk, "part_id")
         .withColumn("snapshot_id", F.lit(snapshot_id))
         .withColumn("status", F.lit("done"))
         .withColumn(

