@@ -17,13 +17,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _read_parallel(spark: SparkSession, sf_dir: str, table: str,
+                   cols: list[str] | None = None) -> DataFrame:
+    """Read a testdata table spread across all cores.
+
+    The driver-generated parquet files are single-row-group, so Spark's
+    input-split planning cannot parallelize them below one task; an
+    explicit repartition costs one shuffle of the raw bytes but lets the
+    encode stage use every core. (On a real corpus the source is
+    many-filed/bucketed and this shuffle disappears.)
+    """
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if cols:
+        df = df.select(*cols)
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _roundtrip(spark: SparkSession, sf_dir: str, table: str, cols: list[str]) -> DataFrame:
     """Encode a testdata table into the chunk-table and decode it back."""
     from orc_rust_spark.operators.decode import decode_table_arrow as decode_table
     from orc_rust_spark.operators.encode import encode_table
     from orc_rust_spark.plans.pipeline import plan_codecs
 
-    src = spark.read.parquet(f"{sf_dir}/{table}.parquet").select(*cols)
+    src = _read_parallel(spark, sf_dir, table, cols)
     chunks = encode_table(src, plan=plan_codecs(src))
     # encode output pipes straight into decode: chunk rows are already
     # contiguous per task, so the roundtrip is one map-only stage
@@ -64,7 +80,7 @@ def q_roundtrip_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orc_rust_spark.operators.decode import decode_table_arrow
     from orc_rust_spark.operators.encode import encode_table
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _read_parallel(spark, sf_dir, "lineitem")
     src = li.select(
         "l_orderkey", "l_linenumber",
         F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
@@ -88,7 +104,7 @@ def q_roundtrip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orc_rust_spark.operators.decode import decode_table_arrow
     from orc_rust_spark.operators.encode import encode_table
 
-    src = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    src = _read_parallel(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
     chunks = encode_table(src, plan={})
     decoded = decode_table_arrow(chunks, src.schema, co_locate=False)
     return decoded.select(
@@ -102,7 +118,7 @@ def q_roundtrip_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orc_rust_spark.operators.decode import decode_table_arrow
     from orc_rust_spark.operators.encode import encode_table
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _read_parallel(spark, sf_dir, "lineitem")
     src = li.select(
         "l_orderkey",
         "l_linenumber",
@@ -129,7 +145,7 @@ def q_roundtrip_date_decimal128(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orc_rust_spark.operators.decode import decode_table_arrow
     from orc_rust_spark.operators.encode import encode_table
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _read_parallel(spark, sf_dir, "lineitem")
     src = li.select(
         "l_orderkey",
         "l_linenumber",
@@ -145,6 +161,45 @@ def q_roundtrip_date_decimal128(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber",
         F.col("ship_d").cast("string").alias("ship_d_str"),
         F.col("wide").cast("string").alias("wide_str"),
+    )
+
+
+def q_orc_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-ORC interop scan: lineitem is written to an ORC FILE by an
+    independent writer (pyarrow.orc, ZLIB, multi-stripe), then read back
+    by THIS engine — protobuf tail parse, stripe byte-range tasks, and
+    every stream decoded by orc_rust_spark codecs (RLEv2/byte-RLE/
+    boolean/float/timestamp), never an ORC library. Reference analog:
+    tests/integration/main.rs + src/reader/metadata.rs:180-247."""
+    import os
+
+    import pyarrow.orc as paorc
+    import pyarrow.parquet as pq
+
+    from orc_rust_spark.sources.orc_file import orc_scan
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    orc_path = f"/tmp/orc_rust_spark_interop/lineitem_{sf_tag}.orc"
+    if not os.path.exists(orc_path):
+        os.makedirs(os.path.dirname(orc_path), exist_ok=True)
+        tbl = pq.read_table(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
+                     "l_linestatus", "l_shipdate"],
+        )
+        paorc.write_table(tbl, orc_path, compression="ZLIB", stripe_size=4 * 1024 * 1024)
+    df = orc_scan(
+        spark, orc_path,
+        schema="l_orderkey long, l_partkey long, l_quantity double, "
+               "l_returnflag string, l_linestatus string, l_shipdate timestamp_ntz",
+    )
+    return df.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+        F.min("l_orderkey").alias("min_ok"),
+        F.max("l_orderkey").alias("max_ok"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
     )
 
 
@@ -196,24 +251,27 @@ def _lineitem_chunks(spark: SparkSession, sf_dir: str):
 
     from orc_rust_spark.operators.encode import encode_table
 
-    src = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate"
-    )
-    plan = {"l_orderkey": {"bloom": True, "block_codec": "zlib"}}
-    chunks = encode_table(src, plan=plan, stripe_bytes=512 * 1024)
+    cols = ["l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate"]
+    src = _read_parallel(spark, sf_dir, "lineitem", cols)
+    # row_index on every column -> point lookups decode only matching
+    # 10k-row groups; bloom on the key column for equality pruning
+    plan = {c: {"row_index": True, "block_codec": "zlib"} for c in cols}
+    plan["l_orderkey"]["bloom"] = True
+    chunks = encode_table(src, plan=plan, stripe_bytes=4 * 1024 * 1024)
     return src.schema, chunks
 
 
 def q_pruned_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk-stats + bloom pruned point lookup (row_group_filter.rs +
-    bloom_filter.rs analog): typed min/max comparison over chunks of mixed
-    digit widths, then decode only surviving chunks."""
-    from orc_rust_spark.operators.pruned_read import pruned_point_lookup
+    """Chunk-stats + bloom + ROW-GROUP pruned point lookup
+    (row_group_filter.rs + bloom_filter.rs + row_index.rs analogs): typed
+    min/max comparison prunes whole chunks, then surviving chunks decode
+    only the 10k-row groups whose per-group stats may match."""
+    from orc_rust_spark.operators.pruned_read import pruned_point_lookup_rg
 
     schema, chunks = _lineitem_chunks(spark, sf_dir)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     target = li.agg(F.max("l_orderkey")).collect()[0][0]
-    rows, _keys = pruned_point_lookup(chunks, schema, "l_orderkey", int(target))
+    rows, _keys = pruned_point_lookup_rg(chunks, schema, "l_orderkey", int(target))
     return rows
 
 
@@ -294,7 +352,7 @@ ANN_LSH_PARAMS = dict(dim=64, k=5, n_planes=8, seed=7)
 def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orc_rust_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+    docs = _read_parallel(spark, sf_dir, "documents").where(
         F.length(F.trim(F.col("text"))) > 0
     )
     return minhash_lsh_pairs(docs, hash_family="md5", **MINHASH_PARAMS)
@@ -303,7 +361,7 @@ def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orc_rust_spark.operators.dedup import simhash_neardup_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+    docs = _read_parallel(spark, sf_dir, "documents").where(
         F.length(F.trim(F.col("text"))) > 0
     )
     # 4x16-bit chunk blocking guarantees recall 1.0 only for hamming <= 3
@@ -342,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_embeddings": q_roundtrip_embeddings,
         "roundtrip_struct_map": q_roundtrip_struct_map,
         "roundtrip_date_decimal128": q_roundtrip_date_decimal128,
+        "orc_file_scan": q_orc_file_scan,
         "stats_collection": q_stats_collection,
         "dictionary_cardinality": q_dictionary_cardinality,
         "predicate_pushdown": q_predicate_pushdown,
@@ -362,16 +421,18 @@ def _minhash_oracle_sql() -> str:
     """DuckDB re-implementation of q_minhash_lsh_neardup (md5 family):
     same shingles, same md5 minhash perms, same band buckets, same bucket
     cap, same exact-Jaccard verify."""
+    from orc_rust_spark.operators.dedup import MERSENNE61
+
     p = MINHASH_PARAMS
     num_perm, bands, thr, cap = p["num_perm"], p["bands"], p["threshold"], p["max_bucket"]
     r = num_perm // bands
     mins = ", ".join(
-        f"min(md5('{i}|' || s)) AS h{i}" for i in range(num_perm)
+        f"min((p1 + {i} * p2) % {MERSENNE61}) AS h{i}" for i in range(num_perm)
     )
     band_selects = " UNION ALL ".join(
         "SELECT id, {b} AS band, md5({expr}) AS bucket FROM sig".format(
             b=b,
-            expr=" || '|' || ".join(f"h{b * r + j}" for j in range(r)),
+            expr=" || '|' || ".join(f"CAST(h{b * r + j} AS VARCHAR)" for j in range(r)),
         )
         for b in range(bands)
     )
@@ -383,8 +444,12 @@ def _minhash_oracle_sql() -> str:
           SELECT id, unnest(list_distinct(list_transform(range(1, len(toks)),
                      i -> toks[i] || ' ' || toks[i+1]))) AS s
           FROM t WHERE len(toks) >= 2
+        ), sigh AS (
+          SELECT id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS p1,
+                     CAST('0x' || substr(md5(s), 16, 8) AS BIGINT) AS p2
+          FROM sh
         ), sig AS (
-          SELECT id, {mins} FROM sh GROUP BY id
+          SELECT id, {mins} FROM sigh GROUP BY id
         ), bands_u AS (
           {band_selects}
         ), sized AS (
@@ -414,12 +479,14 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
     md5-hex-digit bit derivation, bit-majority, 4x16-bit chunks; the
     oracle joins ALL pairs (no blocking), so it also proves the Spark
     side's chunk blocking loses no pairs (pigeonhole recall = 1.0)."""
-    digits = ", ".join(
-        f"strpos('0123456789abcdef', substr(h, {k + 1}, 1)) - 1 AS d{k}"
-        for k in range(16)
+    digits = (
+        "CAST('0x' || substr(h, 1, 15) AS BIGINT) AS hlo, "
+        "CAST('0x' || substr(h, 16, 1) AS BIGINT) AS hhi"
     )
     bits = ", ".join(
-        f"sum(CASE WHEN (d{j // 4} >> {j % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        (f"sum(CASE WHEN (hlo >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+         if j < 60 else
+         f"sum(CASE WHEN (hhi >> {j - 60}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}")
         for j in range(64)
     )
     chunks = ", ".join(
@@ -520,6 +587,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CAST(concat(CAST(l_orderkey AS VARCHAR), "
             "'00000000000000000000') AS DECIMAL(38,0)) AS VARCHAR) AS wide_str "
             "FROM lineitem",
+        "orc_file_scan":
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, "
+            "min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok, "
+            "min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus",
         "stats_collection":
             "SELECT count(*) AS row_count, "
             "min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey, "

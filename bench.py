@@ -92,6 +92,32 @@ def main() -> None:
     queries["webtext_decode_verify"] = round(time.time() - t0, 3)
     extra["verify_mismatches"] = bad
 
+    # --- per-block-codec compression metrics (north-rule output) -------------
+    # one representative webtext text stream, every codec the container has
+    import time as _time
+
+    from orc_rust_spark.codecs import block as blockc
+
+    sample = b"".join(
+        (r["text"] or "").encode() for r in src.select("text").limit(4000).collect()
+    )
+    codec_stats = {}
+    for codec in blockc.available_codecs():
+        if codec == "none":
+            continue
+        t0 = _time.perf_counter()
+        comp = blockc.compress_stream(sample, codec)
+        enc_s = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        blockc.decompress_stream(comp, codec)
+        dec_s = _time.perf_counter() - t0
+        codec_stats[codec] = {
+            "ratio": round(len(sample) / max(1, len(comp)), 3),
+            "enc_mb_s": round(len(sample) / 1e6 / max(enc_s, 1e-9), 1),
+            "dec_mb_s": round(len(sample) / 1e6 / max(dec_s, 1e-9), 1),
+        }
+    extra["block_codecs"] = codec_stats
+
     # --- driver-contract queries at SF_DIR -----------------------------------
     for name, fn in entry_mod.queries().items():
         t0 = time.time()

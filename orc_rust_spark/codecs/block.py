@@ -14,7 +14,7 @@ import zlib
 
 DEFAULT_BLOCK_SIZE = 256 * 1024
 
-try:  # zstd is optional in this environment
+try:  # zstd via the dedicated module when present
     import zstandard as _zstd  # type: ignore
 
     _HAS_ZSTD = True
@@ -22,13 +22,73 @@ except Exception:  # pragma: no cover
     _zstd = None
     _HAS_ZSTD = False
 
+try:  # snappy / lz4 / zstd fallbacks via pyarrow's bundled codecs
+    import pyarrow as _pa
+
+    _PA_SNAPPY = _pa.Codec.is_available("snappy")
+    _PA_LZ4 = _pa.Codec.is_available("lz4_raw")
+    _PA_ZSTD = _pa.Codec.is_available("zstd")
+except Exception:  # pragma: no cover
+    _pa = None
+    _PA_SNAPPY = _PA_LZ4 = _PA_ZSTD = False
+
+
+def lz4_block_decompress(src) -> bytes:
+    """Pure-Python LZ4 *block* format decoder (the framing ORC uses —
+    reference src/compression.rs:181-195 decompresses lz4 blocks). Self-
+    terminating, so no decompressed-size hint is needed. Python-loop per
+    sequence: a documented read-compat slow path, exercised against
+    independently written (pyarrow ORC LZ4) files in tests."""
+    src = bytes(src)
+    pos, n = 0, len(src)
+    out = bytearray()
+    while pos < n:
+        token = src[pos]
+        pos += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[pos]
+                pos += 1
+                lit += b
+                if b != 255:
+                    break
+        out += src[pos: pos + lit]
+        pos += lit
+        if pos >= n:
+            break  # final sequence carries literals only
+        offset = src[pos] | (src[pos + 1] << 8)
+        pos += 2
+        ml = token & 0xF
+        if ml == 15:
+            while True:
+                b = src[pos]
+                pos += 1
+                ml += b
+                if b != 255:
+                    break
+        ml += 4
+        start = len(out) - offset
+        if offset >= ml:
+            out += out[start: start + ml]
+        else:  # overlapping match: byte-at-a-time per the format
+            for i in range(ml):
+                out.append(out[start + i])
+    return bytes(out)
+
 
 def _compress_one(codec: str, raw: bytes, level: int) -> bytes:
     if codec == "zlib":
         c = zlib.compressobj(level, zlib.DEFLATED, -15)  # raw deflate per ORC
         return c.compress(raw) + c.flush()
     if codec == "zstd":
-        return _zstd.ZstdCompressor(level=level).compress(raw)
+        if _HAS_ZSTD:
+            return _zstd.ZstdCompressor(level=level).compress(raw)
+        return _pa.Codec("zstd").compress(raw).to_pybytes()
+    if codec == "snappy":
+        return _pa.Codec("snappy").compress(raw).to_pybytes()
+    if codec == "lz4":
+        return _pa.Codec("lz4_raw").compress(raw).to_pybytes()
     if codec == "lzma":
         import lzma
 
@@ -36,11 +96,54 @@ def _compress_one(codec: str, raw: bytes, level: int) -> bytes:
     raise ValueError(f"unknown block codec {codec!r}")
 
 
+def _snappy_len(buf: bytes) -> int:
+    """Leading varint of a raw snappy stream = uncompressed length."""
+    out = shift = pos = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out
+        shift += 7
+
+
+def _zstd_content_size(buf: bytes) -> int:
+    """Frame-header content size of a zstd frame (RFC 8878 §3.1.1)."""
+    if int.from_bytes(buf[:4], "little") != 0xFD2FB528:
+        raise ValueError("not a zstd frame")
+    fhd = buf[4]
+    fcs_flag = fhd >> 6
+    single_segment = (fhd >> 5) & 1
+    pos = 5
+    if not single_segment:
+        pos += 1  # window descriptor
+    if fhd & 0x3:  # dictionary id field
+        pos += {1: 1, 2: 2, 3: 4}[fhd & 0x3]
+    if fcs_flag == 0:
+        if not single_segment:
+            raise ValueError("zstd frame without content size")
+        return buf[pos]
+    if fcs_flag == 1:
+        return int.from_bytes(buf[pos: pos + 2], "little") + 256
+    if fcs_flag == 2:
+        return int.from_bytes(buf[pos: pos + 4], "little")
+    return int.from_bytes(buf[pos: pos + 8], "little")
+
+
 def _decompress_one(codec: str, comp: bytes) -> bytes:
     if codec == "zlib":
         return zlib.decompress(comp, -15)
     if codec == "zstd":
-        return _zstd.ZstdDecompressor().decompress(comp)
+        if _HAS_ZSTD:
+            return _zstd.ZstdDecompressor().decompress(comp)
+        raw = bytes(comp)
+        return _pa.Codec("zstd").decompress(raw, _zstd_content_size(raw)).to_pybytes()
+    if codec == "snappy":
+        raw = bytes(comp)
+        return _pa.Codec("snappy").decompress(raw, _snappy_len(raw)).to_pybytes()
+    if codec == "lz4":
+        return lz4_block_decompress(comp)
     if codec == "lzma":
         import lzma
 
@@ -50,9 +153,17 @@ def _decompress_one(codec: str, comp: bytes) -> bytes:
 
 def available_codecs() -> list[str]:
     # the reference reads zlib/snappy/lzo/lz4/zstd (src/compression.rs:142-213);
-    # this container ships zlib + lzma (zstd when the module exists) — the
-    # block framing is codec-agnostic either way
-    return ["none", "zlib", "lzma"] + (["zstd"] if _HAS_ZSTD else [])
+    # zlib/lzma are stdlib, snappy/lz4/zstd ride on pyarrow's bundled
+    # codecs (lz4 decode is the pure-Python block decoder above). LZO has
+    # no available implementation in this container — documented gate.
+    out = ["none", "zlib", "lzma"]
+    if _HAS_ZSTD or _PA_ZSTD:
+        out.append("zstd")
+    if _PA_SNAPPY:
+        out.append("snappy")
+    if _PA_LZ4:
+        out.append("lz4")
+    return out
 
 
 def compress_stream(

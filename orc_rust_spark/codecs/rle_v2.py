@@ -78,7 +78,18 @@ def encode_rlev2(values: np.ndarray, signed: bool = True) -> bytes:
     change = np.flatnonzero(v[1:] != v[:-1]) + 1
     starts = np.concatenate(([0], change))
     lengths = np.diff(np.concatenate((starts, [v.size])))
-    is_fixed = lengths >= MIN_REPEAT
+    # Adaptive fixed-run threshold: churn-heavy data (mean run < MIN_REPEAT,
+    # e.g. dictionary indexes of a low-cardinality column) would fragment
+    # into one Python-level segment per 3-value repeat — ~100k segments for
+    # 200k values, each paying header-emission overhead, while a 3-10
+    # repeat saves almost nothing over packed-literal DIRECT blocks at
+    # small bit widths. Folding short repeats into the 512-value variable
+    # blocks is equally spec-valid RLEv2 (the reader accepts any run mix)
+    # and is both ~50x faster and smaller on such data. Runs >= 12 still
+    # become fixed-delta/short-repeat runs.
+    mean_run = v.size / starts.size
+    fixed_threshold = MIN_REPEAT if mean_run >= MIN_REPEAT else 12
+    is_fixed = lengths >= fixed_threshold
 
     # group consecutive non-fixed runs into variable spans
     i = 0

@@ -1,10 +1,15 @@
 """CLI chunk-table inspector — the analog of the reference's `orc` binary
-subcommands info/export/stats/layout (src/bin/orc/main.rs:31-66).
+subcommands info/export/stats/layout/index/bloom (src/bin/orc/main.rs:31-66,
+src/bin/orc/bloom.rs).
 
 Usage:
     python -m orc_rust_spark.inspect <chunks_dir> [info|stats|layout]
     python -m orc_rust_spark.inspect <chunks_dir> export <csv|json> <out_dir>
       (export needs <chunks_dir>/../schema.json, written by encode_dataset)
+    python -m orc_rust_spark.inspect <chunks_dir> index <column>
+      (per-row-group min/max of a row_index-encoded column)
+    python -m orc_rust_spark.inspect <chunks_dir> bloom <column> <value>
+      (test a value against every chunk's bloom filter)
 """
 
 from __future__ import annotations
@@ -88,8 +93,49 @@ def main(argv: list[str]) -> int:
         else:
             decoded.write.mode("overwrite").json(out_dir)
         print(f"exported to {out_dir}")
+    elif cmd == "index":
+        if len(argv) < 4:
+            print("usage: inspect <chunks_dir> index <column>")
+            return 2
+        import json as _json
+
+        col = argv[3]
+        rows = (
+            chunks.where(
+                (F.col("column") == col) & (F.col("stream_kind") == "DATA")
+            )
+            .select("part_id", "chunk_ord", "stats_json")
+            .orderBy("part_id", "chunk_ord")
+            .collect()
+        )
+        for r in rows:
+            rg = (_json.loads(r.stats_json) or {}).get("rg") if r.stats_json else None
+            if not rg:
+                print(f"chunk ({r.part_id},{r.chunk_ord}): no row index")
+                continue
+            print(f"chunk ({r.part_id},{r.chunk_ord}): stride={rg['stride']} "
+                  f"groups={len(rg['n'])}")
+            for g in range(len(rg["n"])):
+                print(f"  rg {g}: rows={rg['n'][g]} nulls={rg['nulls'][g]} "
+                      f"min={rg['min'][g]} max={rg['max'][g]}")
+    elif cmd == "bloom":
+        if len(argv) < 5:
+            print("usage: inspect <chunks_dir> bloom <column> <value>")
+            return 2
+        col, raw_val = argv[3], argv[4]
+        value = int(raw_val) if raw_val.lstrip("-").isdigit() else raw_val
+        from .operators.pruned_read import prune_chunks_bloom
+
+        total = chunks.select("part_id", "chunk_ord").distinct().count()
+        with_bloom = chunks.where(
+            (F.col("column") == col) & (F.col("stream_kind") == "BLOOM_FILTER")
+        ).count()
+        kept = prune_chunks_bloom(chunks, col, value).count()
+        print(f"chunks total        : {total}")
+        print(f"chunks with bloom   : {with_bloom}")
+        print(f"chunks maybe-contain: {kept}")
     else:
-        print(f"unknown command {cmd!r}; use info|stats|layout|export")
+        print(f"unknown command {cmd!r}; use info|stats|layout|export|index|bloom")
         return 2
     spark.stop()
     return 0

@@ -127,9 +127,13 @@ def _respace(dense: pa.Array, not_null: np.ndarray) -> pa.Array:
 
 
 def decode_chunk_arrays(
-    stream_rows: list[dict], col_kinds: dict[str, str | T.DataType]
+    stream_rows: list[dict], col_kinds: dict[str, str | T.DataType],
+    rg_keep: list[int] | None = None,
 ) -> dict[str, pa.Array]:
     """Decode one chunk's stream rows -> {column: pa.Array} (dense schema).
+
+    ``rg_keep``: row-group indexes to decode for chunks written with a
+    row index (operators.encode ROW_INDEX analog); None decodes all.
 
     ``stream_rows``: dicts with column/stream_kind/codec/block_codec/data/
     row_count/null_count/dict_size. ``col_kinds`` values are legacy string
@@ -142,10 +146,35 @@ def decode_chunk_arrays(
     by_col: dict[str, dict[str, dict]] = {}
     for r in stream_rows:
         by_col.setdefault(r["column"], {})[r["stream_kind"]] = r
-    return {
-        name: _decode_column(name, _as_datatype(kind), by_col)
-        for name, kind in col_kinds.items()
-    }
+    if rg_keep is None:
+        return {
+            name: _decode_column(name, _as_datatype(kind), by_col)
+            for name, kind in col_kinds.items()
+        }
+    # group-filtered decode: indexed columns skip straight to the kept
+    # groups; any non-indexed sibling decodes fully and is row-sliced to
+    # the same spans (all indexed columns of a chunk share one grid)
+    grid = None
+    for name in col_kinds:
+        grid = _rg_of(by_col[name])
+        if grid is not None:
+            break
+    out: dict[str, pa.Array] = {}
+    for name, kind in col_kinds.items():
+        dt = _as_datatype(kind)
+        if _rg_of(by_col[name]) is not None:
+            out[name] = _decode_column(name, dt, by_col, rg_keep=rg_keep)
+        else:
+            full = _decode_column(name, dt, by_col)
+            if grid is None:
+                out[name] = full
+            else:
+                spans = [full.slice(s, e - s) for s, e in rg_row_ranges(grid, rg_keep)]
+                out[name] = (
+                    pa.concat_arrays([p.combine_chunks() if hasattr(p, "combine_chunks") else p for p in spans])
+                    if spans else full.slice(0, 0)
+                )
+    return out
 
 
 def _int32_offsets(lengths: np.ndarray) -> pa.Array:
@@ -154,7 +183,69 @@ def _int32_offsets(lengths: np.ndarray) -> pa.Array:
     return pa.array(offsets, type=pa.int32())
 
 
-def _decode_column(name: str, dt: T.DataType, by_col: dict) -> pa.Array:
+def _rg_of(metas: dict) -> dict | None:
+    """Row-group index of a column, if its DATA row carries one."""
+    import json
+
+    data_meta = metas.get(ct.DATA)
+    sj = data_meta.get("stats_json") if data_meta else None
+    if not sj:
+        return None
+    try:
+        return json.loads(sj).get("rg")
+    except Exception:
+        return None
+
+
+def _decode_column_rg(
+    name: str, dt: T.DataType, metas: dict, streams: dict, rg: dict,
+    keep: list[int] | None,
+) -> pa.Array:
+    """Decode a row-group-indexed column group by group (E19 skip driven
+    from a predicate: groups not in ``keep`` are never RLE-decoded —
+    reference src/row_index.rs seek-positions analog). Each group's
+    sub-streams are self-contained slices at the recorded offsets."""
+    n_groups = len(rg["n"])
+    groups = range(n_groups) if keep is None else keep
+    parts = []
+    for g in groups:
+        sub: dict[str, dict] = {}
+        for kind, buf in streams.items():
+            off = rg["off"].get(kind)
+            if off is None:
+                continue
+            seg = buf[off[g]: off[g + 1]]
+            if len(seg) == 0 and kind != ct.DATA:
+                continue  # e.g. PRESENT absent for a null-free group
+            sub[kind] = {
+                "column": name,
+                "stream_kind": kind,
+                "codec": rg["codec"],
+                "block_codec": "none",
+                "data": seg,
+                "row_count": int(rg["n"][g]),
+                "null_count": int(rg["nulls"][g]),
+                "dict_size": int(rg["dict_size"][g]),
+                "stats_json": None,
+            }
+        parts.append(_decode_column(name, dt, {name: sub}))
+    if not parts:
+        return pa.array([], type=_arrow_of(dt))
+    if len(parts) == 1:
+        return parts[0]
+    return pa.concat_arrays([p.cast(parts[0].type) for p in parts])
+
+
+def rg_row_ranges(rg: dict, keep: list[int]) -> list[tuple[int, int]]:
+    """Row (start, stop) spans of the kept groups in chunk row space."""
+    bounds = np.zeros(len(rg["n"]) + 1, dtype=np.int64)
+    np.cumsum(np.asarray(rg["n"], dtype=np.int64), out=bounds[1:])
+    return [(int(bounds[g]), int(bounds[g + 1])) for g in keep]
+
+
+def _decode_column(
+    name: str, dt: T.DataType, by_col: dict, rg_keep: list[int] | None = None
+) -> pa.Array:
     metas = by_col[name]
     streams = {
         # data may be bytes (pandas path) or a zero-copy memoryview
@@ -162,6 +253,9 @@ def _decode_column(name: str, dt: T.DataType, by_col: dict) -> pa.Array:
         k: blockc.decompress_stream(r["data"], r["block_codec"])
         for k, r in metas.items()
     }
+    rg = _rg_of(metas)
+    if rg is not None:
+        return _decode_column_rg(name, dt, metas, streams, rg, rg_keep)
     any_meta = next(iter(metas.values()))
     n = int(any_meta["row_count"])
     null_count = int(any_meta["null_count"])
@@ -266,12 +360,14 @@ def _decode_column(name: str, dt: T.DataType, by_col: dict) -> pa.Array:
 def _rows_to_stream_dicts(pdf: pd.DataFrame) -> list[dict]:
     return pdf[
         ["column", "stream_kind", "codec", "block_codec", "data",
-         "row_count", "null_count", "dict_size"]
+         "row_count", "null_count", "dict_size", "stats_json"]
     ].to_dict("records")
 
 
-def decode_chunk_pdf(pdf: pd.DataFrame, col_kinds: dict) -> pd.DataFrame:
-    arrays = decode_chunk_arrays(_rows_to_stream_dicts(pdf), col_kinds)
+def decode_chunk_pdf(
+    pdf: pd.DataFrame, col_kinds: dict, rg_keep: list[int] | None = None
+) -> pd.DataFrame:
+    arrays = decode_chunk_arrays(_rows_to_stream_dicts(pdf), col_kinds, rg_keep=rg_keep)
     cols = {}
     for name, arr in arrays.items():
         kind = _kind_of(_as_datatype(col_kinds[name]))
@@ -330,7 +426,7 @@ def decode_table_arrow(
         [pa.field(f.name, _arrow_of(f.dataType)) for f in schema.fields]
     )
     names = [f.name for f in schema.fields]
-    META_COLS = ("column", "stream_kind", "codec", "block_codec")
+    META_COLS = ("column", "stream_kind", "codec", "block_codec", "stats_json")
 
     def decode_iter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         # IMPORTANT lifetime rule: PySpark's Arrow stream reader may reuse
@@ -381,6 +477,7 @@ def decode_table_arrow(
                     "row_count": int(row_count[i]),
                     "null_count": int(null_count[i]),
                     "dict_size": int(dict_size[i]),
+                    "stats_json": meta["stats_json"][i],
                 }
 
             bounds = np.flatnonzero(np.diff(keys)) + 1

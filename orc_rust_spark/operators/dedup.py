@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 
 from .text_analysis import fingerprint_col
 
+MERSENNE61 = (1 << 61) - 1
+
 
 def _tokens(text: Column) -> Column:
     return F.split(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+")
@@ -120,8 +122,18 @@ def minhash_signatures(
         .select(F.col(id_col).alias("id"), F.explode(_shingles(F.col(text_col), n)).alias("s"))
     )
     if hash_family == "md5":
+        # one md5 per shingle; perm_i = (h1 + i*h2) mod (2^61-1) with
+        # h1 = top 60 bits, h2 = next 32 bits of the hex digest — the
+        # classic two-hash permutation family, in integer arithmetic both
+        # Spark and DuckDB evaluate identically (no overflow: h1 < 2^60,
+        # i*h2 < 2^37)
+        sh = sh.withColumn("mh", F.md5(F.col("s"))).select(
+            "id",
+            F.conv(F.substring(F.col("mh"), 1, 15), 16, 10).cast("bigint").alias("h1"),
+            F.conv(F.substring(F.col("mh"), 16, 8), 16, 10).cast("bigint").alias("h2"),
+        )
         aggs = [
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+            F.min(F.pmod(F.col("h1") + F.lit(i) * F.col("h2"), F.lit(MERSENNE61))).alias(f"h{i}")
             for i in range(num_perm)
         ]
     else:
@@ -158,7 +170,9 @@ def minhash_lsh_pairs(
                              id_col=id_col, hash_family=hash_family)
     if hash_family == "md5":
         def _bucket(b):
-            return F.md5(F.concat_ws("|", *[F.col("minhash")[b * rows + r] for r in range(rows)]))
+            return F.md5(F.concat_ws(
+                "|", *[F.col("minhash")[b * rows + r].cast("string") for r in range(rows)]
+            ))
     else:
         def _bucket(b):
             return F.xxhash64(*[F.col("minhash")[b * rows + r] for r in range(rows)])
@@ -211,17 +225,20 @@ def _simhash_bitsums(
         .where(F.length("t") > 0)
     )
     if hash_family == "md5":
-        # 64 bits from the 16 leading hex digits of md5(token): bit j is
-        # bit (j%4) of digit (j//4). md5 is identical in DuckDB, which is
-        # what lets the SQL oracle recompute the same simhashes.
-        tok = tok.withColumn("h", F.md5(F.col("t")))
-        digits = [
-            F.conv(F.substring(F.col("h"), k + 1, 1), 16, 10).cast("int").alias(f"d{k}")
-            for k in range(16)
-        ]
-        tok = tok.select("id", *digits)
+        # 64 bits from the 16 leading hex digits of md5(token), parsed as
+        # two big-endian ints (60 + 4 bits): bit j of the simhash is bit
+        # (59 - j... no —) bit j is bit j of hlo for j < 60, else bit
+        # (j - 60) of hhi. md5 is identical in DuckDB, which is what lets
+        # the SQL oracle recompute the same simhashes.
+        tok = tok.withColumn("h", F.md5(F.col("t"))).select(
+            "id",
+            F.conv(F.substring(F.col("h"), 1, 15), 16, 10).cast("bigint").alias("hlo"),
+            F.conv(F.substring(F.col("h"), 16, 1), 16, 10).cast("bigint").alias("hhi"),
+        )
         def bit(j):
-            return F.shiftright(F.col(f"d{j // 4}"), j % 4).bitwiseAND(F.lit(1))
+            if j < 60:
+                return F.shiftright(F.col("hlo"), j).bitwiseAND(F.lit(1)).cast("int")
+            return F.shiftright(F.col("hhi"), j - 60).bitwiseAND(F.lit(1)).cast("int")
     else:
         tok = tok.withColumn("h", F.xxhash64("t"))
         def bit(j):

@@ -139,8 +139,112 @@ def _offsets_lengths(arr: pa.Array) -> np.ndarray:
     return np.diff(offs)
 
 
+ROW_INDEX_STRIDE = 10_000  # reference row-group stride (src/stripe.rs:300)
+
+
+def _encode_column_row_groups(name: str, arr: pa.Array, col_plan: dict, emit) -> None:
+    """Row-group-indexed encode: the column is encoded per 10,000-row group
+    (reference ROW_INDEX analog, src/row_index.rs:31-55) by re-invoking the
+    ordinary column encoder on each slice; the per-group sub-streams are
+    concatenated per stream kind, and stats_json carries per-group
+    min/max/null_count plus byte offsets into each (uncompressed) stream so
+    a reader can seek to and decode ONLY the groups a predicate may match.
+    """
+    n = len(arr)
+    stride = int(col_plan.get("row_index_stride", ROW_INDEX_STRIDE))
+    sub_plan = {k: v for k, v in col_plan.items() if k not in ("row_index", "bloom")}
+    sub_plan["block_codec"] = "none"  # compression is applied to the merged stream
+    groups: list[list] = []
+    t0 = time.perf_counter()
+    for g_start in range(0, n, stride):
+        captured: list[tuple] = []
+
+        def sub_emit(_name, kind, codec, data_bytes, *, n, null_count=0, dict_size=0,
+                     raw=0, minv=None, maxv=None, ms=0.0, stats=None, block_codec="none"):
+            captured.append((kind, codec, data_bytes, n, null_count, dict_size,
+                             raw, minv, maxv))
+
+        _encode_column(name, arr.slice(g_start, stride), sub_plan, sub_emit)
+        groups.append(captured)
+
+    kinds: list[str] = []
+    for cap in groups:
+        for k, *_ in cap:
+            if k not in kinds:
+                kinds.append(k)
+    merged: dict[str, bytearray] = {k: bytearray() for k in kinds}
+    offsets: dict[str, list[int]] = {k: [0] for k in kinds}
+    rg = {"stride": stride, "n": [], "nulls": [], "dict_size": [],
+          "min": [], "max": [], "codec": None, "off": offsets}
+    raw_total = 0
+    for cap in groups:
+        by_kind = {k: (codec, data, n_g, nc, ds, raw, mn, mx)
+                   for k, codec, data, n_g, nc, ds, raw, mn, mx in cap}
+        for k in kinds:
+            if k in by_kind:
+                merged[k].extend(by_kind[k][1])
+            offsets[k].append(len(merged[k]))
+        data_row = by_kind[ct.DATA]
+        rg["codec"] = data_row[0]
+        rg["n"].append(data_row[2])
+        rg["nulls"].append(data_row[3])
+        rg["dict_size"].append(data_row[4])
+        raw_total += data_row[5]
+        rg["min"].append(data_row[6])
+        rg["max"].append(data_row[7])
+    non_null_min = [m for m in rg["min"] if m is not None]
+    non_null_max = [m for m in rg["max"] if m is not None]
+    # group stats are strings of a monotone encoding per type, so chunk
+    # stats = min/max of TYPED group values; parse via the codec kind
+    numeric = rg["codec"] in ("rle_v2", "byte_rle", "date", "decimal", "timestamp_split")
+    floaty = rg["codec"] == "float_plain"
+    if non_null_min:
+        if numeric:
+            minv = str(min(int(m) for m in non_null_min))
+            maxv = str(max(int(m) for m in non_null_max))
+        elif floaty:
+            minv = repr(min(float(m) for m in non_null_min))
+            maxv = repr(max(float(m) for m in non_null_max))
+        else:
+            minv, maxv = min(non_null_min), max(non_null_max)
+    else:
+        minv = maxv = None
+    ms = (time.perf_counter() - t0) * 1000
+    total_nulls = int(sum(rg["nulls"]))
+    for k in kinds:
+        data_bytes = bytes(merged[k])
+        bc = (col_plan.get("block_codec", "zlib")
+              if len(data_bytes) >= BLOCK_MIN_BYTES and k != ct.SYMBOL_TABLE else "none")
+        is_data = k == ct.DATA  # the rg index + chunk stats ride on DATA
+        emit(name, k, rg["codec"], data_bytes,
+             n=n, null_count=total_nulls, dict_size=0,
+             raw=raw_total if is_data else 0,
+             minv=minv if is_data else None, maxv=maxv if is_data else None,
+             ms=ms if is_data else 0.0, stats={"rg": rg} if is_data else None,
+             block_codec=bc)
+
+    if col_plan.get("bloom"):
+        from ..codecs.bloom import BloomFilter
+
+        dense = arr.drop_null()
+        bf = BloomFilter.for_expected(len(dense))
+        if pa.types.is_integer(arr.type):
+            bf.add_i64(dense.to_numpy(zero_copy_only=False).astype(np.int64))
+        else:
+            bdata, boffs = _flatten_large_binary(dense.cast(pa.large_binary()))
+            bf.add_bytes(bdata, boffs)
+        emit(name, ct.BLOOM_FILTER, rg["codec"], bf.serialize(), n=n,
+             null_count=total_nulls)
+
+
 def _encode_column(name: str, arr: pa.Array, col_plan: dict, emit) -> None:
     n = len(arr)
+    if col_plan.get("row_index") and not (
+        pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
+        or pa.types.is_struct(arr.type) or pa.types.is_map(arr.type)
+    ):
+        _encode_column_row_groups(name, arr, col_plan, emit)
+        return
     block_codec_pref = col_plan.get("block_codec", "zlib")
     t0 = time.perf_counter()
     null_count = arr.null_count

@@ -127,6 +127,69 @@ def pruned_point_lookup(
     return decoded.where(F.col(column) == F.lit(value)), keys
 
 
+def _rg_keep_groups(rg: dict, eq_value=None, lo=None, hi=None) -> list[int]:
+    """Row groups whose [min,max] may intersect the predicate (typed —
+    group stats are strings of the codec's monotone integer/float/string
+    encoding; reference row_group_filter.rs three-valued semantics)."""
+    if eq_value is not None:
+        lo = hi = eq_value
+    numeric = rg["codec"] in ("rle_v2", "byte_rle", "date", "decimal", "timestamp_split")
+    floaty = rg["codec"] == "float_plain"
+
+    def parse(s):
+        if s is None:
+            return None
+        return int(s) if numeric else float(s) if floaty else s
+
+    keep = []
+    for g in range(len(rg["n"])):
+        mn, mx = parse(rg["min"][g]), parse(rg["max"][g])
+        if mn is None:  # no stats (all-null group): keep
+            keep.append(g)
+            continue
+        if lo is not None and mx < lo:
+            continue
+        if hi is not None and mn > hi:
+            continue
+        keep.append(g)
+    return keep
+
+
+def pruned_point_lookup_rg(
+    chunks: DataFrame, schema: T.StructType, column: str, value
+) -> tuple[DataFrame, DataFrame]:
+    """Point lookup with ROW-GROUP granularity: chunk stats + bloom prune
+    whole chunks, then each surviving chunk decodes ONLY the 10k-row
+    groups whose per-group min/max may match — the reference's row-index
+    seek model (src/row_index.rs:31-55, stride src/stripe.rs:300). The
+    chunk table must have been encoded with plan {col: {"row_index": True}}
+    on every column.
+    """
+    import json
+
+    from .decode import decode_chunk_arrays, decode_chunk_pdf
+
+    keys = prune_chunks_stats(chunks, column, eq_value=value).intersect(
+        prune_chunks_bloom(chunks, column, value)
+    )
+    pruned = chunks.join(F.broadcast(keys), ["part_id", "chunk_ord"], "left_semi")
+    col_types = {f.name: f.dataType for f in schema.fields}
+
+    def decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        keep = None
+        sel = pdf[(pdf["column"] == column) & (pdf["stream_kind"] == ct.DATA)]
+        for sj in sel["stats_json"]:
+            if sj:
+                rg = json.loads(sj).get("rg")
+                if rg:
+                    keep = _rg_keep_groups(rg, eq_value=value)
+                break
+        return decode_chunk_pdf(pdf, col_types, rg_keep=keep)
+
+    decoded = pruned.groupBy("part_id", "chunk_ord").applyInPandas(decode_group, schema=schema)
+    return decoded.where(F.col(column) == F.lit(value)), keys
+
+
 def pruned_range_scan(
     chunks: DataFrame, schema: T.StructType, column: str, lo, hi
 ) -> tuple[DataFrame, DataFrame]:

@@ -1,0 +1,90 @@
+"""Row-group index (10k stride) encode/decode + group-skipping lookups —
+the reference's ROW_INDEX / RowSelection analog (src/row_index.rs:31-55,
+src/row_selection.rs applied in src/array_decoder/mod.rs:301-364)."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from orc_rust_spark.operators.decode import decode_chunk_arrays
+from orc_rust_spark.operators.encode import encode_chunk
+from orc_rust_spark.operators.pruned_read import _rg_keep_groups, pruned_point_lookup_rg
+
+RG_PLAN = {
+    "id": {"row_index": True, "row_index_stride": 1000, "bloom": True},
+    "name": {"row_index": True, "row_index_stride": 1000},
+    "val": {"row_index": True, "row_index_stride": 1000},
+}
+
+
+def _chunk(n=5000):
+    rng = np.random.default_rng(5)
+    tbl = pa.table({
+        "id": pa.array(np.arange(n) * 3),
+        "name": pa.array(
+            [None if i % 97 == 0 else f"u{i % 40:03d}" for i in range(n)]
+        ),
+        "val": pa.array(rng.random(n)),
+    })
+    return tbl, encode_chunk(tbl, 0, 0, RG_PLAN)
+
+
+TYPES = {"id": T.LongType(), "name": T.StringType(), "val": T.DoubleType()}
+
+
+def test_rg_full_decode_roundtrip():
+    tbl, batch = _chunk()
+    out = decode_chunk_arrays(batch.to_pylist(), TYPES)
+    for c in tbl.column_names:
+        assert out[c].cast(tbl.column(c).type).equals(tbl.column(c).combine_chunks())
+
+
+def test_rg_stats_recorded():
+    _, batch = _chunk()
+    rows = [r for r in batch.to_pylist()
+            if r["column"] == "id" and r["stream_kind"] == "DATA"]
+    rg = json.loads(rows[0]["stats_json"])["rg"]
+    assert len(rg["n"]) == 5 and sum(rg["n"]) == 5000
+    assert int(rg["min"][0]) == 0 and int(rg["max"][0]) == 999 * 3
+    assert int(rg["min"][4]) == 4000 * 3
+
+
+def test_rg_partial_decode_matches_slices():
+    tbl, batch = _chunk()
+    out = decode_chunk_arrays(batch.to_pylist(), TYPES, rg_keep=[1, 3])
+    want_idx = list(range(1000, 2000)) + list(range(3000, 4000))
+    for c in tbl.column_names:
+        want = tbl.column(c).combine_chunks().take(pa.array(want_idx))
+        assert out[c].cast(want.type).equals(want), c
+
+
+def test_rg_keep_groups_typed():
+    rg = {"codec": "rle_v2", "n": [10, 10], "min": ["90", "995"], "max": ["99", "1004"]}
+    assert _rg_keep_groups(rg, lo=500) == [1]
+    assert _rg_keep_groups(rg, eq_value=998) == [1]
+    assert _rg_keep_groups(rg, hi=99) == [0]
+
+
+def test_pruned_point_lookup_rg_end_to_end(spark):
+    n = 20000
+    df = spark.createDataFrame(
+        [(i * 3, f"u{i % 40:03d}", float(i)) for i in range(n)],
+        "id long, name string, val double",
+    ).repartitionByRange(2, "id")
+    from orc_rust_spark.operators.encode import encode_table
+
+    chunks = encode_table(df, plan=RG_PLAN).cache()
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("val", T.DoubleType()),
+    ])
+    target = (n - 1) * 3
+    rows, keys = pruned_point_lookup_rg(chunks, schema, "id", target)
+    got = rows.collect()
+    assert len(got) == 1 and got[0].id == target and got[0].val == float(n - 1)
+    assert keys.count() == 1  # chunk-level pruning still applies
