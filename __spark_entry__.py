@@ -203,6 +203,42 @@ def q_orc_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orc_file_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side ORC interop: lineitem written to a real ORC file by THIS
+    engine's writer (write_orc — our encoders + hand-built protobuf tail,
+    reference arrow_writer.rs analog), then scanned back stripe-parallel
+    by our reader and aggregated. pytest additionally asserts pyarrow's
+    liborc reads the same files bit-identically."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from orc_rust_spark.sources.orc_file import orc_scan, write_orc
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    orc_path = f"/tmp/orc_rust_spark_interop/lineitem_ours_{sf_tag}.orc"
+    if not os.path.exists(orc_path):
+        os.makedirs(os.path.dirname(orc_path), exist_ok=True)
+        tbl = pq.read_table(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"],
+        )
+        write_orc(tbl, orc_path, compression="zlib", stripe_rows=100_000)
+    df = orc_scan(
+        spark, orc_path,
+        schema="l_orderkey long, l_quantity double, l_returnflag string, "
+               "l_shipdate timestamp_ntz",
+    )
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+        F.min("l_orderkey").alias("min_ok"),
+        F.max("l_orderkey").alias("max_ok"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
 def q_stats_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-statistics collection (reference §2.4 statistics.rs analog)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -401,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_struct_map": q_roundtrip_struct_map,
         "roundtrip_date_decimal128": q_roundtrip_date_decimal128,
         "orc_file_scan": q_orc_file_scan,
+        "orc_file_write": q_orc_file_write,
         "stats_collection": q_stats_collection,
         "dictionary_cardinality": q_dictionary_cardinality,
         "predicate_pushdown": q_predicate_pushdown,
@@ -587,6 +624,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CAST(concat(CAST(l_orderkey AS VARCHAR), "
             "'00000000000000000000') AS DECIMAL(38,0)) AS VARCHAR) AS wide_str "
             "FROM lineitem",
+        "orc_file_write":
+            "SELECT l_returnflag, "
+            "CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, "
+            "min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok, "
+            "min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship "
+            "FROM lineitem GROUP BY l_returnflag",
         "orc_file_scan":
             "SELECT l_returnflag, l_linestatus, "
             "CAST(count(*) AS BIGINT) AS cnt, "

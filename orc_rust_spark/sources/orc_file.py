@@ -342,6 +342,171 @@ def orc_to_table(path: str) -> pa.Table:
     return pa.concat_tables(parts) if parts else pa.table({})
 
 
+# --- write side: emit real ORC v1 files from this engine's streams -----------
+
+
+def _pb_varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _pb_field(fno: int, wt: int, payload) -> bytes:
+    tag = _pb_varint((fno << 3) | wt)
+    if wt == 0:
+        return tag + _pb_varint(payload)
+    return tag + _pb_varint(len(payload)) + bytes(payload)
+
+
+_ARROW_TO_ORC_KIND = [
+    (pa.types.is_boolean, K_BOOLEAN),
+    (lambda t: pa.types.is_integer(t) and t.bit_width == 8, K_BYTE),
+    (lambda t: pa.types.is_integer(t) and t.bit_width == 16, K_SHORT),
+    (lambda t: pa.types.is_integer(t) and t.bit_width == 32, K_INT),
+    (lambda t: pa.types.is_integer(t) and t.bit_width == 64, K_LONG),
+    (lambda t: pa.types.is_float32(t), K_FLOAT),
+    (lambda t: pa.types.is_float64(t), K_DOUBLE),
+    (lambda t: pa.types.is_string(t) or pa.types.is_large_string(t), K_STRING),
+    (lambda t: pa.types.is_binary(t) or pa.types.is_large_binary(t), K_BINARY),
+    (pa.types.is_timestamp, K_TIMESTAMP),
+    (pa.types.is_date32, K_DATE),
+    (pa.types.is_decimal, K_DECIMAL),
+]
+
+# our chunk-table stream kinds -> proto::Stream::Kind
+_KIND_TO_ORC = {
+    "PRESENT": S_PRESENT, "DATA": S_DATA, "LENGTH": S_LENGTH,
+    "DICTIONARY_DATA": S_DICTIONARY_DATA, "SECONDARY": S_SECONDARY,
+}
+# within a column, the file-order of stream kinds we emit
+_STREAM_ORDER = ["PRESENT", "DATA", "LENGTH", "DICTIONARY_DATA", "SECONDARY"]
+
+
+def _orc_kind_of(t: pa.DataType) -> int:
+    for pred, kind in _ARROW_TO_ORC_KIND:
+        if pred(t):
+            return kind
+    raise NotImplementedError(f"no ORC mapping for arrow type {t}")
+
+
+def write_orc(table: pa.Table, path: str, compression: str = "zlib",
+              stripe_rows: int = 100_000) -> None:
+    """Write a flat-schema Arrow table as a REAL Apache ORC v1 file using
+    this engine's encoders — the reference ArrowWriter analog
+    (src/arrow_writer.rs:71-259, stripe flush src/writer/stripe.rs:109-165).
+    The output is independently readable by pyarrow.orc (asserted in
+    tests): magic, stripes with PRESENT/DATA/LENGTH/DICTIONARY_DATA/
+    SECONDARY streams from our RLEv2/byte-RLE/boolean/float/decimal/
+    timestamp codecs, protobuf StripeFooter/Footer/PostScript, optional
+    zlib block compression on every stream and on the tail.
+    """
+    from ..operators.encode import encode_chunk
+
+    comp_enum = {"none": 0, "zlib": 1, "snappy": 2, "lz4": 4, "zstd": 5}[compression]
+
+    def maybe_compress(b: bytes) -> bytes:
+        return b if compression == "none" else blockc.compress_stream(b, compression)
+
+    # column ids: root struct = 0, children 1..n (flat schema)
+    names = table.column_names
+    kinds = [_orc_kind_of(table.schema.field(n).type) for n in names]
+
+    out = bytearray(MAGIC)
+    stripe_infos = []
+    plan = {n: {"block_codec": "none"} for n in names}
+    for start in range(0, max(table.num_rows, 1), stripe_rows):
+        sl = table.slice(start, stripe_rows)
+        if sl.num_rows == 0:
+            break
+        batch = encode_chunk(sl, 0, 0, plan)
+        rows = batch.to_pylist()
+        by_col: dict[str, dict[str, dict]] = {}
+        for r in rows:
+            by_col.setdefault(r["column"], {})[r["stream_kind"]] = r
+        offset = len(out)
+        stream_protos = []
+        data_len = 0
+        enc_protos = [_pb_field(1, 0, E_DIRECT)]  # root struct encoding
+        for col_idx, name in enumerate(names, start=1):
+            col = by_col[name]
+            codec = col["DATA"]["codec"]
+            for sk in _STREAM_ORDER:
+                if sk not in col:
+                    continue
+                payload = maybe_compress(bytes(col[sk]["data"]))
+                out.extend(payload)
+                stream_protos.append(
+                    _pb_field(1, 0, _KIND_TO_ORC[sk])
+                    + _pb_field(2, 0, col_idx)
+                    + _pb_field(3, 0, len(payload))
+                )
+                data_len += len(payload)
+            if codec == "dict":
+                enc = _pb_field(1, 0, E_DICTIONARY_V2) + _pb_field(
+                    2, 0, int(col["DATA"]["dict_size"])
+                )
+            elif codec in ("boolean_rle", "byte_rle", "float_plain"):
+                enc = _pb_field(1, 0, E_DIRECT)
+            else:  # rle_v2-based codecs
+                enc = _pb_field(1, 0, E_DIRECT_V2)
+            enc_protos.append(enc)
+        sf = b"".join(_pb_field(1, 2, s) for s in stream_protos)
+        sf += b"".join(_pb_field(2, 2, e) for e in enc_protos)
+        sf += _pb_field(3, 2, b"UTC")  # writerTimezone
+        sf_bytes = maybe_compress(sf)
+        out.extend(sf_bytes)
+        stripe_infos.append(
+            _pb_field(1, 0, offset)          # offset
+            + _pb_field(2, 0, 0)             # indexLength
+            + _pb_field(3, 0, data_len)      # dataLength
+            + _pb_field(4, 0, len(sf_bytes))  # footerLength
+            + _pb_field(5, 0, sl.num_rows)   # numberOfRows
+        )
+
+    # footer: types (pre-order: root struct + children), stripes, row count
+    root_type = _pb_field(1, 0, K_STRUCT)
+    for i, name in enumerate(names, start=1):
+        root_type += _pb_field(2, 0, i)  # subtypes (unpacked varints)
+    for name in names:
+        root_type += _pb_field(3, 2, name.encode())
+    type_protos = [root_type]
+    for name, k in zip(names, kinds):
+        tp = _pb_field(1, 0, k)
+        t = table.schema.field(name).type
+        if pa.types.is_decimal(t):
+            tp += _pb_field(5, 0, t.precision) + _pb_field(6, 0, t.scale)
+        type_protos.append(tp)
+    content_len = len(out) - len(MAGIC)
+    footer = _pb_field(1, 0, len(MAGIC))           # headerLength
+    footer += _pb_field(2, 0, content_len)         # contentLength
+    footer += b"".join(_pb_field(3, 2, s) for s in stripe_infos)
+    footer += b"".join(_pb_field(4, 2, t) for t in type_protos)
+    footer += _pb_field(6, 0, table.num_rows)
+    footer += _pb_field(8, 0, 10_000)              # rowIndexStride
+    footer_bytes = maybe_compress(footer)
+    out.extend(footer_bytes)
+
+    ps = _pb_field(1, 0, len(footer_bytes))        # footerLength
+    ps += _pb_field(2, 0, comp_enum)               # compression
+    if compression != "none":
+        ps += _pb_field(3, 0, blockc.DEFAULT_BLOCK_SIZE)
+    ps += _pb_field(4, 0, 0)                       # version major 0
+    ps += _pb_field(4, 0, 12)                      # version minor 12
+    ps += _pb_field(5, 0, 0)                       # metadataLength
+    ps += _pb_field(6, 0, 1)                       # writerVersion
+    ps += _pb_field(8000, 2, MAGIC)                # magic
+    out.extend(ps)
+    out.append(len(ps))
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+
+
 def orc_scan(spark, path: str, schema) -> "pyspark.sql.DataFrame":  # noqa: F821
     """Distributed ORC scan: one task per stripe (the reference's byte-range
     split model, src/arrow_reader.rs:358-372) — each task seeks to its
