@@ -359,6 +359,56 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming surface: the documents table is ingested by a
+    file-source readStream, encoded micro-batch by micro-batch
+    (foreachBatch -> chunk parquet, checkpointed), drained with
+    availableNow, then the accumulated chunk table is decoded back — the
+    continuously-crawled-corpus path. Oracle: identity over documents."""
+    import shutil
+    import uuid
+
+    from orc_rust_spark.operators.decode import decode_table_arrow
+    from orc_rust_spark.streaming.encode_stream import encode_stream
+
+    import os
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet").select(*cols)
+    out = f"/tmp/orc_rust_spark_stream/{uuid.uuid4().hex}"
+    shutil.rmtree(out, ignore_errors=True)
+    # the file stream source needs a DIRECTORY; symlink the (read-only)
+    # testdata file into a scratch input dir
+    in_dir = os.path.join(out, "in")
+    os.makedirs(in_dir)
+    os.symlink(f"{sf_dir}/documents.parquet", os.path.join(in_dir, "documents.parquet"))
+    q = encode_stream(spark, in_dir, out, plan={}, trigger_once=True, schema=src.schema)
+    q.awaitTermination()
+    chunks = spark.read.parquet(f"{out}/chunks")
+    return decode_table_arrow(chunks, src.schema).select(*cols)
+
+
+def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing end to end: deterministic fake
+    media payloads (arithmetic header, SQL-predictable) are packed into a
+    binary column, shipped through Arrow batches, and parsed back by the
+    mapInPandas feature extractor. Real decode stays stubbed (no imaging
+    libs in this container) — the schema/batching/UDF plumbing is what
+    this verifies."""
+    from orc_rust_spark.operators.multimodal import (
+        extract_media_features,
+        synth_media_table,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    media = synth_media_table(docs, id_col="doc_id")
+    feats = extract_media_features(media, frame_stride=30, fake=True)
+    return feats.select(
+        "media_id", "width", "height", "n_frames", "payload_bytes",
+        F.size("sampled_frames").alias("n_sampled"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orc_rust_spark.operators.dedup import exact_dedup
 
@@ -420,6 +470,31 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(vecs, dim=p["dim"], k=p["k"], planes=planes)
 
 
+IVF_PARAMS = dict(n_centroids=16, iters=5, seed=13, sample_rows=4096, k=5)
+
+
+def _ivf_centroids_for(sf_dir: str) -> list[list[float]]:
+    from orc_rust_spark.operators.similarity import (
+        ivf_sample_from_parquet,
+        train_ivf_centroids,
+    )
+
+    p = IVF_PARAMS
+    x = ivf_sample_from_parquet(f"{sf_dir}/embeddings.parquet", p["sample_rows"])
+    return train_ivf_centroids(x, p["n_centroids"], p["iters"], p["seed"])
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic k-means coarse quantizer
+    (trained on a fixed sample), candidates restricted to the query's own
+    inverted list. The oracle re-trains the IDENTICAL centroids from the
+    same parquet (pure NumPy, no Spark) and inlines them as literals."""
+    from orc_rust_spark.operators.similarity import ivf_topk
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(vecs, _ivf_centroids_for(sf_dir), k=IVF_PARAMS["k"])
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orc_rust_spark.operators.similarity import embedding_neardup_pairs
 
@@ -444,12 +519,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pruned_point_lookup": q_pruned_point_lookup,
         "pruned_predicate_scan": q_pruned_predicate_scan,
         "text_analysis": q_text_analysis,
+        "multimodal_extract": q_multimodal_extract,
+        "streaming_encode": q_streaming_encode,
         "dedup_exact": q_dedup_exact,
         "word_jaccard_pairs": q_word_jaccard_pairs,
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
         "simhash_neardup": q_simhash_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
     }
 
@@ -598,6 +676,48 @@ def _ann_lsh_oracle_sql() -> str:
     """
 
 
+def _ann_ivf_oracle_sql() -> str:
+    """DuckDB re-implementation of q_ann_ivf_topk: the centroids are
+    re-trained from the same parquet sample with the same NumPy code at
+    SQL-build time and inlined as literals; assignment uses the identical
+    first-occurrence argmax (list_indexof of list_max)."""
+    centroids = _ivf_centroids_for("/root/testdata/sf0.01")
+
+    def dot(plane: list[float]) -> str:
+        lits = ", ".join(repr(x) for x in plane)
+        return (
+            f"list_sum(list_transform(list_zip(embedding, [{lits}]), "
+            "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        )
+
+    sims = ", ".join(dot(c) for c in centroids)
+    cos = (
+        "list_sum(list_transform(list_zip(q.embedding, c.embedding), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / "
+        "(sqrt(list_sum(list_transform(q.embedding, "
+        "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(c.embedding, "
+        "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))"
+    )
+    return f"""
+        WITH s AS (
+          SELECT vec_id, embedding, [{sims}] AS sims FROM embeddings
+        ), b AS (
+          SELECT vec_id, embedding,
+                 CAST(list_indexof(sims, list_max(sims)) - 1 AS INT) AS cluster
+          FROM s
+        )
+        SELECT vec_id, rank, neighbor_id, cosine FROM (
+          SELECT q.vec_id, c.vec_id AS neighbor_id, round({cos}, 6) AS cosine,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round({cos}, 6) DESC, c.vec_id ASC
+                 ) AS rank
+          FROM b q JOIN b c ON q.cluster = c.cluster AND q.vec_id != c.vec_id
+        ) WHERE rank <= {IVF_PARAMS["k"]}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "roundtrip_documents":
@@ -696,6 +816,16 @@ def oracle_sql() -> dict[str, str]:
                 AS fingerprint
             FROM scores
         """,
+        "streaming_encode":
+            "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "multimodal_extract":
+            "SELECT doc_id AS media_id, "
+            "CAST((doc_id*7919)%4080+16 AS INT) AS width, "
+            "CAST((doc_id*104729)%4080+16 AS INT) AS height, "
+            "CAST((doc_id*31)%299+1 AS INT) AS n_frames, "
+            "CAST(16 + (doc_id%1500+64) AS BIGINT) AS payload_bytes, "
+            "CAST(((doc_id*31)%299+1+29)//30 AS INT) AS n_sampled "
+            "FROM documents",
         "dedup_exact": r"""
             SELECT min(doc_id) AS doc_id,
                    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
@@ -728,6 +858,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_neardup": _minhash_oracle_sql(),
         "simhash_neardup": _simhash_oracle_sql(),
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
+        "ann_ivf_topk": _ann_ivf_oracle_sql(),
         "ann_cosine_topk": """
             SELECT vec_id, rank, neighbor_id, cosine FROM (
               SELECT a.vec_id, b.vec_id AS neighbor_id,

@@ -138,9 +138,6 @@ def train_fsst(sample: bytes, iterations: int = 5, sample_limit: int = 16384) ->
 # encode (transposed across strings)
 # ---------------------------------------------------------------------------
 
-_BYTE_SHIFT = np.uint64(56)  # a 1-byte key sits in the top byte
-
-
 def fsst_encode(data: bytes, offsets: np.ndarray, table: FsstTable) -> tuple[bytes, np.ndarray]:
     """Encode strings given as (flat bytes, int64 offsets of n+1 entries).
 

@@ -40,7 +40,6 @@ def string_chunk_stats(arr: pa.Array) -> dict:
     distinct = len(denc.dictionary)
     indices = denc.indices.to_numpy(zero_copy_only=False)
     runs = 1 + int(np.count_nonzero(np.diff(indices))) if n > 1 else 1
-    offsets_type = np.int64 if pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type) else np.int32
     bufs = arr.buffers()
     total = int(pa.compute.binary_length(arr).cast(pa.int64()).sum().as_py() or 0)
     # byte entropy over a bounded sample of the raw data buffer

@@ -55,6 +55,40 @@ def make_fake_media(media_id: int, kind: str = "image") -> bytes:
     return struct.pack("<4sIII", b"FAKE", w, h, nf) + payload
 
 
+def synth_media_table(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic ARITHMETIC fake-media table: header fields are simple
+    functions of the id (no RNG), so an external SQL engine can predict
+    the extracted features exactly — this is what lets the multimodal
+    plumbing carry a value-level oracle while real decode stays stubbed.
+
+        width  = id*7919   % 4080 + 16
+        height = id*104729 % 4080 + 16
+        frames = id*31     % 299  + 1
+        payload length = id % 1500 + 64  (constant filler byte id % 251)
+    """
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_np = pdf[id_col].to_numpy().astype(np.int64)
+            payloads = []
+            for i in ids_np:
+                w = int(i * 7919 % 4080 + 16)
+                h = int(i * 104729 % 4080 + 16)
+                nf = int(i * 31 % 299 + 1)
+                body = bytes([int(i % 251)]) * int(i % 1500 + 64)
+                payloads.append(struct.pack("<4sIII", b"FAKE", w, h, nf) + body)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids_np,
+                    "kind": ["image"] * len(ids_np),
+                    "payload": payloads,
+                    "mime": ["image/fake"] * len(ids_np),
+                }
+            )
+
+    return ids.mapInPandas(synth, schema=MEDIA_SCHEMA)
+
+
 def _parse_fake_header(b: bytes) -> tuple[int, int, int]:
     magic, w, h, nf = struct.unpack_from("<4sIII", b)
     if magic != b"FAKE":

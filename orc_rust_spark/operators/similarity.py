@@ -181,6 +181,94 @@ def lsh_topk(
     )
 
 
+def ivf_sample_from_parquet(
+    path: str, sample_rows: int = 4096, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic training sample: the first sample_rows vectors by id,
+    read directly with pyarrow (usable WITHOUT a SparkSession — the SQL
+    oracle builder trains the identical centroids from the same file)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path, columns=[id_col, vec_col])
+    order = np.argsort(tbl.column(id_col).to_numpy())[:sample_rows]
+    vecs = tbl.column(vec_col).to_pylist()
+    return np.array([vecs[i] for i in order], dtype=np.float64)
+
+
+def train_ivf_centroids(
+    x, n_centroids: int = 16, iters: int = 5, seed: int = 13
+) -> list[list[float]]:
+    """Deterministic k-means coarse quantizer (IVF training): NumPy Lloyd
+    iterations on a fixed sample. Deterministic given (sample, seed), so
+    the final centroids can be inlined as LITERALS into both the Spark
+    query and an external SQL oracle — the same trick as make_planes.
+    At 100 TB the sample is a bounded pull; training cost is independent
+    of corpus size."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    norms[norms == 0] = 1.0
+    x = x / norms[:, None]
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)  # cosine on unit vectors
+        for c in range(cent.shape[0]):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                cent[c] = m / (n if n else 1.0)
+    return [[float(v) for v in row] for row in cent]
+
+
+def ivf_assign(
+    vectors: DataFrame, centroids: list[list[float]],
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment per vector (centroids are unit-norm, so
+    max dot = max cosine), entirely in JVM expressions. Ties resolve to
+    the FIRST maximal centroid via array_position-of-max — the same
+    first-occurrence rule an external SQL oracle expresses with
+    list_indexof(l, list_max(l))."""
+    sims = F.array(*[
+        _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+        for c in centroids
+    ])
+    cluster = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    return vectors.select(F.col(id_col), F.col(vec_col), cluster.alias("cluster"))
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: candidates restricted to the query's own
+    inverted list (cluster). Shuffle-on-cluster, so each task sees one
+    posting list instead of the full corpus — the classic IVF scale path
+    (multi-probe raises recall at proportional cost)."""
+    a = ivf_assign(vectors, centroids, id_col, vec_col)
+    q = a.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "cluster")
+    c = a.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "cluster")
+    pairs = q.join(c, ["cluster"]).where(F.col("qid") != F.col("nid"))
+    scored = pairs.withColumn(
+        "cosine",
+        F.round(_dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv"))), 6),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("qid").alias(id_col), "rank", F.col("nid").alias("neighbor_id"), "cosine")
+    )
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     tau: float = 0.95,

@@ -29,6 +29,7 @@ def encode_stream(
     plan: dict | None = None,
     trigger_once: bool = True,
     checkpoint_dir: str | None = None,
+    schema=None,
 ):
     """Start a streaming query that encodes arriving parquet files.
 
@@ -40,13 +41,17 @@ def encode_stream(
     chunks_dir = os.path.join(output_dir, "chunks")
     checkpoint_dir = checkpoint_dir or os.path.join(output_dir, "_stream_checkpoint")
     stream = (
-        spark.readStream.schema(WEBTEXT_SCHEMA)
+        spark.readStream.schema(schema or WEBTEXT_SCHEMA)
         .option("maxFilesPerTrigger", 8)
         .parquet(input_dir)
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # part_id is task-local; offset it by the micro-batch id so chunk
+        # keys (part_id, chunk_ord) never collide across appended batches
         encode_table(batch_df, plan=plan or {}).withColumn(
+            "part_id", (F.col("part_id") + F.lit(int(batch_id) * 65536)).cast("int")
+        ).withColumn(
             "stream_batch_id", F.lit(batch_id)
         ).write.mode("append").parquet(chunks_dir)
 

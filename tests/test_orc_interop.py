@@ -81,7 +81,7 @@ def test_metadata_fields(tmp_path):
     assert root.field_names == list(tbl.column_names)
 
 
-@pytest.mark.parametrize("comp", ["none", "zlib"])
+@pytest.mark.parametrize("comp", ["none", "zlib", "snappy", "lz4", "zstd"])
 def test_write_orc_read_by_pyarrow(tmp_path, comp):
     """Write-side interop: files emitted by OUR writer (our RLEv2/byte/
     boolean/float/decimal/timestamp encoders + hand-built protobuf tail)

@@ -115,6 +115,42 @@ def test_encode_dataset_resume(spark, source, tmp_path):
     assert v2["mismatches"] == 0 and v2["rows"] == N_ROWS
 
 
+def test_encode_dataset_resume_after_partial_failure(spark, source, tmp_path):
+    """Kill-mid-run simulation: one partition's chunk files vanish and its
+    manifest row is dropped (as if the task died before commit); the
+    resumed run re-encodes ONLY that partition and the final table decodes
+    identically — no duplicate (part_id, chunk_ord) rows thanks to the
+    dynamic partition-overwrite write mode."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "run_partial")
+    summary = encode_dataset(spark, source, out, snapshot_id="s2")
+    chunks_dir, manifest_dir = summary["chunks_dir"], summary["manifest_dir"]
+    parts = sorted(
+        int(p.split("=")[1])
+        for p in os.listdir(chunks_dir) if p.startswith("part_id=")
+    )
+    victim = parts[0]
+    shutil.rmtree(os.path.join(chunks_dir, f"part_id={victim}"))
+    manifest = spark.read.parquet(manifest_dir).where(F.col("part_id") != victim)
+    manifest.write.mode("overwrite").parquet(str(tmp_path / "m_tmp"))
+    spark.read.parquet(str(tmp_path / "m_tmp")).write.mode("overwrite").parquet(manifest_dir)
+
+    resumed = encode_dataset(spark, source, out, snapshot_id="s2")
+    assert resumed["skipped_partitions"] == len(parts) - 1
+    v = verify_roundtrip(spark, source, chunks_dir)
+    assert v["mismatches"] == 0 and v["unmatched_keys"] == 0 and v["rows"] == N_ROWS
+    # exactly one set of chunk rows per (part_id, chunk_ord, column, kind)
+    dup = (
+        spark.read.parquet(chunks_dir)
+        .groupBy("part_id", "chunk_ord", "column", "stream_kind")
+        .count().where(F.col("count") > 1).count()
+    )
+    assert dup == 0
+
+
 def test_per_codec_metrics(spark, source, tmp_path):
     out = str(tmp_path / "run_m")
     summary = encode_dataset(spark, source, out, snapshot_id="m1")
