@@ -82,7 +82,8 @@ def main() -> None:
 
     t0 = time.time()
     chunks_cached = encode_table(src, plan=plan)
-    decoded = decode_table(chunks_cached, WEBTEXT_SCHEMA)
+    # encode pipes straight into decode -> no co-location shuffle needed
+    decoded = decode_table(chunks_cached, WEBTEXT_SCHEMA, co_locate=False)
     s, d = src.alias("s"), decoded.alias("d")
     bad = (
         s.join(d, on="url", how="full")

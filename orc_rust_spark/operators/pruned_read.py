@@ -167,7 +167,7 @@ def pruned_point_lookup_rg(
     """
     import json
 
-    from .decode import decode_chunk_arrays, decode_chunk_pdf
+    from .decode import decode_chunk_pdf
 
     keys = prune_chunks_stats(chunks, column, eq_value=value).intersect(
         prune_chunks_bloom(chunks, column, value)

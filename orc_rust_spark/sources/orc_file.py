@@ -130,6 +130,37 @@ class OrcMeta:
     types: list[OrcType]
     stripes: list[StripeInfo]
     number_of_rows: int
+    # per stripe: {column_id: (min, max)} from the Metadata section's
+    # StripeStatistics (int stats are zigzag sint64; string stats raw)
+    stripe_stats: list[dict] = field(default_factory=list)
+
+
+def _parse_column_stats(raw: bytes):
+    """ColumnStatistics -> (min, max) for int/double/string stats, else None."""
+    for fno, _, v in _fields(raw):
+        if fno == 2:  # intStatistics (sint64 = zigzag varints)
+            d = {}
+            for f2, _, v2 in _fields(v):
+                d[f2] = (v2 >> 1) ^ -(v2 & 1)
+            if 1 in d and 2 in d:
+                return (d[1], d[2])
+        elif fno == 3:  # doubleStatistics (fixed64 IEEE-754 bits)
+            import struct as _struct
+
+            d = {}
+            for f2, w2, v2 in _fields(v):
+                if w2 == 1:
+                    d[f2] = _struct.unpack("<d", int(v2).to_bytes(8, "little"))[0]
+            if 1 in d and 2 in d:
+                return (d[1], d[2])
+        elif fno == 4:  # stringStatistics
+            d = {}
+            for f2, _, v2 in _fields(v):
+                if f2 in (1, 2):
+                    d[f2] = v2.decode()
+            if 1 in d and 2 in d:
+                return (d[1], d[2])
+    return None
 
 
 def _decompress_tail(buf: bytes, compression: str) -> bytes:
@@ -145,21 +176,26 @@ def read_metadata(path: str) -> OrcMeta:
         tail = fh.read(tail_len)
         ps_len = tail[-1]
         ps = _fields(tail[-1 - ps_len: -1])
-        footer_len = compression = 0
+        footer_len = compression = meta_len = 0
         for fno, _, v in ps:
             if fno == 1:
                 footer_len = v
             elif fno == 2:
                 compression = v
+            elif fno == 5:
+                meta_len = v
         comp = COMPRESSION[compression]
         if comp not in blockc.available_codecs():
             raise NotImplementedError(f"compression {comp} not available in container")
         footer_end = size - 1 - ps_len
-        if footer_len > tail_len - 1 - ps_len:
-            fh.seek(footer_end - footer_len)
-            footer_raw = fh.read(footer_len)
+        if footer_len + meta_len > tail_len - 1 - ps_len:
+            fh.seek(footer_end - footer_len - meta_len)
+            both = fh.read(footer_len + meta_len)
+            meta_raw, footer_raw = both[:meta_len], both[meta_len:]
         else:
-            footer_raw = tail[tail_len - 1 - ps_len - footer_len: tail_len - 1 - ps_len]
+            start = tail_len - 1 - ps_len - footer_len
+            footer_raw = tail[start: start + footer_len]
+            meta_raw = tail[start - meta_len: start]
     footer = _fields(_decompress_tail(footer_raw, comp))
     types: list[OrcType] = []
     stripes: list[StripeInfo] = []
@@ -186,7 +222,19 @@ def read_metadata(path: str) -> OrcMeta:
             types.append(t)
         elif fno == 6:
             n_rows = v
-    return OrcMeta(comp, types, stripes, n_rows)
+    stripe_stats: list[dict] = []
+    if meta_len:
+        for fno, _, v in _fields(_decompress_tail(meta_raw, comp)):
+            if fno == 1:  # StripeStatistics
+                per_col: dict[int, tuple] = {}
+                for ci, (f2, _, v2) in enumerate(
+                    x for x in _fields(v) if x[0] == 1
+                ):
+                    mm = _parse_column_stats(v2)
+                    if mm is not None:
+                        per_col[ci] = mm
+                stripe_stats.append(per_col)
+    return OrcMeta(comp, types, stripes, n_rows, stripe_stats)
 
 
 # --- stripe decode -----------------------------------------------------------
@@ -507,18 +555,54 @@ def write_orc(table: pa.Table, path: str, compression: str = "zlib",
         fh.write(bytes(out))
 
 
-def orc_scan(spark, path: str, schema) -> "pyspark.sql.DataFrame":  # noqa: F821
+def prune_stripes(meta: OrcMeta, column: str, lo=None, hi=None) -> list[int]:
+    """Stripe indexes whose Metadata stats may intersect [lo, hi] — the
+    reference's stripe-level predicate pushdown over StripeStatistics
+    (three-valued: stripes without stats are kept)."""
+    root = meta.types[0]
+    try:
+        col_id = root.subtypes[root.field_names.index(column)]
+    except ValueError:
+        return list(range(len(meta.stripes)))
+    keep = []
+    for i in range(len(meta.stripes)):
+        stats = meta.stripe_stats[i] if i < len(meta.stripe_stats) else {}
+        mm = stats.get(col_id)
+        if mm is None:
+            keep.append(i)
+            continue
+        mn, mx = mm
+        if lo is not None and mx < lo:
+            continue
+        if hi is not None and mn > hi:
+            continue
+        keep.append(i)
+    return keep
+
+
+def orc_scan(spark, path: str, schema, predicate=None) -> "pyspark.sql.DataFrame":  # noqa: F821
     """Distributed ORC scan: one task per stripe (the reference's byte-range
     split model, src/arrow_reader.rs:358-372) — each task seeks to its
     stripe, fetches only that byte range, and decodes with this engine's
-    codecs inside the Python worker."""
+    codecs inside the Python worker.
+
+    ``predicate``: optional (column, lo, hi) — stripes whose Metadata
+    statistics exclude the range are never scheduled (stripe-level
+    pushdown); the residual filter still must be applied by the caller.
+    """
     from pyspark.sql import functions as F  # noqa: F401
 
     meta = read_metadata(path)
+    idx = (
+        prune_stripes(meta, predicate[0], predicate[1], predicate[2])
+        if predicate else range(len(meta.stripes))
+    )
     stripes = [
         (path, s.offset, s.index_length, s.data_length, s.footer_length, s.number_of_rows)
-        for s in meta.stripes
+        for s in (meta.stripes[i] for i in idx)
     ]
+    if not stripes:
+        return spark.createDataFrame([], schema)
     sdf = spark.createDataFrame(
         stripes,
         "path string, offset long, index_length long, data_length long, "

@@ -113,6 +113,49 @@ def test_write_orc_dictionary_encoding(tmp_path):
     assert back.column("lang").combine_chunks().equals(tbl.column("lang").combine_chunks())
 
 
+def test_stripe_stats_pruning(tmp_path):
+    """Metadata StripeStatistics parse + stripe-level predicate pushdown
+    (reference stripe pruning over stats)."""
+    import numpy as np
+
+    from orc_rust_spark.sources.orc_file import prune_stripes, read_metadata
+
+    n = 100000
+    rng = np.random.default_rng(4)
+    # payload must be incompressible enough that liborc actually splits
+    pay = [rng.bytes(64).hex() for _ in range(n)]
+    tbl = pa.table({"id": pa.array(np.arange(n)), "name": pa.array(pay)})
+    path = str(tmp_path / "sorted.orc")
+    paorc.write_table(tbl, path, compression="ZLIB", stripe_size=1024 * 1024)
+    meta = read_metadata(path)
+    assert len(meta.stripes) > 2
+    assert len(meta.stripe_stats) == len(meta.stripes)
+    # a point near the max id lives in the last stripe only
+    keep = prune_stripes(meta, "id", lo=n - 5, hi=n - 5)
+    assert len(keep) == 1 and keep[0] == len(meta.stripes) - 1
+    # full range keeps everything
+    assert len(prune_stripes(meta, "id", lo=0)) == len(meta.stripes)
+    # unknown column -> three-valued keep-all
+    assert len(prune_stripes(meta, "nope", lo=1)) == len(meta.stripes)
+
+
+def test_orc_scan_with_predicate(spark, tmp_path):
+    import numpy as np
+
+    from orc_rust_spark.sources.orc_file import orc_scan
+
+    rng = np.random.default_rng(9)
+    n = 100000
+    tbl = pa.table({"id": pa.array(np.arange(n)),
+                    "pay": pa.array([rng.bytes(32).hex() for _ in range(n)])})
+    path = str(tmp_path / "pred.orc")
+    paorc.write_table(tbl, path, compression="ZLIB", stripe_size=512 * 1024)
+    df = orc_scan(spark, path, schema="id long, pay string",
+                  predicate=("id", n - 100, None))
+    got = sorted(r.id for r in df.where(f"id >= {n - 100}").collect())
+    assert got == list(range(n - 100, n))
+
+
 def test_orc_scan_distributed(spark, tmp_path):
     tbl = _alltypes(n=60000)
     path = str(tmp_path / "scan.orc")
