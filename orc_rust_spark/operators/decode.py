@@ -220,7 +220,9 @@ def _decode_column_rg(
             sub[kind] = {
                 "column": name,
                 "stream_kind": kind,
-                "codec": rg["codec"],
+                # the selector is per group: fall back to the chunk codec
+                # for indexes written before "codecs" existed
+                "codec": rg.get("codecs", [rg["codec"]] * len(rg["n"]))[g],
                 "block_codec": "none",
                 "data": seg,
                 "row_count": int(rg["n"][g]),

@@ -174,8 +174,11 @@ def _encode_column_row_groups(name: str, arr: pa.Array, col_plan: dict, emit) ->
                 kinds.append(k)
     merged: dict[str, bytearray] = {k: bytearray() for k in kinds}
     offsets: dict[str, list[int]] = {k: [0] for k in kinds}
+    # per-group codec: the string selector is data-dependent, so one group
+    # may pick dict while its neighbor picks direct/fsst — decode must
+    # dispatch per group, not per chunk
     rg = {"stride": stride, "n": [], "nulls": [], "dict_size": [],
-          "min": [], "max": [], "codec": None, "off": offsets}
+          "min": [], "max": [], "codec": None, "codecs": [], "off": offsets}
     raw_total = 0
     for cap in groups:
         by_kind = {k: (codec, data, n_g, nc, ds, raw, mn, mx)
@@ -186,6 +189,7 @@ def _encode_column_row_groups(name: str, arr: pa.Array, col_plan: dict, emit) ->
             offsets[k].append(len(merged[k]))
         data_row = by_kind[ct.DATA]
         rg["codec"] = data_row[0]
+        rg["codecs"].append(data_row[0])
         rg["n"].append(data_row[2])
         rg["nulls"].append(data_row[3])
         rg["dict_size"].append(data_row[4])

@@ -69,6 +69,24 @@ def test_rg_keep_groups_typed():
     assert _rg_keep_groups(rg, hi=99) == [0]
 
 
+def test_rg_mixed_codecs_across_groups():
+    """The string selector is per group: a low-cardinality group (dict) and
+    a high-cardinality group (direct/fsst) in ONE chunk must both decode."""
+    low = [f"l{i % 3}" for i in range(1000)]           # dict territory
+    high = [f"unique-{i}-{i * 7}" for i in range(1000)]  # direct territory
+    arr = pa.array(low + high)
+    tbl = pa.table({"s": arr})
+    batch = encode_chunk(tbl, 0, 0, {"s": {"row_index": True, "row_index_stride": 1000}})
+    rows = [r for r in batch.to_pylist() if r["column"] == "s" and r["stream_kind"] == "DATA"]
+    rg = json.loads(rows[0]["stats_json"])["rg"]
+    assert len(set(rg["codecs"])) > 1, f"expected mixed codecs, got {rg['codecs']}"
+    out = decode_chunk_arrays(batch.to_pylist(), {"s": T.StringType()})
+    assert out["s"].cast(arr.type).equals(arr)
+    # partial decode of just the second group
+    out2 = decode_chunk_arrays(batch.to_pylist(), {"s": T.StringType()}, rg_keep=[1])
+    assert out2["s"].cast(arr.type).equals(pa.array(high))
+
+
 def test_pruned_point_lookup_rg_end_to_end(spark):
     n = 20000
     df = spark.createDataFrame(
