@@ -179,7 +179,11 @@ def q_orc_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orc_rust_spark.sources.orc_file import orc_scan
 
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    orc_path = f"/tmp/orc_rust_spark_interop/lineitem_{sf_tag}.orc"
+    src_stat = os.stat(f"{sf_dir}/lineitem.parquet")
+    # cache key includes source size+mtime so regenerated testdata never
+    # hits a stale ORC file
+    orc_path = (f"/tmp/orc_rust_spark_interop/lineitem_{sf_tag}"
+                f"_{src_stat.st_size}_{int(src_stat.st_mtime)}.orc")
     if not os.path.exists(orc_path):
         os.makedirs(os.path.dirname(orc_path), exist_ok=True)
         tbl = pq.read_table(
@@ -216,7 +220,9 @@ def q_orc_file_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orc_rust_spark.sources.orc_file import orc_scan, write_orc
 
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    orc_path = f"/tmp/orc_rust_spark_interop/lineitem_ours_{sf_tag}.orc"
+    src_stat = os.stat(f"{sf_dir}/lineitem.parquet")
+    orc_path = (f"/tmp/orc_rust_spark_interop/lineitem_ours_{sf_tag}"
+                f"_{src_stat.st_size}_{int(src_stat.st_mtime)}.orc")
     if not os.path.exists(orc_path):
         os.makedirs(os.path.dirname(orc_path), exist_ok=True)
         tbl = pq.read_table(

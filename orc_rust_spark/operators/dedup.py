@@ -84,7 +84,7 @@ def ngram_jaccard_pairs(
         )
     sh = exploded.withColumn(
         "card", F.count(F.lit(1)).over(Window.partitionBy("id"))
-    )
+    ).persist()  # self-joined below: avoid recomputing the explode per side
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
@@ -188,6 +188,9 @@ def minhash_lsh_pairs(
     sized = bands_df.withColumn(
         "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
     ).where(F.col("bucket_n") <= max_bucket)
+    # both sides of the self-join share this lineage; without persist the
+    # signature aggregation (the expensive stage) is recomputed per side
+    sized = sized.persist()
     x, y = sized.alias("x"), sized.alias("y")
     cand = (
         x.join(
@@ -203,6 +206,7 @@ def minhash_lsh_pairs(
     sh = (
         docs.where(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("id"), _shingles(F.col(text_col), n).alias("sh"))
+        .persist()  # read twice (both sides of the verify join)
     )
     verified = (
         cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
@@ -310,6 +314,7 @@ def simhash_neardup_pairs(
             ])
         ).alias("ck"),
     ).select("id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    exploded = exploded.persist()  # self-joined: the 64-agg simhash is expensive
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.key") == F.col("b.key"))

@@ -165,7 +165,7 @@ def lsh_topk(
     task only sees one bucket's vectors instead of the full corpus.
     """
     b = hyperplane_buckets(vectors, dim, n_planes, id_col=id_col, vec_col=vec_col,
-                           planes=planes)
+                           planes=planes).persist()  # both join sides share it
     q = b.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "bucket")
     c = b.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "bucket")
     pairs = q.join(c, ["bucket"]).where(F.col("qid") != F.col("nid"))
@@ -253,7 +253,7 @@ def ivf_topk(
     inverted list (cluster). Shuffle-on-cluster, so each task sees one
     posting list instead of the full corpus — the classic IVF scale path
     (multi-probe raises recall at proportional cost)."""
-    a = ivf_assign(vectors, centroids, id_col, vec_col)
+    a = ivf_assign(vectors, centroids, id_col, vec_col).persist()  # both sides
     q = a.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "cluster")
     c = a.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "cluster")
     pairs = q.join(c, ["cluster"]).where(F.col("qid") != F.col("nid"))
