@@ -350,6 +350,7 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orc_rust_spark.operators.text_analysis import (
         lang_id_col,
         quality_score_col,
+        subtoken_count_col,
         token_count_col,
         fingerprint_col,
     )
@@ -359,6 +360,7 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         token_count_col(t).alias("n_tokens"),
+        subtoken_count_col(t).alias("n_subtokens"),
         quality_score_col(t).alias("quality"),
         lang_id_col(t).alias("lang_guess"),
         fingerprint_col(t).alias("fingerprint"),
@@ -811,6 +813,9 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN text IS NULL THEN NULL
                    WHEN length(trim(text)) = 0 THEN 0
                    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+              CASE WHEN text IS NULL THEN NULL
+                   ELSE len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+              END AS n_subtokens,
               least(length(ct) / 500.0, 1.0)
                 * (1.0 - least(punct * 2.0, 1.0) * 0.5) AS quality,
               CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= 1 THEN 'en'

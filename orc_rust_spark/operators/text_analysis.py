@@ -36,6 +36,20 @@ def token_count_col(text: Column) -> Column:
     )
 
 
+#: BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation —
+#: the classic GPT-2-style split shape, without the library dependency
+SUBTOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def subtoken_count_col(text: Column) -> Column:
+    """BPE-ish subtoken count (regexp_count of SUBTOKEN_PATTERN);
+    null-safe. Complements the whitespace token count the way production
+    pipelines track both word and BPE token budgets."""
+    return F.when(text.isNull(), F.lit(None).cast("bigint")).otherwise(
+        F.regexp_count(text, F.lit(SUBTOKEN_PATTERN)).cast("bigint")
+    )
+
+
 def punct_ratio_col(text: Column) -> Column:
     no_punct = F.regexp_replace(text, r"[^\p{L}\p{N}\s]", "")
     return F.when(F.length(text) > 0,
