@@ -115,6 +115,31 @@ def test_encode_dataset_resume(spark, source, tmp_path):
     assert v2["mismatches"] == 0 and v2["rows"] == N_ROWS
 
 
+def test_salted_repartition_defuses_host_skew(spark):
+    """north_rule skew story: the webtext generator draws hosts Zipfian
+    (one viral domain dominates); repartitioning on xxhash64(url) must
+    spread rows near-uniformly so no encode task gets a giant stripe."""
+    from pyspark.sql import functions as F
+
+    from orc_rust_spark.plans.pipeline import salted_repartition
+
+    df = webtext_df(spark, 8000, num_partitions=4)
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    top_host_share = (
+        df.groupBy(host.alias("h")).count().orderBy(F.desc("count")).limit(1)
+        .collect()[0]["count"] / 8000
+    )
+    assert top_host_share > 0.10  # the generator really is skewed
+    sizes = (
+        salted_repartition(df, "url", partitions=16)
+        .withColumn("p", F.spark_partition_id())
+        .groupBy("p").count().collect()
+    )
+    counts = [r["count"] for r in sizes]
+    assert len(counts) == 16
+    assert max(counts) < 2 * (8000 / 16)  # no partition even 2x the mean
+
+
 def test_encode_dataset_resume_after_partial_failure(spark, source, tmp_path):
     """Kill-mid-run simulation: one partition's chunk files vanish and its
     manifest row is dropped (as if the task died before commit); the
