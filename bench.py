@@ -59,10 +59,17 @@ def main() -> None:
 
     # warm-up: this sandbox has pathologically slow first-touch pages, so a
     # fresh python worker's first big allocations cost seconds. One untimed
-    # full pass brings every worker's heap to its high-water mark so the
-    # timed run measures the engine (a real cluster's long-lived executors
-    # are always in this warm state).
-    encode_table(src, plan=plan).count()
+    # pass through the FULL verify pipeline (encode -> decode -> digest)
+    # brings both the encode-stage AND decode-stage python workers to their
+    # heap high-water marks — warming encode alone left the decode workers
+    # cold and was the dominant share of r2's 46.5 s decode_verify outlier
+    # (steady state measures ~4.4 s, scripts/profile_verify.py).
+    from orc_rust_spark.sources.webtext import WEBTEXT_SCHEMA as _WS
+
+    _wcols = [f.name for f in _WS.fields]
+    decode_table(encode_table(src, plan=plan), _WS, co_locate=False).agg(
+        F.sum(F.xxhash64(*_wcols).cast("decimal(38,0)"))
+    ).collect()
 
     t0 = time.time()
     chunks = encode_table(src, plan=plan)
@@ -98,7 +105,7 @@ def main() -> None:
     best = None
     bad = 1
     src_digest = _digest(src)
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         chunks_cached = encode_table(src, plan=plan)
         # encode pipes straight into decode -> no co-location shuffle needed

@@ -142,6 +142,18 @@ def _offsets_lengths(arr: pa.Array) -> np.ndarray:
 ROW_INDEX_STRIDE = 10_000  # reference row-group stride (src/stripe.rs:300)
 
 
+def _bloomable(typ: pa.DataType) -> bool:
+    """Bloom filters are built only for types whose probe-side byte
+    representation is well-defined (i64 for ints, utf8/raw bytes for
+    string/binary) — a decimal/float bloom would be probed with different
+    bytes than it was built from (and the large_binary cast crashes)."""
+    return bool(
+        pa.types.is_integer(typ)
+        or pa.types.is_string(typ) or pa.types.is_large_string(typ)
+        or pa.types.is_binary(typ) or pa.types.is_large_binary(typ)
+    )
+
+
 def _encode_column_row_groups(name: str, arr: pa.Array, col_plan: dict, emit) -> None:
     """Row-group-indexed encode: the column is encoded per 10,000-row group
     (reference ROW_INDEX analog, src/row_index.rs:31-55) by re-invoking the
@@ -227,7 +239,7 @@ def _encode_column_row_groups(name: str, arr: pa.Array, col_plan: dict, emit) ->
              ms=ms if is_data else 0.0, stats={"rg": rg} if is_data else None,
              block_codec=bc)
 
-    if col_plan.get("bloom"):
+    if col_plan.get("bloom") and _bloomable(arr.type):
         from ..codecs.bloom import BloomFilter
 
         dense = arr.drop_null()
@@ -390,7 +402,7 @@ def _encode_column(name: str, arr: pa.Array, col_plan: dict, emit) -> None:
 
     # optional per-chunk bloom filter (equality-pruning index, ORC
     # BLOOM_FILTER_UTF8 analog) on the dense values
-    if col_plan.get("bloom"):
+    if col_plan.get("bloom") and _bloomable(typ):
         from ..codecs.bloom import BloomFilter
 
         n_dense = len(dense)

@@ -48,6 +48,19 @@ def _typed_stat(stat_col: str, bound):
     return c, F.lit(str(bound))
 
 
+def _stat_usable_bound(bound) -> bool:
+    """Is this probe type safely comparable against persisted stats?
+
+    Stats are str(int) / repr(float) / truncated text. A Decimal probe
+    would compare a scaled value against an UNSCALED mantissa string, a
+    datetime probe against an epoch-microsecond string — both silently
+    wrong, so such probes disable stats pruning entirely (keep all) rather
+    than misprune. Mirrors the reference's rule of evaluating predicates
+    only for types it has typed stats for (src/row_group_filter.rs:207-368).
+    """
+    return isinstance(bound, (bool, int, float, str))
+
+
 def prune_chunks_stats(
     chunks: DataFrame, column: str, eq_value=None, lo=None, hi=None
 ) -> DataFrame:
@@ -59,9 +72,11 @@ def prune_chunks_stats(
     """
     meta = chunks.where(
         (F.col("column") == column) & (F.col("stream_kind") == ct.DATA)
-    ).select("part_id", "chunk_ord", "min_val", "max_val")
+    ).select("part_id", "chunk_ord", "codec", "min_val", "max_val")
     if eq_value is not None:
         lo = hi = eq_value
+    if not all(_stat_usable_bound(b) for b in (lo, hi) if b is not None):
+        return meta.select("part_id", "chunk_ord")  # unprunable probe type
     cond = F.lit(True)
     if lo is not None:
         max_stat, lo_lit = _typed_stat("max_val", lo)
@@ -73,8 +88,9 @@ def prune_chunks_stats(
     if hi is not None:
         min_stat, hi_lit = _typed_stat("min_val", hi)
         cond = cond & ~(min_stat > hi_lit).eqNullSafe(F.lit(True))
-    # chunks with no stats are always kept (three-valued logic)
-    cond = F.col("min_val").isNull() | cond
+    # chunks with no stats are always kept (three-valued logic); decimal
+    # stats are unscaled mantissas, not comparable to user values -> keep
+    cond = (F.col("codec") == "decimal") | F.col("min_val").isNull() | cond
     return meta.where(cond).select("part_id", "chunk_ord")
 
 
@@ -83,6 +99,12 @@ def prune_chunks_bloom(chunks: DataFrame, column: str, eq_value) -> DataFrame:
 
     Chunks without a bloom stream are kept (filter is advisory).
     """
+    # only probe types whose byte representation matches what the encoder
+    # fed the filter (i64 for ints, raw/utf8 bytes for str/bytes) may
+    # prune; e.g. a Decimal probe vs a filter built on 16-byte mantissas
+    # would false-negative -> keep everything instead
+    if not isinstance(eq_value, (int, str, bytes)):
+        return chunks.select("part_id", "chunk_ord").distinct()
     bloom = chunks.where(
         (F.col("column") == column) & (F.col("stream_kind") == ct.BLOOM_FILTER)
     ).select("part_id", "chunk_ord", "data", "block_codec")
@@ -133,21 +155,44 @@ def _rg_keep_groups(rg: dict, eq_value=None, lo=None, hi=None) -> list[int]:
     encoding; reference row_group_filter.rs three-valued semantics)."""
     if eq_value is not None:
         lo = hi = eq_value
-    numeric = rg["codec"] in ("rle_v2", "byte_rle", "date", "decimal", "timestamp_split")
+    all_groups = list(range(len(rg["n"])))
+    # decimal group stats are unscaled mantissas — not comparable to user
+    # values; probes of un-stat-comparable types likewise disable pruning
+    if rg["codec"] == "decimal":
+        return all_groups
+    if not all(_stat_usable_bound(b) for b in (lo, hi) if b is not None):
+        return all_groups
+    numeric = rg["codec"] in ("rle_v2", "byte_rle", "date", "timestamp_split")
     floaty = rg["codec"] == "float_plain"
 
     def parse(s):
         if s is None:
             return None
-        return int(s) if numeric else float(s) if floaty else s
+        try:
+            return int(s) if numeric else float(s) if floaty else s
+        except (TypeError, ValueError):
+            return None  # unparsable stat: treat as absent -> keep
 
+    stringy = not numeric and not floaty
+
+    def _compatible(bound) -> bool:
+        if bound is None:
+            return True
+        return isinstance(bound, str) if stringy else isinstance(bound, (bool, int, float))
+
+    if not (_compatible(lo) and _compatible(hi)):
+        return all_groups  # probe/codec type mismatch: never prune
     keep = []
     for g in range(len(rg["n"])):
         mn, mx = parse(rg["min"][g]), parse(rg["max"][g])
-        if mn is None:  # no stats (all-null group): keep
+        if mn is None or mx is None:  # no stats (all-null group): keep
             keep.append(g)
             continue
-        if lo is not None and mx < lo:
+        # a string max stat at the truncation limit is a PREFIX of the true
+        # max — a lower bound, unusable for `max < lo` pruning (mirrors the
+        # chunk-level max_usable guard; min side is sound: prefix <= true min)
+        max_usable = not (stringy and isinstance(mx, str) and len(mx) >= MAX_STAT_LEN)
+        if lo is not None and max_usable and mx < lo:
             continue
         if hi is not None and mn > hi:
             continue

@@ -112,6 +112,30 @@ def test_embedding_neardup(spark, vectors):
     assert pairs == {(1, 5)}
 
 
+def test_blocked_broadcast_exact_ann(spark, vectors):
+    """VERDICT r2 #3: exact ANN must not hold the whole corpus on the
+    driver — forcing a tiny block size must produce >1 broadcast block and
+    IDENTICAL results to the default path."""
+    from orc_rust_spark.operators.similarity import (
+        _corpus_block_broadcasts,
+        cosine_topk,
+        embedding_neardup_pairs,
+    )
+
+    blocks = _corpus_block_broadcasts(vectors, "vec_id", "embedding", block_rows=7)
+    assert len(blocks) == 5  # 30 vectors in <=7-row blocks
+    assert sum(len(b.value[0]) for b in blocks) == 30
+
+    one = {(r.vec_id, r.rank, r.neighbor_id, r.cosine)
+           for r in cosine_topk(vectors, k=3).collect()}
+    many = {(r.vec_id, r.rank, r.neighbor_id, r.cosine)
+            for r in cosine_topk(vectors, k=3, block_rows=7).collect()}
+    assert one == many
+    pairs = {(r.id_a, r.id_b)
+             for r in embedding_neardup_pairs(vectors, tau=0.95, block_rows=7).collect()}
+    assert pairs == {(1, 5)}
+
+
 def test_text_analysis_cols(spark, docs):
     from orc_rust_spark.operators.text_analysis import analyze_documents
 

@@ -69,6 +69,83 @@ def test_rg_keep_groups_typed():
     assert _rg_keep_groups(rg, hi=99) == [0]
 
 
+def test_rg_keep_truncated_string_max_not_pruned():
+    """VERDICT r2 'What's wrong' #1: a group string max stat at the 64-char
+    truncation limit is a PREFIX of the true max (a lower bound), so
+    `max < lo` must not prune the group. Min side stays prunable."""
+    rg = {
+        "codec": "direct", "n": [10, 10],
+        "min": ["a" * 10, "m" * 10],
+        # group 0's true max is "a"*100, stored truncated to 64 chars
+        "max": ["a" * 64, "m" * 20],
+    }
+    assert _rg_keep_groups(rg, eq_value="a" * 100) == [0]
+    # an untruncated max still prunes normally
+    rg2 = {"codec": "direct", "n": [10, 10], "min": ["a", "m"], "max": ["c", "p"]}
+    assert _rg_keep_groups(rg2, eq_value="z") == []
+    # min is a prefix of the true min -> lower bound -> `min > hi` is sound:
+    # group 1 (min "m"*10 > hi) pruned, group 0 kept
+    assert _rg_keep_groups(rg, hi="a" * 20) == [0]
+
+
+def test_rg_keep_decimal_and_mismatched_probes_never_prune():
+    """Decimal group stats are unscaled mantissas; probes of other types
+    (Decimal, datetime) aren't stat-comparable — neither may prune."""
+    from decimal import Decimal
+
+    rg = {"codec": "decimal", "n": [10, 10], "min": ["1000", "5000"],
+          "max": ["1999", "5999"]}
+    assert _rg_keep_groups(rg, eq_value=Decimal("19.99")) == [0, 1]
+    assert _rg_keep_groups(rg, eq_value=1500) == [0, 1]
+    # int probe against a string-stat codec: type mismatch, keep all
+    rg2 = {"codec": "direct", "n": [5], "min": ["a"], "max": ["b"]}
+    assert _rg_keep_groups(rg2, eq_value=7) == [0]
+
+
+def test_long_string_lookup_end_to_end_straddling_groups(spark):
+    """>64-char strings straddling group boundaries: the lookup value longer
+    than the truncated stat must still be found (was silently 0 rows)."""
+    n = 4000
+    stride = 1000
+    # every row's text exceeds the 64-char stat truncation
+    rows = [(i, f"{'pad' * 30}-{i:06d}") for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, text string").coalesce(1)
+    from orc_rust_spark.operators.encode import encode_table
+
+    plan = {"text": {"row_index": True, "row_index_stride": stride, "bloom": True},
+            "id": {"row_index": True, "row_index_stride": stride}}
+    chunks = encode_table(df, plan=plan).cache()
+    schema = T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("text", T.StringType()),
+    ])
+    target = f"{'pad' * 30}-{n - 1:06d}"  # lives in the LAST group
+    got, _keys = pruned_point_lookup_rg(chunks, schema, "text", target)
+    out = got.collect()
+    assert len(out) == 1 and out[0].id == n - 1
+    chunks.unpersist()
+
+
+def test_chunk_level_decimal_probe_keeps_all(spark):
+    from decimal import Decimal
+
+    from orc_rust_spark.operators.encode import encode_table
+    from orc_rust_spark.operators.pruned_read import (
+        prune_chunks_bloom,
+        prune_chunks_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, Decimal(i) / 100) for i in range(2000)],
+        "id long, price decimal(12,2)",
+    ).repartition(2)
+    chunks = encode_table(df, plan={"price": {"bloom": True}}).cache()
+    n_chunks = chunks.select("part_id", "chunk_ord").distinct().count()
+    probe = Decimal("5.55")
+    assert prune_chunks_stats(chunks, "price", eq_value=probe).count() == n_chunks
+    assert prune_chunks_bloom(chunks, "price", probe).count() == n_chunks
+    chunks.unpersist()
+
+
 def test_rg_mixed_codecs_across_groups():
     """The string selector is per group: a low-cardinality group (dict) and
     a high-cardinality group (direct/fsst) in ONE chunk must both decode."""
