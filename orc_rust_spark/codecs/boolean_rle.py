@@ -20,7 +20,7 @@ def encode_boolean_rle(values: np.ndarray) -> bytes:
     return encode_byte_rle(np.packbits(b))
 
 
-def decode_boolean_rle(buf, n: int) -> np.ndarray:
+def decode_boolean_rle(buf, n: int, exact: bool = True) -> np.ndarray:
     n_bytes = (n + 7) // 8
-    packed = decode_byte_rle(buf, n_bytes)
+    packed = decode_byte_rle(buf, n_bytes, exact=exact)
     return np.unpackbits(packed)[:n].astype(bool)

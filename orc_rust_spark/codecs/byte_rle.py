@@ -73,8 +73,9 @@ def encode_byte_rle(values: np.ndarray) -> bytes:
     return bytes(out)
 
 
-def decode_byte_rle(buf, n: int) -> np.ndarray:
-    """Decode ``n`` bytes from a Byte-RLE stream."""
+def decode_byte_rle(buf, n: int, exact: bool = True) -> np.ndarray:
+    """Decode ``n`` bytes from a Byte-RLE stream. ``exact=False`` tolerates
+    a stream continuing past ``n`` (mid-stream row-group seek decode)."""
     out = np.empty(n, dtype=np.uint8)
     got = 0
     pos = 0
@@ -87,9 +88,10 @@ def decode_byte_rle(buf, n: int) -> np.ndarray:
             pos += 1
         else:
             ln = 256 - h
-            out[got : got + ln] = np.frombuffer(buf, dtype=np.uint8, count=ln, offset=pos)
+            take = min(ln, n - got)
+            out[got : got + take] = np.frombuffer(buf, dtype=np.uint8, count=take, offset=pos)
             pos += ln
         got += ln
-    if got != n:
+    if got != n and exact:
         raise ValueError(f"byte RLE stream produced {got} values, expected {n}")
     return out

@@ -71,7 +71,9 @@ def encode_rlev1(values: np.ndarray, signed: bool = True) -> bytes:
     return bytes(out)
 
 
-def decode_rlev1(buf, n: int, signed: bool = True) -> np.ndarray:
+def decode_rlev1(buf, n: int, signed: bool = True, exact: bool = True) -> np.ndarray:
+    """``exact=False`` tolerates a stream continuing past ``n`` values
+    (row-group seek decode starts mid-stream) and truncates the last run."""
     out = np.empty(n, dtype=np.int64)
     got = 0
     pos = 0
@@ -88,19 +90,21 @@ def decode_rlev1(buf, n: int, signed: bool = True) -> np.ndarray:
             base = zigzag_decode_scalar(base_u) if signed else base_u
             if base >= 1 << 63:
                 base -= 1 << 64
-            out[got : got + length] = base + delta * np.arange(length, dtype=np.int64)
+            take = min(length, n - got)
+            out[got : got + take] = base + delta * np.arange(take, dtype=np.int64)
             got += length
         else:
             count = 256 - h
+            take = min(count, n - got)
             vals = []
-            for _ in range(count):
+            for _ in range(take):
                 u, pos = read_varint(buf, pos)
                 x = zigzag_decode_scalar(u) if signed else u
                 if x >= 1 << 63:
                     x -= 1 << 64
                 vals.append(x)
-            out[got : got + count] = vals
+            out[got : got + take] = vals
             got += count
-    if got != n:
+    if got != n and exact:
         raise ValueError(f"RLEv1 stream produced {got} values, expected {n}")
     return out

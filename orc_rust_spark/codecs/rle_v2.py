@@ -314,10 +314,13 @@ def _run_extent(buf, pos: int) -> tuple[int, int]:
     return n, p
 
 
-def decode_rlev2(buf, n: int, signed: bool = True, skip: int = 0) -> np.ndarray:
+def decode_rlev2(buf, n: int, signed: bool = True, skip: int = 0,
+                 exact: bool = True) -> np.ndarray:
     """Decode ``n`` int64 values from an ORC RLEv2 stream, optionally
     skipping ``skip`` values first (whole runs are skipped via header
-    arithmetic without materializing)."""
+    arithmetic without materializing). ``exact=False`` tolerates a stream
+    that continues past the requested count (decoding a row group out of
+    the middle of a stripe stream) and truncates the final run."""
     pos = 0
     head_trim = 0
     while skip > 0:
@@ -347,10 +350,10 @@ def decode_rlev2(buf, n: int, signed: bool = True, skip: int = 0) -> np.ndarray:
             vals, pos = _read_delta(buf, pos, signed)
         chunks.append(vals)
         got += vals.size
-    if got != n:
+    if got != n and exact:
         raise ValueError(f"RLEv2 stream produced {got} values, expected {n}")
     out = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
-    return out[head_trim : head_trim + n_target] if head_trim else out
+    return out[head_trim : head_trim + n_target]
 
 
 def _read_short_repeat(buf, pos: int, signed: bool) -> tuple[np.ndarray, int]:

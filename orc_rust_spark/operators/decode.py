@@ -293,6 +293,11 @@ def _decode_column(
         if codec == "rle_v2":
             vals = decode_rlev2(streams[ct.DATA], n_dense, signed=True)
             dense = pa.array(vals, type=pa.int64())
+        elif codec == "rle_v1":
+            from ..codecs.rle_v1 import decode_rlev1
+
+            vals = decode_rlev1(streams[ct.DATA], n_dense, signed=True)
+            dense = pa.array(vals, type=pa.int64())
         elif codec == "timestamp_split":
             secs = decode_rlev2(streams[ct.DATA], n_dense, signed=True)
             nanos = decode_rlev2(streams[ct.SECONDARY], n_dense, signed=False)

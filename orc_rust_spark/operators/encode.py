@@ -319,8 +319,17 @@ def _encode_column(name: str, arr: pa.Array, col_plan: dict, emit) -> None:
     elif pa.types.is_integer(typ):
         vals = dense.to_numpy(zero_copy_only=False).astype(np.int64)
         stats = integer_chunk_stats(vals)
-        codec = "rle_v2"
-        streams = [(ct.DATA, encode_rlev2(vals, signed=True))]
+        if int(col_plan.get("rle_version", 2)) == 1:
+            # legacy RLEv1 writer path (reference decode-compat E10,
+            # rle_v1.rs) — opt-in per column; ORC files emitted from these
+            # chunks declare ColumnEncoding DIRECT (v1)
+            from ..codecs.rle_v1 import encode_rlev1
+
+            codec = "rle_v1"
+            streams = [(ct.DATA, encode_rlev1(vals, signed=True))]
+        else:
+            codec = "rle_v2"
+            streams = [(ct.DATA, encode_rlev2(vals, signed=True))]
         raw = n * 8
         if vals.size:
             minv, maxv = str(int(vals.min())), str(int(vals.max()))

@@ -133,6 +133,7 @@ class OrcMeta:
     # per stripe: {column_id: (min, max)} from the Metadata section's
     # StripeStatistics (int stats are zigzag sint64; string stats raw)
     stripe_stats: list[dict] = field(default_factory=list)
+    row_index_stride: int = 10_000
 
 
 def _parse_column_stats(raw: bytes):
@@ -200,6 +201,7 @@ def read_metadata(path: str) -> OrcMeta:
     types: list[OrcType] = []
     stripes: list[StripeInfo] = []
     n_rows = 0
+    stride = 10_000
     for fno, _, v in footer:
         if fno == 3:  # StripeInformation
             d = {1: 0, 2: 0, 3: 0, 4: 0, 5: 0}
@@ -222,6 +224,8 @@ def read_metadata(path: str) -> OrcMeta:
             types.append(t)
         elif fno == 6:
             n_rows = v
+        elif fno == 8:
+            stride = v
     stripe_stats: list[dict] = []
     if meta_len:
         for fno, _, v in _fields(_decompress_tail(meta_raw, comp)):
@@ -234,7 +238,7 @@ def read_metadata(path: str) -> OrcMeta:
                     if mm is not None:
                         per_col[ci] = mm
                 stripe_stats.append(per_col)
-    return OrcMeta(comp, types, stripes, n_rows, stripe_stats)
+    return OrcMeta(comp, types, stripes, n_rows, stripe_stats, stride)
 
 
 # --- stripe decode -----------------------------------------------------------
@@ -288,8 +292,55 @@ def _respace(dense: pa.Array, not_null: np.ndarray | None) -> pa.Array:
     return dense.take(pa.array(idx, type=pa.int64(), mask=~not_null))
 
 
+ORC_EPOCH_UTC_SECONDS = 1_420_070_400  # 2015-01-01 00:00:00 UTC
+
+
+def _writer_epoch_delta_ns(tz: str) -> int:
+    """(instant of 2015-01-01 00:00 in writer tz) - (same in UTC), in ns.
+    Reference: new_timestamp_decoder takes the ORC epoch ACCORDING TO the
+    writer timezone (src/array_decoder/timestamp.rs:131-141)."""
+    import pandas as pd
+
+    local = pd.Timestamp("2015-01-01 00:00:00", tz=tz).value  # instant ns
+    return local - ORC_EPOCH_UTC_SECONDS * 1_000_000_000
+
+
+def _ts_us(secs: np.ndarray, nanos_enc: np.ndarray, tz: str, kind: int) -> np.ndarray:
+    """(seconds, encoded nanos) -> int64 microseconds.
+
+    - sub-microsecond precision raises (the reference errors on precision
+      loss: decode_timestamp's ensure! nanoseconds % unit == 0)
+    - K_TIMESTAMP mirrors the reference's writer-timezone semantics
+      (src/array_decoder/timestamp.rs:80-141,236-285): the stored seconds
+      are relative to the ORC epoch IN THE WRITER's timezone, and the
+      decoded value presents that instant's wall-clock in the writer tz
+      (naive_local reinterpreted as UTC). K_TIMESTAMP_INSTANT is pure UTC.
+    """
+    ns = combine_timestamp_ns(secs, nanos_enc)
+    if ns.size and int(np.count_nonzero(ns % 1000)):
+        raise ValueError(
+            "ORC timestamp has sub-microsecond precision; decoding to Spark's "
+            "us-precision timestamps would silently alter values"
+        )
+    if kind == K_TIMESTAMP and tz not in ("UTC", "GMT", ""):
+        import pandas as pd
+
+        inst = ns + _writer_epoch_delta_ns(tz)
+        idx = pd.DatetimeIndex(inst.astype("datetime64[ns]"))
+        wall = idx.tz_localize("UTC").tz_convert(tz).tz_localize(None)
+        return wall.asi8 // 1000
+    return ns // 1000
+
+
+def _int32_offsets(lengths: np.ndarray) -> pa.Array:
+    offsets = np.zeros(lengths.size + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+    return pa.array(offsets, type=pa.int32())
+
+
 def _decode_column(col_id: int, t: OrcType, streams: dict, encodings, n: int,
-                   comp: str, name: str) -> pa.Array:
+                   comp: str, name: str, tz: str = "UTC",
+                   types: list[OrcType] | None = None) -> pa.Array:
     def get(kind):
         raw = streams.get((col_id, kind))
         return None if raw is None else blockc.decompress_stream(raw, comp)
@@ -301,6 +352,37 @@ def _decode_column(col_id: int, t: OrcType, streams: dict, encodings, n: int,
     n_dense = int(not_null.sum()) if not_null is not None else n
     data = get(S_DATA)
     k = t.kind
+
+    # --- nested types: same offsets model as the chunk engine -------------
+    # (reference src/array_decoder/{list.rs:36-104, map.rs:35-123,
+    # struct_decoder.rs:33-95}: struct children carry one entry per present
+    # parent row, list/map children one entry per element, each with their
+    # own PRESENT; parent nulls respaced after assembly)
+    if k == K_STRUCT:
+        children = [
+            _decode_column(cid, types[cid], streams, encodings, n_dense, comp,
+                           f"{name}.{fname}", tz, types)
+            for cid, fname in zip(t.subtypes, t.field_names)
+        ]
+        dense = pa.StructArray.from_arrays(children, t.field_names)
+        return _respace(dense, not_null)
+    if k == K_LIST:
+        lengths = rle(get(S_LENGTH), n_dense, signed=False)
+        cid = t.subtypes[0]
+        child = _decode_column(cid, types[cid], streams, encodings,
+                               int(lengths.sum()), comp, f"{name}.item", tz, types)
+        dense = pa.ListArray.from_arrays(_int32_offsets(lengths), child)
+        return _respace(dense, not_null)
+    if k == K_MAP:
+        lengths = rle(get(S_LENGTH), n_dense, signed=False)
+        n_child = int(lengths.sum())
+        kid, vid = t.subtypes[0], t.subtypes[1]
+        keys = _decode_column(kid, types[kid], streams, encodings, n_child,
+                              comp, f"{name}.key", tz, types)
+        items = _decode_column(vid, types[vid], streams, encodings, n_child,
+                               comp, f"{name}.value", tz, types)
+        dense = pa.MapArray.from_arrays(_int32_offsets(lengths), keys, items)
+        return _respace(dense, not_null)
 
     if k in (K_SHORT, K_INT, K_LONG):
         vals = rle(data, n_dense, signed=True)
@@ -325,14 +407,28 @@ def _decode_column(col_id: int, t: OrcType, streams: dict, encodings, n: int,
     if k in (K_TIMESTAMP, K_TIMESTAMP_INSTANT):
         secs = rle(data, n_dense, signed=True)
         nanos = rle(get(S_SECONDARY), n_dense, signed=False)
-        ns = combine_timestamp_ns(secs, nanos)
-        dense = pa.array(ns // 1000, type=pa.int64()).cast(pa.timestamp("us"))
+        us = _ts_us(secs, nanos, tz, k)
+        dense = pa.array(us, type=pa.int64()).cast(pa.timestamp("us"))
         return _respace(dense, not_null)
     if k == K_DECIMAL:
-        mant = decode_decimal(data, get(S_SECONDARY), n_dense, t.scale)
-        words = np.empty((n_dense, 2), dtype=np.uint64)
-        words[:, 0] = mant.view(np.uint64)
-        words[:, 1] = (mant >> np.int64(63)).view(np.uint64)
+        try:
+            mant = decode_decimal(data, get(S_SECONDARY), n_dense, t.scale)
+            words = np.empty((n_dense, 2), dtype=np.uint64)
+            words[:, 0] = mant.view(np.uint64)
+            words[:, 1] = (mant >> np.int64(63)).view(np.uint64)
+        except ValueError:
+            # mantissa varints wider than 64-bit zigzag (precision > 18):
+            # exact i128 slow path, mirroring operators.decode — including
+            # the SECONDARY per-value scale rescale to the declared scale
+            from ..codecs.decimal_codec import decode_varints_exact, i128_words
+
+            ints = decode_varints_exact(data, n_dense)
+            scales = rle(get(S_SECONDARY), n_dense, signed=True)
+            ints = [
+                m * 10 ** (t.scale - int(s)) if t.scale >= s else m // 10 ** (int(s) - t.scale)
+                for m, s in zip(ints, scales)
+            ]
+            words = i128_words(ints)
         dense = pa.Array.from_buffers(
             pa.decimal128(t.precision or 38, t.scale), n_dense,
             [None, pa.py_buffer(words.tobytes())],
@@ -361,7 +457,7 @@ def decode_stripe(buf: bytes, footer_raw: bytes, meta: OrcMeta, n_rows: int) -> 
     The stripe footer lists ALL streams in file order — index-region
     streams (ROW_INDEX/BLOOM) first, then data streams — so offsets are
     walked across the whole region (src/stripe.rs:154-182 analog)."""
-    stream_list, encodings, _tz = _read_stripe_footer(footer_raw, meta.compression)
+    stream_list, encodings, tz = _read_stripe_footer(footer_raw, meta.compression)
     streams: dict[tuple[int, int], bytes] = {}
     pos = 0
     for col, kind, length in stream_list:
@@ -372,9 +468,311 @@ def decode_stripe(buf: bytes, footer_raw: bytes, meta: OrcMeta, n_rows: int) -> 
     for child_id, name in zip(root.subtypes, root.field_names):
         cols[name] = _decode_column(
             child_id, meta.types[child_id], streams, encodings, n_rows,
-            meta.compression, name,
+            meta.compression, name, tz, meta.types,
         )
     return pa.table(cols)
+
+
+# --- row-group index: parse + position-seek group decode --------------------
+# Reference parity: row-index parse src/row_index.rs:235-329, per-group
+# predicate evaluation src/row_group_filter.rs:54-205, bloom probe :370-408.
+
+
+def _parse_row_index(raw: bytes) -> list[tuple[list[int], tuple | None]]:
+    """ROW_INDEX stream -> [(positions, (min,max)|None)] per row group."""
+    entries = []
+    for fno, _, v in _fields(raw):
+        if fno != 1:  # RowIndexEntry
+            continue
+        positions: list[int] = []
+        stats = None
+        for f2, w2, v2 in _fields(v):
+            if f2 == 1:  # repeated uint64 positions (packed or not)
+                positions.extend(_packed_u32(v2))
+            elif f2 == 2:  # ColumnStatistics
+                stats = _parse_column_stats(v2)
+        entries.append((positions, stats))
+    return entries
+
+
+def _parse_bloom_index(raw: bytes) -> list:
+    """BLOOM_FILTER(_UTF8) stream -> [BloomFilter|None] per row group."""
+    from ..codecs.bloom import BloomFilter
+
+    filters = []
+    for fno, _, v in _fields(raw):
+        if fno != 1:  # BloomFilter
+            continue
+        k = 0
+        words: list[int] = []
+        utf8 = None
+        for f2, w2, v2 in _fields(v):
+            if f2 == 1:
+                k = v2
+            elif f2 == 2:  # repeated fixed64 bitset
+                if w2 == 1:
+                    words.append(v2)
+                else:  # packed
+                    words.extend(np.frombuffer(v2, dtype="<u8").tolist())
+            elif f2 == 3:  # utf8bitset bytes
+                utf8 = v2
+        if utf8 is not None and len(utf8):
+            filters.append(BloomFilter(k, np.frombuffer(utf8, dtype="<u8").copy()))
+        elif words:
+            filters.append(BloomFilter(k, np.array(words, dtype=np.uint64)))
+        else:
+            filters.append(None)
+    return filters
+
+
+# per-stream extra position values after the (1 or 2) byte-offset base:
+# RLE streams record values-consumed-in-run (1); boolean streams record
+# byte-RLE-values-consumed + bits-consumed (2); raw byte streams none.
+_RLE_EXTRA, _BOOL_EXTRA, _RAW_EXTRA = 1, 2, 0
+
+
+def _position_layout(t: OrcType, enc_kind: int, has_present: bool) -> list[tuple[int, int]] | None:
+    """[(stream_kind, n_extras)] in position-recording order for a
+    primitive column, or None if seek-decode is unsupported (nested)."""
+    k = t.kind
+    out = [(S_PRESENT, _BOOL_EXTRA)] if has_present else []
+    if k in (K_SHORT, K_INT, K_LONG, K_DATE):
+        out.append((S_DATA, _RLE_EXTRA))
+    elif k == K_BYTE:
+        out.append((S_DATA, _RLE_EXTRA))
+    elif k == K_BOOLEAN:
+        out.append((S_DATA, _BOOL_EXTRA))
+    elif k in (K_FLOAT, K_DOUBLE):
+        out.append((S_DATA, _RAW_EXTRA))
+    elif k in (K_STRING, K_VARCHAR, K_CHAR, K_BINARY):
+        if enc_kind in (E_DICTIONARY, E_DICTIONARY_V2):
+            out.append((S_DATA, _RLE_EXTRA))  # dict itself read whole
+        else:
+            out.append((S_DATA, _RAW_EXTRA))
+            out.append((S_LENGTH, _RLE_EXTRA))
+    elif k in (K_TIMESTAMP, K_TIMESTAMP_INSTANT):
+        out.append((S_DATA, _RLE_EXTRA))
+        out.append((S_SECONDARY, _RLE_EXTRA))
+    elif k == K_DECIMAL:
+        out.append((S_DATA, _RAW_EXTRA))
+        out.append((S_SECONDARY, _RLE_EXTRA))
+    else:
+        return None
+    return out
+
+
+def _decode_column_group(
+    col_id: int, t: OrcType, streams: dict, encodings, comp: str, tz: str,
+    entries: list, g: int, n_g: int, dict_cache: dict, name: str,
+) -> pa.Array:
+    """Decode ONE row group of a primitive column by seeking to the group's
+    recorded stream positions (reference seek model: src/row_index.rs:42-51
+    position semantics) — groups not decoded are never RLE-decoded nor
+    (beyond their compressed suffix) decompressed."""
+    enc_kind, dict_size = encodings[col_id]
+    rle = _int_decoder(enc_kind)
+    has_present = (col_id, S_PRESENT) in streams
+    layout = _position_layout(t, enc_kind, has_present)
+    pos = entries[g][0]
+    cur = 0
+    bufs: dict[int, object] = {}
+    exs: dict[int, tuple] = {}
+    for kind, extras in layout:
+        raw = streams[(col_id, kind)]
+        if comp == "none":
+            off = int(pos[cur]); cur += 1
+            buf = raw[off:]
+        else:
+            chunk, dec = int(pos[cur]), int(pos[cur + 1]); cur += 2
+            buf = blockc.decompress_stream(raw[chunk:], comp)[dec:]
+        exs[kind] = tuple(int(x) for x in pos[cur: cur + extras]); cur += extras
+        bufs[kind] = buf
+
+    not_null = None
+    n_dense = n_g
+    if has_present:
+        skip = exs[S_PRESENT][0] * 8 + exs[S_PRESENT][1]
+        bits = decode_boolean_rle(bufs[S_PRESENT], skip + n_g, exact=False)
+        not_null = np.asarray(bits[skip:])
+        n_dense = int(not_null.sum())
+
+    k = t.kind
+    if k in (K_SHORT, K_INT, K_LONG, K_DATE):
+        sk = exs[S_DATA][0]
+        vals = rle(bufs[S_DATA], sk + n_dense, signed=True, exact=False)[sk:]
+        if k == K_DATE:
+            dense = pa.array(vals.astype(np.int32), type=pa.int32()).cast(pa.date32())
+        else:
+            dense = pa.array(vals, type=pa.int64())
+            target = {K_SHORT: pa.int16(), K_INT: pa.int32(), K_LONG: pa.int64()}[k]
+            if target != pa.int64():
+                dense = dense.cast(target)
+    elif k == K_BYTE:
+        sk = exs[S_DATA][0]
+        u8 = decode_byte_rle(bufs[S_DATA], sk + n_dense, exact=False)[sk:]
+        dense = pa.array(u8.view(np.int8), type=pa.int8())
+    elif k == K_BOOLEAN:
+        skip = exs[S_DATA][0] * 8 + exs[S_DATA][1]
+        dense = pa.array(decode_boolean_rle(bufs[S_DATA], skip + n_dense, exact=False)[skip:])
+    elif k in (K_FLOAT, K_DOUBLE):
+        dtype = np.float32 if k == K_FLOAT else np.float64
+        dense = pa.array(decode_float(bufs[S_DATA], n_dense, dtype))
+    elif k in (K_TIMESTAMP, K_TIMESTAMP_INSTANT):
+        sk_d, sk_s = exs[S_DATA][0], exs[S_SECONDARY][0]
+        secs = rle(bufs[S_DATA], sk_d + n_dense, signed=True, exact=False)[sk_d:]
+        nanos = rle(bufs[S_SECONDARY], sk_s + n_dense, signed=False, exact=False)[sk_s:]
+        dense = pa.array(_ts_us(secs, nanos, tz, k), type=pa.int64()).cast(pa.timestamp("us"))
+    elif k == K_DECIMAL:
+        from ..codecs.decimal_codec import decode_varints_i64
+
+        sk_s = exs[S_SECONDARY][0]
+        scales = rle(bufs[S_SECONDARY], sk_s + n_dense, signed=True, exact=False)[sk_s:]
+        mant = decode_varints_i64(bufs[S_DATA], n_dense)
+        diff = t.scale - scales
+        up, down = diff > 0, diff < 0
+        mant[up] = mant[up] * np.power(10, diff[up])
+        mant[down] = mant[down] // np.power(10, -diff[down])
+        words = np.empty((n_dense, 2), dtype=np.uint64)
+        words[:, 0] = mant.view(np.uint64)
+        words[:, 1] = (mant >> np.int64(63)).view(np.uint64)
+        dense = pa.Array.from_buffers(
+            pa.decimal128(t.precision or 38, t.scale), n_dense,
+            [None, pa.py_buffer(words.tobytes())],
+        )
+    elif k in (K_STRING, K_VARCHAR, K_CHAR, K_BINARY):
+        if enc_kind in (E_DICTIONARY, E_DICTIONARY_V2):
+            if col_id not in dict_cache:
+                dict_lens = rle(
+                    blockc.decompress_stream(streams[(col_id, S_LENGTH)], comp),
+                    dict_size, signed=False)
+                dict_cache[col_id] = _split_binary(
+                    blockc.decompress_stream(streams[(col_id, S_DICTIONARY_DATA)], comp),
+                    dict_lens)
+            sk = exs[S_DATA][0]
+            indices = rle(bufs[S_DATA], sk + n_dense, signed=False, exact=False)[sk:]
+            dense = pa.DictionaryArray.from_arrays(
+                pa.array(indices, type=pa.int64()), dict_cache[col_id]
+            ).cast(pa.large_binary())
+        else:
+            sk = exs[S_LENGTH][0]
+            lengths = rle(bufs[S_LENGTH], sk + n_dense, signed=False, exact=False)[sk:]
+            total = int(lengths.sum())
+            dense = _split_binary(bufs[S_DATA][:total], lengths)
+        if k != K_BINARY:
+            dense = dense.cast(pa.large_string())
+    else:  # pragma: no cover — layout() already excluded these
+        raise NotImplementedError(f"group seek for ORC kind {k} ({name})")
+    return _respace(dense, not_null)
+
+
+def _rg_keep_for_stripe(
+    entries: list, blooms: list | None, n_rows: int, stride: int,
+    eq=None, lo=None, hi=None,
+) -> list[int]:
+    """Row groups whose index stats (and bloom, for eq) may match — the
+    reference's evaluate_row_group_predicate (src/row_group_filter.rs:54-205,
+    bloom :370-408). Three-valued: missing/mismatched stats keep."""
+    if eq is not None:
+        lo = hi = eq
+    n_groups = (n_rows + stride - 1) // stride
+    keep = []
+    for g in range(min(n_groups, len(entries))):
+        stats = entries[g][1]
+        ok = True
+        if stats is not None:
+            mn, mx = stats
+            same = (isinstance(mn, str) and isinstance(lo if lo is not None else hi, str)) or (
+                isinstance(mn, (int, float)) and isinstance(
+                    lo if lo is not None else hi, (int, float))
+            )
+            if same:
+                if lo is not None and mx < lo:
+                    ok = False
+                if hi is not None and mn > hi:
+                    ok = False
+        if ok and eq is not None and blooms and g < len(blooms) and blooms[g] is not None:
+            bf = blooms[g]
+            if isinstance(eq, int):
+                ok = bf.might_contain_i64(eq)
+            elif isinstance(eq, (str, bytes)):
+                probe = eq.encode() if isinstance(eq, str) else eq
+                ok = bf.might_contain_bytes(probe)
+        if ok:
+            keep.append(g)
+    keep.extend(range(len(entries), n_groups))  # entries missing: keep
+    return keep
+
+
+def decode_stripe_pruned(
+    buf: bytes, footer_raw: bytes, meta: OrcMeta, n_rows: int,
+    column: str, eq=None, lo=None, hi=None,
+) -> tuple[pa.Table, int, int]:
+    """Decode only the row groups of this stripe whose ROW_INDEX stats /
+    bloom filter may satisfy the predicate on ``column``.
+
+    -> (table of kept groups' rows, groups_decoded, groups_total). The
+    caller applies the residual filter. Falls back to full decode (all
+    groups "decoded") when the column has no usable index or a projected
+    column type has no seek support (nested).
+    """
+    stream_list, encodings, tz = _read_stripe_footer(footer_raw, meta.compression)
+    streams: dict[tuple[int, int], bytes] = {}
+    pos = 0
+    for col, kind, length in stream_list:
+        streams[(col, kind)] = buf[pos: pos + length]
+        pos += length
+    root = meta.types[0]
+    stride = int(meta.row_index_stride or 10_000)
+    n_groups = (n_rows + stride - 1) // stride
+
+    def full():
+        return decode_stripe(buf, footer_raw, meta, n_rows), n_groups, n_groups
+
+    try:
+        col_id = root.subtypes[root.field_names.index(column)]
+    except ValueError:
+        return full()
+    ri_raw = streams.get((col_id, S_ROW_INDEX))
+    if ri_raw is None or not stride:
+        return full()
+    entries = _parse_row_index(blockc.decompress_stream(ri_raw, meta.compression))
+    bl_raw = streams.get((col_id, S_BLOOM_FILTER_UTF8)) or streams.get(
+        (col_id, S_BLOOM_FILTER))
+    blooms = (_parse_bloom_index(blockc.decompress_stream(bl_raw, meta.compression))
+              if bl_raw is not None else None)
+    keep = _rg_keep_for_stripe(entries, blooms, n_rows, stride, eq=eq, lo=lo, hi=hi)
+    if len(keep) >= n_groups:
+        return full()
+    if not keep:
+        return decode_stripe(buf, footer_raw, meta, 0), 0, n_groups
+
+    # seek-decode every projected column group by group; nested or
+    # index-less columns force the full-decode fallback
+    per_col_entries: dict[int, list] = {}
+    for cid in root.subtypes:
+        t = meta.types[cid]
+        if _position_layout(t, encodings[cid][0], (cid, S_PRESENT) in streams) is None:
+            return full()
+        raw = streams.get((cid, S_ROW_INDEX))
+        if raw is None:
+            return full()
+        per_col_entries[cid] = _parse_row_index(
+            blockc.decompress_stream(raw, meta.compression))
+
+    dict_cache: dict[int, pa.Array] = {}
+    cols: dict[str, list] = {name: [] for name in root.field_names}
+    for g in keep:
+        n_g = min(stride, n_rows - g * stride)
+        for cid, name in zip(root.subtypes, root.field_names):
+            cols[name].append(_decode_column_group(
+                cid, meta.types[cid], streams, encodings, meta.compression, tz,
+                per_col_entries[cid], g, n_g, dict_cache, name))
+    out = {}
+    for name in root.field_names:
+        parts = cols[name]
+        out[name] = parts[0] if len(parts) == 1 else pa.concat_arrays(
+            [p.cast(parts[0].type) for p in parts])
+    return pa.table(out), len(keep), n_groups
 
 
 def orc_to_table(path: str) -> pa.Table:
@@ -444,7 +842,8 @@ def _orc_kind_of(t: pa.DataType) -> int:
 
 
 def write_orc(table: pa.Table, path: str, compression: str = "zlib",
-              stripe_rows: int = 100_000) -> None:
+              stripe_rows: int = 100_000, writer_timezone: str = "UTC",
+              rle_version: int = 2) -> None:
     """Write a flat-schema Arrow table as a REAL Apache ORC v1 file using
     this engine's encoders — the reference ArrowWriter analog
     (src/arrow_writer.rs:71-259, stripe flush src/writer/stripe.rs:109-165).
@@ -465,9 +864,31 @@ def write_orc(table: pa.Table, path: str, compression: str = "zlib",
     names = table.column_names
     kinds = [_orc_kind_of(table.schema.field(n).type) for n in names]
 
+    if writer_timezone not in ("UTC", "GMT"):
+        # Java-writer semantics (the reference's read contract,
+        # src/array_decoder/timestamp.rs:131-141): input timestamps are
+        # WALL-CLOCK in the writer tz; stored seconds are relative to the
+        # ORC epoch in that tz. Our encoder uses the fixed UTC epoch, so
+        # pre-shift: wall -> instant -> minus the epoch delta.
+        import pandas as pd
+
+        delta = _writer_epoch_delta_ns(writer_timezone)
+        cols = []
+        for n_, k_ in zip(names, kinds):
+            arr = table.column(n_).combine_chunks()
+            if k_ == K_TIMESTAMP:
+                us = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+                idx = pd.DatetimeIndex((us * 1000).astype("datetime64[ns]"))
+                inst = idx.tz_localize(
+                    writer_timezone, ambiguous=True, nonexistent="shift_forward"
+                ).tz_convert("UTC").tz_localize(None).asi8
+                arr = pa.array((inst - delta) // 1000, type=pa.int64()).cast(arr.type)
+            cols.append(arr)
+        table = pa.table(dict(zip(names, cols)))
+
     out = bytearray(MAGIC)
     stripe_infos = []
-    plan = {n: {"block_codec": "none"} for n in names}
+    plan = {n: {"block_codec": "none", "rle_version": rle_version} for n in names}
     for start in range(0, max(table.num_rows, 1), stripe_rows):
         sl = table.slice(start, stripe_rows)
         if sl.num_rows == 0:
@@ -499,14 +920,16 @@ def write_orc(table: pa.Table, path: str, compression: str = "zlib",
                 enc = _pb_field(1, 0, E_DICTIONARY_V2) + _pb_field(
                     2, 0, int(col["DATA"]["dict_size"])
                 )
-            elif codec in ("boolean_rle", "byte_rle", "float_plain"):
+            elif codec in ("boolean_rle", "byte_rle", "float_plain", "rle_v1"):
+                # rle_v1 int streams declare the legacy DIRECT encoding so
+                # independent readers pick the RLEv1 decoder
                 enc = _pb_field(1, 0, E_DIRECT)
             else:  # rle_v2-based codecs
                 enc = _pb_field(1, 0, E_DIRECT_V2)
             enc_protos.append(enc)
         sf = b"".join(_pb_field(1, 2, s) for s in stream_protos)
         sf += b"".join(_pb_field(2, 2, e) for e in enc_protos)
-        sf += _pb_field(3, 2, b"UTC")  # writerTimezone
+        sf += _pb_field(3, 2, writer_timezone.encode())  # writerTimezone
         sf_bytes = maybe_compress(sf)
         out.extend(sf_bytes)
         stripe_infos.append(
@@ -586,9 +1009,13 @@ def orc_scan(spark, path: str, schema, predicate=None) -> "pyspark.sql.DataFrame
     stripe, fetches only that byte range, and decodes with this engine's
     codecs inside the Python worker.
 
-    ``predicate``: optional (column, lo, hi) — stripes whose Metadata
-    statistics exclude the range are never scheduled (stripe-level
-    pushdown); the residual filter still must be applied by the caller.
+    ``predicate``: optional (column, lo, hi) — pushdown happens at TWO
+    granularities, mirroring the reference: stripes whose Metadata
+    statistics exclude the range are never scheduled, and inside each
+    surviving stripe only the 10k-row groups whose ROW_INDEX stats (and
+    bloom filter, when lo == hi) may match are seek-decoded
+    (src/row_group_filter.rs:54-205,370-408). The residual filter still
+    must be applied by the caller.
     """
     from pyspark.sql import functions as F  # noqa: F401
 
@@ -617,8 +1044,63 @@ def orc_scan(spark, path: str, schema, predicate=None) -> "pyspark.sql.DataFrame
                     fh.seek(row["offset"])
                     body = fh.read(row["index_length"] + row["data_length"])
                     footer_raw = fh.read(row["footer_length"])
-                tbl = decode_stripe(body, footer_raw, m, row["rows"])
+                if predicate is not None:
+                    col, lo, hi = predicate
+                    eq = lo if (lo is not None and lo == hi) else None
+                    tbl, _, _ = decode_stripe_pruned(
+                        body, footer_raw, m, row["rows"], col,
+                        eq=eq, lo=None if eq is not None else lo,
+                        hi=None if eq is not None else hi)
+                else:
+                    tbl = decode_stripe(body, footer_raw, m, row["rows"])
                 for rb in tbl.to_batches():
                     yield rb
 
     return sdf.mapInArrow(scan, schema=schema)
+
+
+def orc_point_lookup(path: str, column: str, value) -> tuple[pa.Table, int, int]:
+    """Local point lookup over a real ORC file with stripe- AND row-group-
+    level pruning -> (matching rows, groups_decoded, groups_total). The
+    group counts make the pruning observable (reference integration tests
+    assert exact row counts after bloom pruning, tests/integration/main.rs
+    :374-488)."""
+    import pyarrow.compute as pc
+
+    meta = read_metadata(path)
+    lo = hi = value if isinstance(value, (int, float, str)) else None
+    keep = prune_stripes(meta, column, lo, hi)
+    parts, decoded, total = [], 0, 0
+    with open(path, "rb") as fh:
+        for i, st in enumerate(meta.stripes):
+            stride = int(meta.row_index_stride or 10_000)
+            n_groups = (st.number_of_rows + stride - 1) // stride
+            total += n_groups
+            if i not in keep:
+                continue
+            fh.seek(st.offset)
+            body = fh.read(st.index_length + st.data_length)
+            footer_raw = fh.read(st.footer_length)
+            tbl, kept, _ = decode_stripe_pruned(
+                body, footer_raw, meta, st.number_of_rows, column, eq=value)
+            decoded += kept
+            if tbl.num_rows:
+                parts.append(tbl.filter(pc.equal(tbl.column(column), value)))
+    if parts:
+        return pa.concat_tables(parts), decoded, total
+    root = meta.types[0]
+    kind_to_arrow = {
+        K_BOOLEAN: pa.bool_(), K_BYTE: pa.int8(), K_SHORT: pa.int16(),
+        K_INT: pa.int32(), K_LONG: pa.int64(), K_FLOAT: pa.float32(),
+        K_DOUBLE: pa.float64(), K_STRING: pa.large_string(),
+        K_VARCHAR: pa.large_string(), K_CHAR: pa.large_string(),
+        K_BINARY: pa.large_binary(), K_TIMESTAMP: pa.timestamp("us"),
+        K_TIMESTAMP_INSTANT: pa.timestamp("us"), K_DATE: pa.date32(),
+    }
+    empty = {}
+    for cid, n_ in zip(root.subtypes, root.field_names):
+        t = meta.types[cid]
+        at = (pa.decimal128(t.precision or 38, t.scale)
+              if t.kind == K_DECIMAL else kind_to_arrow.get(t.kind, pa.null()))
+        empty[n_] = pa.array([], type=at)
+    return pa.table(empty), decoded, total

@@ -105,3 +105,24 @@ def test_roundtrip_texty(strings):
     bs = [s.encode() for s in strings]
     table = train_fsst(b"".join(bs), iterations=3)
     _roundtrip(bs, table)
+
+
+def test_selector_picks_fsst_for_urls():
+    """The q_roundtrip_fsst_urls oracle query is only meaningful if the
+    selector actually routes URL-shaped strings through FSST — assert the
+    chunk codec, not just the roundtrip."""
+    import pyarrow as pa
+
+    from orc_rust_spark.codecs.fsst import train_fsst
+    from orc_rust_spark.operators.encode import encode_chunk
+
+    urls = pa.array([
+        f"https://crawl.example.org/archive/src{i % 20}/page-{i}.html?lang=en"
+        for i in range(5000)
+    ])
+    table = train_fsst("".join(urls.to_pylist()[:256]).encode())
+    batch = encode_chunk(pa.table({"url": urls}), 0, 0,
+                         {"url": {"fsst_table": table.serialize()}})
+    codecs = {r["codec"] for r in batch.to_pylist()
+              if r["column"] == "url" and r["stream_kind"] == "DATA"}
+    assert codecs == {"fsst"}, codecs
