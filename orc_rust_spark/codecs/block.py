@@ -77,6 +77,95 @@ def lz4_block_decompress(src) -> bytes:
     return bytes(out)
 
 
+def lzo1x_decompress(src) -> bytes:
+    """Pure-Python LZO1X block decoder (read-compat path, reference
+    src/compression.rs:208) written from the publicly documented LZO
+    stream format (instruction byte encodes literal-run/match length,
+    distance from trailing bytes, low 2 bits = following literal count;
+    EOF is the 0x11 0x00 0x00 marker). Slow path like the LZ4 decoder
+    above — exercised against an independently produced .lzo ORC file."""
+    src = bytes(src)
+    ip, n = 0, len(src)
+    out = bytearray()
+
+    def count_zeros(pos):  # run-length extension: 255 per zero byte
+        ext = 0
+        while src[pos] == 0:
+            ext += 255
+            pos += 1
+        return ext + src[pos], pos + 1
+
+    def copy_match(dist, length):
+        start = len(out) - dist
+        if start < 0:
+            raise ValueError("LZO match before output start")
+        if dist >= length:
+            out.extend(out[start: start + length])
+        else:  # overlapping: byte-at-a-time per the format
+            for i in range(length):
+                out.append(out[start + i])
+
+    state = 0
+    t = src[ip]; ip += 1
+    if t > 17:  # initial literal run
+        length = t - 17
+        out.extend(src[ip: ip + length]); ip += length
+        state = 4 if length >= 4 else length
+        t = src[ip]; ip += 1
+    while True:
+        if t < 16:
+            if state == 0:
+                length = t + 3
+                if t == 0:
+                    ext, ip = count_zeros(ip)
+                    length = ext + 18
+                out.extend(src[ip: ip + length]); ip += length
+                state = 4
+                t = src[ip]; ip += 1
+                continue
+            if state == 4:  # 3-byte match, distance 2049..3072
+                d = (src[ip] << 2) + (t >> 2) + 2049; ip += 1
+                copy_match(d, 3)
+            else:  # 1..3: 2-byte match, distance 1..1024
+                d = (src[ip] << 2) + (t >> 2) + 1; ip += 1
+                copy_match(d, 2)
+            lits = t & 3
+        elif t >= 128:  # 1LLDDDSS: 5-8 byte match, distance 1..16384
+            length = 5 + ((t >> 5) & 3)
+            d = (src[ip] << 3) + ((t >> 2) & 7) + 1; ip += 1
+            copy_match(d, length)
+            lits = t & 3
+        elif t >= 64:  # 01LDDDSS: 3-4 byte match, distance 1..2048
+            length = 3 + ((t >> 5) & 1)
+            d = (src[ip] << 3) + ((t >> 2) & 7) + 1; ip += 1
+            copy_match(d, length)
+            lits = t & 3
+        elif t >= 32:  # 001LLLLL: match, distance 1..16384
+            length = 2 + (t & 31)
+            if (t & 31) == 0:
+                ext, ip = count_zeros(ip)
+                length = ext + 33
+            le = src[ip] | (src[ip + 1] << 8); ip += 2
+            copy_match((le >> 2) + 1, length)
+            lits = le & 3
+        else:  # 0001SLLL: match, distance 16384..49151 — or EOF
+            length = 2 + (t & 7)
+            if (t & 7) == 0:
+                ext, ip = count_zeros(ip)
+                length = ext + 9
+            le = src[ip] | (src[ip + 1] << 8); ip += 2
+            d = 16384 + ((t & 8) << 11) + (le >> 2)
+            if d == 16384:
+                break  # end-of-stream marker
+            copy_match(d, length)
+            lits = le & 3
+        if lits:
+            out.extend(src[ip: ip + lits]); ip += lits
+        state = lits if lits else 0
+        t = src[ip]; ip += 1
+    return bytes(out)
+
+
 def _compress_one(codec: str, raw: bytes, level: int) -> bytes:
     if codec == "zlib":
         c = zlib.compressobj(level, zlib.DEFLATED, -15)  # raw deflate per ORC
@@ -144,6 +233,8 @@ def _decompress_one(codec: str, comp: bytes) -> bytes:
         return _pa.Codec("snappy").decompress(raw, _snappy_len(raw)).to_pybytes()
     if codec == "lz4":
         return lz4_block_decompress(comp)
+    if codec == "lzo":
+        return lzo1x_decompress(comp)
     if codec == "lzma":
         import lzma
 
@@ -152,10 +243,10 @@ def _decompress_one(codec: str, comp: bytes) -> bytes:
 
 
 def available_codecs() -> list[str]:
-    # the reference reads zlib/snappy/lzo/lz4/zstd (src/compression.rs:142-213);
-    # zlib/lzma are stdlib, snappy/lz4/zstd ride on pyarrow's bundled
-    # codecs (lz4 decode is the pure-Python block decoder above). LZO has
-    # no available implementation in this container — documented gate.
+    # codecs usable for BOTH compress and decompress — the reference reads
+    # zlib/snappy/lzo/lz4/zstd (src/compression.rs:142-213); zlib/lzma are
+    # stdlib, snappy/lz4/zstd ride on pyarrow's bundled codecs (lz4 decode
+    # is the pure-Python block decoder above).
     out = ["none", "zlib", "lzma"]
     if _HAS_ZSTD or _PA_ZSTD:
         out.append("zstd")
@@ -164,6 +255,13 @@ def available_codecs() -> list[str]:
     if _PA_LZ4:
         out.append("lz4")
     return out
+
+
+def readable_codecs() -> list[str]:
+    """Codecs decodable on the read path: everything writable plus LZO
+    (pure-Python LZO1X above, decompress-only — matching the reference,
+    whose writer also never emits LZO)."""
+    return available_codecs() + ["lzo"]
 
 
 def compress_stream(

@@ -17,7 +17,7 @@ from __future__ import annotations
 import sys
 
 
-def main(argv: list[str]) -> int:
+def main(argv: list[str], spark=None) -> int:
     if len(argv) < 2:
         print(__doc__)
         return 2
@@ -25,10 +25,13 @@ def main(argv: list[str]) -> int:
     cmd = argv[2] if len(argv) > 2 else "info"
     from pyspark.sql import functions as F
 
-    from .session import get_spark
+    own_session = spark is None
+    if own_session:
+        from .session import get_spark
 
-    spark = get_spark("orc_rust_spark-inspect", master="local[4]", shuffle_partitions=4)
-    spark.sparkContext.setLogLevel("ERROR")
+        spark = get_spark("orc_rust_spark-inspect", master="local[4]",
+                          shuffle_partitions=4)
+        spark.sparkContext.setLogLevel("ERROR")
     chunks = spark.read.parquet(chunks_dir)
     if cmd == "info":
         agg = chunks.agg(
@@ -137,7 +140,8 @@ def main(argv: list[str]) -> int:
     else:
         print(f"unknown command {cmd!r}; use info|stats|layout|export|index|bloom")
         return 2
-    spark.stop()
+    if own_session:
+        spark.stop()
     return 0
 
 

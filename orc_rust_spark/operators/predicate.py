@@ -24,7 +24,7 @@ from pyspark.sql import types as T
 
 from ..sources import chunk_table as ct
 from .decode import decode_table_arrow
-from .pruned_read import MAX_STAT_LEN, _typed_stat
+from .pruned_read import MAX_STAT_LEN, _stat_usable_bound, _typed_stat
 
 _NEG_OP = {"=": "!=", "!=": "=", "<": ">=", "<=": ">", ">": "<=", ">=": "<"}
 
@@ -35,6 +35,14 @@ class Predicate:
 
     def negate(self) -> "Predicate":
         raise NotImplementedError
+
+    def rg_keep(self, rg_by_col: dict, n_groups: int) -> set[int]:
+        """Row groups (within one chunk) this predicate MIGHT match, given
+        each indexed column's per-group stats. Composition mirrors the
+        reference's RowSelection algebra (src/row_selection.rs:32-260
+        from_filters/and_then): And intersects, Or unions, Not pushes the
+        negation down. Columns without an index keep every group."""
+        return set(range(n_groups))
 
     def might_match(self) -> Column:
         """Boolean Column over the per-chunk stats pivot (True = keep)."""
@@ -90,6 +98,54 @@ class Comparison(Predicate):
             "<=": c <= v, ">": c > v, ">=": c >= v,
         }[self.op]
 
+    def rg_keep(self, rg_by_col: dict, n_groups: int) -> set[int]:
+        rg = rg_by_col.get(self.col)
+        universe = set(range(n_groups))
+        if rg is None or len(rg["n"]) != n_groups or not _stat_usable_bound(self.value):
+            return universe
+        if rg["codec"] == "decimal":  # unscaled-mantissa stats: unusable
+            return universe
+        numeric = rg["codec"] in ("rle_v2", "byte_rle", "date", "timestamp_split")
+        floaty = rg["codec"] == "float_plain"
+        stringy = not numeric and not floaty
+        v = self.value
+        if stringy != isinstance(v, str):
+            return universe  # probe/codec type mismatch: never prune
+
+        def parse(x):
+            try:
+                return int(x) if numeric else float(x) if floaty else x
+            except (TypeError, ValueError):
+                return None
+
+        keep = set()
+        for g in range(n_groups):
+            mn, mx = parse(rg["min"][g]), parse(rg["max"][g])
+            if mn is None or mx is None:
+                keep.add(g)
+                continue
+            # truncated string max is a prefix (lower bound): unusable for
+            # any test that needs a true upper bound
+            mx_usable = not (stringy and isinstance(mx, str) and len(mx) >= MAX_STAT_LEN)
+            op = self.op
+            if op == "=":
+                false = (mx_usable and mx < v) or mn > v
+            elif op == "!=":
+                false = mx_usable and mn == v and mx == v
+            elif op == "<":
+                false = mn >= v
+            elif op == "<=":
+                false = mn > v
+            elif op == ">":
+                false = mx_usable and mx <= v
+            elif op == ">=":
+                false = mx_usable and mx < v
+            else:
+                raise ValueError(f"unknown op {op!r}")
+            if not false:
+                keep.add(g)
+        return keep
+
 
 @dataclass(frozen=True)
 class IsNull(Predicate):
@@ -108,6 +164,12 @@ class IsNull(Predicate):
     def to_spark(self) -> Column:
         return F.col(self.col).isNull()
 
+    def rg_keep(self, rg_by_col: dict, n_groups: int) -> set[int]:
+        rg = rg_by_col.get(self.col)
+        if rg is None or len(rg["n"]) != n_groups:
+            return set(range(n_groups))
+        return {g for g in range(n_groups) if int(rg["nulls"][g]) > 0}
+
 
 @dataclass(frozen=True)
 class IsNotNull(Predicate):
@@ -125,6 +187,12 @@ class IsNotNull(Predicate):
 
     def to_spark(self) -> Column:
         return F.col(self.col).isNotNull()
+
+    def rg_keep(self, rg_by_col: dict, n_groups: int) -> set[int]:
+        rg = rg_by_col.get(self.col)
+        if rg is None or len(rg["n"]) != n_groups:
+            return set(range(n_groups))
+        return {g for g in range(n_groups) if int(rg["nulls"][g]) < int(rg["n"][g])}
 
 
 @dataclass(frozen=True)
@@ -150,6 +218,12 @@ class And(Predicate):
         out = F.lit(True)
         for p in self.preds:
             out = out & p.to_spark()
+        return out
+
+    def rg_keep(self, rg_by_col: dict, n_groups: int) -> set[int]:
+        out = set(range(n_groups))
+        for p in self.preds:
+            out &= p.rg_keep(rg_by_col, n_groups)
         return out
 
 
@@ -178,6 +252,12 @@ class Or(Predicate):
             out = out | p.to_spark()
         return out
 
+    def rg_keep(self, rg_by_col: dict, n_groups: int) -> set[int]:
+        out: set[int] = set()
+        for p in self.preds:
+            out |= p.rg_keep(rg_by_col, n_groups)
+        return out
+
 
 @dataclass(frozen=True)
 class Not(Predicate):
@@ -196,6 +276,9 @@ class Not(Predicate):
 
     def to_spark(self) -> Column:
         return ~self.pred.to_spark()
+
+    def rg_keep(self, rg_by_col: dict, n_groups: int) -> set[int]:
+        return self.pred.negate().rg_keep(rg_by_col, n_groups)
 
 
 def chunk_stats_pivot(chunks: DataFrame, cols: list[str]) -> DataFrame:
@@ -221,11 +304,47 @@ def prune_chunks_predicate(chunks: DataFrame, pred: Predicate) -> DataFrame:
     return pivot.where(pred.might_match()).select("part_id", "chunk_ord")
 
 
+def rg_keep_for_chunk(pdf, pred: Predicate) -> list[int] | None:
+    """Composed row-group keep list for one chunk's stream rows (pandas
+    frame), or None when no column is indexed / nothing can be skipped."""
+    import json
+
+    rg_by_col: dict[str, dict] = {}
+    sel = pdf[pdf["stream_kind"] == ct.DATA]
+    for col, sj in zip(sel["column"], sel["stats_json"]):
+        if sj:
+            rg = json.loads(sj).get("rg")
+            if rg:
+                rg_by_col[col] = rg
+    if not rg_by_col:
+        return None
+    n_groups = len(next(iter(rg_by_col.values()))["n"])
+    keep = sorted(pred.rg_keep(rg_by_col, n_groups))
+    return None if len(keep) >= n_groups else keep
+
+
 def pruned_scan(
     chunks: DataFrame, schema: T.StructType, pred: Predicate
 ) -> tuple[DataFrame, DataFrame]:
-    """-> (decoded rows satisfying pred exactly, kept chunk keys)."""
+    """-> (decoded rows satisfying pred exactly, kept chunk keys).
+
+    Two pruning granularities: chunk-level stats (might_match pivot), then
+    within each surviving chunk the per-COLUMN row-group keep lists are
+    COMPOSED across the predicate tree (And intersects, Or unions — the
+    reference's RowSelection and_then/union, src/row_selection.rs:32-260)
+    so a multi-column predicate skips groups on every indexed column, not
+    just one."""
+    import pandas as pd
+
     keys = prune_chunks_predicate(chunks, pred)
     pruned = chunks.join(F.broadcast(keys), ["part_id", "chunk_ord"], "left_semi")
-    decoded = decode_table_arrow(pruned, schema)
+    from .decode import decode_chunk_pdf
+
+    col_types = {f.name: f.dataType for f in schema.fields}
+
+    def decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return decode_chunk_pdf(pdf, col_types, rg_keep=rg_keep_for_chunk(pdf, pred))
+
+    decoded = pruned.groupBy("part_id", "chunk_ord").applyInPandas(
+        decode_group, schema=schema)
     return decoded.where(pred.to_spark()), keys

@@ -186,7 +186,7 @@ def read_metadata(path: str) -> OrcMeta:
             elif fno == 5:
                 meta_len = v
         comp = COMPRESSION[compression]
-        if comp not in blockc.available_codecs():
+        if comp not in blockc.readable_codecs():
             raise NotImplementedError(f"compression {comp} not available in container")
         footer_end = size - 1 - ps_len
         if footer_len + meta_len > tail_len - 1 - ps_len:

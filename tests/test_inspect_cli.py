@@ -1,0 +1,101 @@
+"""CLI snapshot tests for all six inspect subcommands — the analog of the
+reference's CLI stdout-snapshot suite (tests/bin/main.rs:86+)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def chunks_dir(spark, tmp_path_factory):
+    """Deterministic tiny dataset -> chunk table + schema.json on disk."""
+    from orc_rust_spark.operators.encode import encode_table
+
+    base = tmp_path_factory.mktemp("inspect")
+    out = str(base / "chunks")
+    n = 3000
+    df = spark.createDataFrame(
+        [(i, f"u{i % 7:02d}", None if i % 11 == 0 else float(i)) for i in range(n)],
+        "id long, name string, val double",
+    ).coalesce(1)
+    plan = {
+        "id": {"row_index": True, "row_index_stride": 1000, "bloom": True},
+        "name": {}, "val": {},
+    }
+    encode_table(df, plan=plan).write.mode("overwrite").parquet(out)
+    with open(base / "schema.json", "w") as fh:
+        fh.write(df.schema.json())
+    return out
+
+
+def _run(spark, capsys, *args) -> str:
+    from orc_rust_spark.inspect import main
+
+    rc = main(["inspect", *args], spark=spark)
+    assert rc == 0
+    return capsys.readouterr().out
+
+
+def test_info(spark, chunks_dir, capsys):
+    out = _run(spark, capsys, chunks_dir, "info")
+    assert "partitions : 1" in out
+    assert "chunks     : 1" in out
+    assert "ratio" in out and "x" in out
+
+
+def test_stats(spark, chunks_dir, capsys):
+    out = _run(spark, capsys, chunks_dir, "stats")
+    # one line per (column, codec); id is rle_v2, name dict, val float_plain
+    assert "rle_v2" in out and "dict" in out and "float_plain" in out
+    assert "2999" in out  # id max
+    # nulls recorded for val (every 11th row)
+    assert "273" in out
+
+
+def test_layout(spark, chunks_dir, capsys):
+    out = _run(spark, capsys, chunks_dir, "layout")
+    assert "DATA" in out and "LENGTH" in out
+    assert "DICTIONARY_DATA" in out  # name is dict-encoded
+    assert "BLOOM_FILTER" in out     # id plan asked for bloom
+    assert "PRESENT" in out          # val has nulls
+
+
+def test_index(spark, chunks_dir, capsys):
+    out = _run(spark, capsys, chunks_dir, "index", "id")
+    assert "stride=1000" in out and "groups=3" in out
+    assert "rg 0: rows=1000 nulls=0 min=0 max=999" in out
+    assert "rg 2: rows=1000 nulls=0 min=2000 max=2999" in out
+
+
+def test_bloom(spark, chunks_dir, capsys):
+    out = _run(spark, capsys, chunks_dir, "bloom", "id", "123")
+    assert "chunks total        : 1" in out
+    assert "chunks with bloom   : 1" in out
+    assert "chunks maybe-contain: 1" in out
+    # absent value: the single chunk's filter must reject it
+    out2 = _run(spark, capsys, chunks_dir, "bloom", "id", "999999999")
+    assert "chunks maybe-contain: 0" in out2
+
+
+def test_export_csv_and_json(spark, chunks_dir, capsys, tmp_path):
+    out_dir = str(tmp_path / "exp_json")
+    out = _run(spark, capsys, chunks_dir, "export", "json", out_dir)
+    assert f"exported to {out_dir}" in out
+    back = spark.read.json(out_dir)
+    assert back.count() == 3000
+    assert back.where(F.col("id") == 7).collect()[0].name == "u00"
+
+    csv_dir = str(tmp_path / "exp_csv")
+    _run(spark, capsys, chunks_dir, "export", "csv", csv_dir)
+    rows = spark.read.option("header", True).csv(csv_dir)
+    assert rows.count() == 3000
+
+
+def test_unknown_command(spark, chunks_dir, capsys):
+    from orc_rust_spark.inspect import main
+
+    rc = main(["inspect", chunks_dir, "nope"], spark=spark)
+    assert rc == 2
+    assert "unknown command" in capsys.readouterr().out
