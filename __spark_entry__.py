@@ -245,20 +245,13 @@ def q_orc_file_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_orc_file_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-group + bloom pruning inside the REAL-ORC reader (VERDICT r2
-    missing #1): lineitem in a liborc-written ORC file with ROW_INDEX +
-    BLOOM_FILTER_UTF8 streams; the point lookup parses S_ROW_INDEX
-    (src/row_index.rs:235-329), evaluates per-10k-group stats + bloom
-    (src/row_group_filter.rs:54-205,370-408), and seek-decodes ONLY the
-    matching groups via the recorded stream positions."""
+def _lineitem_bloom_orc(sf_dir: str) -> str:
+    """liborc-written lineitem ORC with ROW_INDEX + bloom on l_orderkey,
+    cached per sf (the index is written once, queried many times)."""
     import os
 
-    import pyarrow.compute as pc
     import pyarrow.orc as paorc
     import pyarrow.parquet as pq
-
-    from orc_rust_spark.sources.orc_file import orc_scan
 
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     src_stat = os.stat(f"{sf_dir}/lineitem.parquet")
@@ -271,6 +264,22 @@ def q_orc_file_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bloom_filter_columns take TYPE-TREE ids: 1 = l_orderkey
         paorc.write_table(tbl, orc_path, compression="ZLIB",
                           stripe_size=4 * 1024 * 1024, bloom_filter_columns=[1])
+    return orc_path
+
+
+def q_orc_file_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group + bloom pruning inside the REAL-ORC reader (VERDICT r2
+    missing #1): lineitem in a liborc-written ORC file with ROW_INDEX +
+    BLOOM_FILTER_UTF8 streams; the point lookup parses S_ROW_INDEX
+    (src/row_index.rs:235-329), evaluates per-10k-group stats + bloom
+    (src/row_group_filter.rs:54-205,370-408), and seek-decodes ONLY the
+    matching groups via the recorded stream positions."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from orc_rust_spark.sources.orc_file import orc_scan
+
+    orc_path = _lineitem_bloom_orc(sf_dir)
     probe = int(pc.max(
         pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
         .column("l_orderkey")).as_py())
@@ -281,6 +290,28 @@ def q_orc_file_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         predicate=("l_orderkey", probe, probe),
     )
     return df.where(F.col("l_orderkey") == probe)
+
+
+def q_orcx_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine as a registered PySpark Python DataSource:
+    spark.read.format("orcx") plans like any native source — Catalyst
+    pushes the l_orderkey range filter into the reader (pushFilters),
+    which prunes stripes via StripeStatistics and row groups via
+    S_ROW_INDEX before decoding through this engine's codecs."""
+    from orc_rust_spark.sources.datasource import OrcRustDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(OrcRustDataSource)
+    df = spark.read.format("orcx").load(_lineitem_bloom_orc(sf_dir))
+    return (
+        df.where(F.col("l_orderkey") <= 1000)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+            F.max("l_orderkey").alias("max_ok"),
+        )
+    )
 
 
 def q_orc_file_rlev1_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -654,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_file_scan": q_orc_file_scan,
         "orc_file_write": q_orc_file_write,
         "orc_file_point_lookup": q_orc_file_point_lookup,
+        "orcx_datasource_scan": q_orcx_datasource_scan,
         "orc_file_rlev1_scan": q_orc_file_rlev1_scan,
         "roundtrip_int8": q_roundtrip_int8,
         "roundtrip_fsst_urls": q_roundtrip_fsst_urls,
@@ -906,6 +938,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_partkey, l_quantity, l_returnflag, l_shipdate "
             "FROM lineitem "
             "WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)",
+        "orcx_datasource_scan":
+            "SELECT l_returnflag, "
+            "CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, "
+            "max(l_orderkey) AS max_ok "
+            "FROM lineitem WHERE l_orderkey <= 1000 GROUP BY l_returnflag",
         "orc_file_rlev1_scan":
             "SELECT l_returnflag, "
             "CAST(count(*) AS BIGINT) AS cnt, "

@@ -32,44 +32,38 @@ def _run_lengths(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def encode_byte_rle(values: np.ndarray) -> bytes:
-    """Encode a uint8 array."""
+    """Encode a uint8 array.
+
+    The Python loop visits only REPEAT runs (>= MIN_REPEAT) — churny data
+    has few of them, so literal-dominant input costs len/128 iterations,
+    not one per value-change (the r3 fix: the per-run loop made a random
+    int8 column encode at ~1 MB/s single-thread)."""
     v = np.ascontiguousarray(values, dtype=np.uint8)
     out = bytearray()
-    pending_start = 0  # start of pending literal span
-    pending_len = 0
 
-    def flush_literals(end_exclusive: int) -> None:
-        nonlocal pending_start, pending_len
-        s = pending_start
-        while pending_len > 0:
-            take = min(pending_len, MAX_LITERALS)
+    def emit_literals(a: int, b: int) -> None:
+        while a < b:
+            take = min(b - a, MAX_LITERALS)
             out.append(256 - take)
-            out.extend(v[s : s + take].tobytes())
-            s += take
-            pending_len -= take
-        pending_start = end_exclusive
+            out.extend(v[a : a + take].tobytes())
+            a += take
 
     starts, lengths = _run_lengths(v)
-    for s, ln in zip(starts.tolist(), lengths.tolist()):
-        if ln >= MIN_REPEAT:
-            flush_literals(s)
-            byte = int(v[s])
-            remaining = ln
-            while remaining >= MIN_REPEAT:
-                take = min(remaining, MAX_RUN)
-                out.append(take - MIN_REPEAT)
-                out.append(byte)
-                remaining -= take
-            if remaining:  # 1-2 leftover after 130-chunking -> literals
-                pending_start = s + ln - remaining
-                pending_len = remaining
-                flush_literals(s + ln)
-            pending_start = s + ln
-        else:
-            if pending_len == 0:
-                pending_start = s
-            pending_len += ln
-    flush_literals(v.size)
+    rep = lengths >= MIN_REPEAT
+    prev_end = 0
+    for s, ln in zip(starts[rep].tolist(), lengths[rep].tolist()):
+        emit_literals(prev_end, s)
+        byte = int(v[s])
+        remaining = ln
+        while remaining >= MIN_REPEAT:
+            take = min(remaining, MAX_RUN)
+            out.append(take - MIN_REPEAT)
+            out.append(byte)
+            remaining -= take
+        if remaining:  # 1-2 leftover after 130-chunking -> literals
+            emit_literals(s + ln - remaining, s + ln)
+        prev_end = s + ln
+    emit_literals(prev_end, v.size)
     return bytes(out)
 
 

@@ -59,32 +59,48 @@ def _corpus_block_broadcasts(
     the block manager (MEMORY_AND_DISK — spillable). Beyond what B passes
     of blocked matmul can absorb, lsh_topk/ivf_topk are the scale path.
     """
+    import math
+
     import numpy as np
+    import pyarrow as pa
 
     sc = vectors.sparkSession.sparkContext
-    blocks: list = []
-    buf_ids: list = []
-    buf_vecs: list = []
-    n = 0
+    n = vectors.count()
+    if n == 0:
+        return []
+    n_blocks = max(1, math.ceil(n / block_rows))
 
-    def flush():
-        nonlocal buf_ids, buf_vecs, n
-        if not n:
+    def pack(batches):
+        # one packed row per partition: ids + row-normalized matrix as raw
+        # bytes, so the driver deserializes a block in one memcpy instead
+        # of 10^5 Row objects
+        ids_parts, mat_parts = [], []
+        for b in batches:
+            if not b.num_rows:
+                continue
+            ids_parts.append(b.column(0).to_numpy(zero_copy_only=False).astype(np.int64))
+            la = b.column(1)
+            vals = la.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            mat_parts.append(vals.reshape(b.num_rows, -1))  # fixed-dim vectors
+        if not ids_parts:
             return
-        ids = np.asarray(buf_ids, dtype=np.int64)
-        mat = np.asarray(buf_vecs, dtype=np.float64)
+        ids = np.concatenate(ids_parts)
+        mat = np.concatenate(mat_parts)
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
-        blocks.append(sc.broadcast((ids, mat / norms[:, None])))
-        buf_ids, buf_vecs, n = [], [], 0
+        mat = mat / norms[:, None]
+        yield pa.RecordBatch.from_pydict({
+            "ids": [ids.tobytes()], "mat": [mat.tobytes()],
+            "rows": [mat.shape[0]], "dim": [mat.shape[1]],
+        })
 
-    for row in vectors.select(id_col, vec_col).toLocalIterator():
-        buf_ids.append(row[0])
-        buf_vecs.append(row[1])
-        n += 1
-        if n >= block_rows:
-            flush()
-    flush()
+    packed = vectors.select(id_col, vec_col).repartition(n_blocks).mapInArrow(
+        pack, schema="ids binary, mat binary, rows long, dim long")
+    blocks = []
+    for row in packed.toLocalIterator():  # one block resident at a time
+        ids = np.frombuffer(row.ids, dtype=np.int64)
+        mat = np.frombuffer(row.mat, dtype=np.float64).reshape(row.rows, row.dim)
+        blocks.append(sc.broadcast((ids, mat)))
     return blocks
 
 

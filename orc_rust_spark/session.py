@@ -60,6 +60,8 @@ def get_spark(
         # threshold after arrow expansion
         .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.python.worker.reuse", "true")
+        # let Catalyst push filters into our Python DataSource (orcx)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     for k, v in MALLOC_ENV.items():
         builder = builder.config(f"spark.executorEnv.{k}", v)

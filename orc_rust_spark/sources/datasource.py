@@ -1,0 +1,180 @@
+"""PySpark Python DataSource wrapping the real-ORC reader.
+
+The most Spark-native packaging of sources/orc_file.py: after
+
+    spark.dataSource.register(OrcRustDataSource)
+    df = spark.read.format("orcx").load("/path/file.orc")
+
+Catalyst plans the scan like any other source — column pruning and
+filter pushdown included. ``pushFilters`` receives the AND-list of
+predicates, keeps the single-column comparisons it can evaluate against
+ORC statistics, and:
+
+- ``partitions()`` emits one InputPartition per stripe SURVIVING
+  stripe-statistics pruning (the reference's byte-range split model,
+  src/arrow_reader.rs:358-372 + stripe stats pushdown),
+- ``read()`` decodes each stripe through this engine's codecs, skipping
+  the 10k row groups whose ROW_INDEX stats / bloom filter exclude the
+  predicate (src/row_group_filter.rs:54-205,370-408 analog).
+
+All pushed filters are also RETURNED to Spark, so the exact residual is
+always applied — our pruning is advisory (three-valued), never final.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from . import orc_file as of
+
+_K_TO_DDL = {
+    of.K_BOOLEAN: "boolean", of.K_BYTE: "byte", of.K_SHORT: "short",
+    of.K_INT: "int", of.K_LONG: "long", of.K_FLOAT: "float",
+    of.K_DOUBLE: "double", of.K_STRING: "string", of.K_VARCHAR: "string",
+    of.K_CHAR: "string", of.K_BINARY: "binary",
+    of.K_TIMESTAMP: "timestamp_ntz", of.K_TIMESTAMP_INSTANT: "timestamp",
+    of.K_DATE: "date",
+}
+
+
+def _ddl_of(types: list, tid: int) -> str:
+    t = types[tid]
+    k = t.kind
+    if k == of.K_DECIMAL:
+        return f"decimal({t.precision or 38},{t.scale})"
+    if k == of.K_LIST:
+        return f"array<{_ddl_of(types, t.subtypes[0])}>"
+    if k == of.K_MAP:
+        return f"map<{_ddl_of(types, t.subtypes[0])},{_ddl_of(types, t.subtypes[1])}>"
+    if k == of.K_STRUCT:
+        inner = ",".join(
+            f"{n}:{_ddl_of(types, c)}" for c, n in zip(t.subtypes, t.field_names)
+        )
+        return f"struct<{inner}>"
+    if k in _K_TO_DDL:
+        return _K_TO_DDL[k]
+    raise NotImplementedError(f"ORC kind {k} has no Spark mapping")
+
+
+@dataclass
+class _StripePartition(InputPartition):
+    path: str
+    offset: int
+    index_length: int
+    data_length: int
+    footer_length: int
+    rows: int
+
+
+class OrcRustReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("orcx requires a path: .load('/file.orc')")
+        # (column, lo, hi) bounds accumulated from pushed filters
+        self.bounds: dict[str, list] = {}
+
+    def pushFilters(self, filters):
+        for f in filters:
+            col = getattr(f, "attribute", None)
+            val = getattr(f, "value", None)
+            if (
+                col is not None and len(col) == 1
+                and isinstance(val, (int, float, str))
+            ):
+                name = col[0]
+                b = self.bounds.setdefault(name, [None, None])
+                if isinstance(f, EqualTo):
+                    b[0] = b[1] = val
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    b[0] = val if b[0] is None else max(b[0], val)
+                elif isinstance(f, (LessThan, LessThanOrEqual)):
+                    b[1] = val if b[1] is None else min(b[1], val)
+            # our stats pruning is three-valued/advisory: Spark must still
+            # apply every filter exactly
+            yield f
+
+    def _predicate(self):
+        # the most selective single column: prefer an equality, else the
+        # first with any bound
+        for col, (lo, hi) in self.bounds.items():
+            if lo is not None and lo == hi:
+                return (col, lo, hi)
+        for col, (lo, hi) in self.bounds.items():
+            if lo is not None or hi is not None:
+                return (col, lo, hi)
+        return None
+
+    def partitions(self):
+        meta = of.read_metadata(self.path)
+        pred = self._predicate()
+        idx = (
+            of.prune_stripes(meta, pred[0], pred[1], pred[2])
+            if pred else range(len(meta.stripes))
+        )
+        return [
+            _StripePartition(self.path, s.offset, s.index_length,
+                             s.data_length, s.footer_length, s.number_of_rows)
+            for s in (meta.stripes[i] for i in idx)
+        ] or [_StripePartition(self.path, -1, 0, 0, 0, 0)]  # empty marker
+
+    def read(self, part: _StripePartition):
+        import pyarrow as pa
+
+        if part.offset < 0:
+            return
+        meta = of.read_metadata(part.path)
+        with open(part.path, "rb") as fh:
+            fh.seek(part.offset)
+            body = fh.read(part.index_length + part.data_length)
+            footer_raw = fh.read(part.footer_length)
+        pred = self._predicate()
+        if pred is not None:
+            col, lo, hi = pred
+            eq = lo if (lo is not None and lo == hi) else None
+            tbl, _, _ = of.decode_stripe_pruned(
+                body, footer_raw, meta, part.rows, col,
+                eq=eq, lo=None if eq is not None else lo,
+                hi=None if eq is not None else hi)
+        else:
+            tbl = of.decode_stripe(body, footer_raw, meta, part.rows)
+        # normalize large_* arrow types to the plain widths Spark expects
+        cols = []
+        for c in tbl.columns:
+            c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            if pa.types.is_large_string(c.type):
+                c = c.cast(pa.string())
+            elif pa.types.is_large_binary(c.type):
+                c = c.cast(pa.binary())
+            cols.append(c)
+        yield from pa.Table.from_arrays(cols, tbl.column_names).to_batches()
+
+
+class OrcRustDataSource(DataSource):
+    """``spark.read.format("orcx").load(path)`` over this engine's reader."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "orcx"
+
+    def schema(self) -> str:
+        meta = of.read_metadata(self.options["path"])
+        root = meta.types[0]
+        return ", ".join(
+            f"{n} {_ddl_of(meta.types, c)}"
+            for c, n in zip(root.subtypes, root.field_names)
+        )
+
+    def reader(self, schema) -> OrcRustReader:
+        return OrcRustReader(dict(self.options))

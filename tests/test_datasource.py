@@ -1,0 +1,82 @@
+"""PySpark Python DataSource integration: spark.read.format("orcx") over
+the real-ORC reader, with Catalyst filter pushdown driving stripe- and
+row-group pruning."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.orc as paorc
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def orcx(spark):
+    from orc_rust_spark.sources.datasource import OrcRustDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(OrcRustDataSource)
+    return spark
+
+
+@pytest.fixture(scope="module")
+def orc_path(tmp_path_factory):
+    rng = np.random.default_rng(41)
+    n = 100000
+    tbl = pa.table({
+        "id": pa.array(np.arange(n)),
+        "name": pa.array([None if i % 97 == 0 else f"n_{i % 50}" for i in range(n)]),
+        "val": pa.array(rng.random(n)),
+        "pay": pa.array([rng.bytes(24).hex() for _ in range(n)]),
+    })
+    path = str(tmp_path_factory.mktemp("ds") / "t.orc")
+    paorc.write_table(tbl, path, compression="ZLIB", stripe_size=1024 * 1024,
+                      bloom_filter_columns=[1])
+    return path
+
+
+def test_schema_inferred(orcx, orc_path):
+    df = orcx.read.format("orcx").load(orc_path)
+    assert [f.name for f in df.schema.fields] == ["id", "name", "val", "pay"]
+    assert dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[
+        "id"] == "bigint"
+
+
+def test_full_scan_count_and_values(orcx, orc_path):
+    df = orcx.read.format("orcx").load(orc_path)
+    assert df.count() == 100000
+    row = df.where("id = 77").collect()[0]
+    assert row.name == f"n_{77 % 50}"
+
+
+def test_filter_pushdown_prunes_partitions(orcx, orc_path):
+    """Catalyst pushes `id = k` into the source; only stripes whose stats
+    may contain k become input partitions, and inside them only matching
+    row groups decode. Result must be exact."""
+    from orc_rust_spark.sources.datasource import OrcRustReader
+
+    df = orcx.read.format("orcx").load(orc_path).where(F.col("id") == 98765)
+    got = df.collect()
+    assert len(got) == 1 and got[0].id == 98765
+
+    # observable pruning at the reader level: pushed filter -> fewer stripes
+    r = OrcRustReader({"path": orc_path})
+    all_parts = r.partitions()
+    from pyspark.sql.datasource import EqualTo
+
+    r2 = OrcRustReader({"path": orc_path})
+    list(r2.pushFilters([EqualTo(("id",), 98765)]))
+    pruned_parts = r2.partitions()
+    assert len(all_parts) > 1
+    assert len(pruned_parts) < len(all_parts)
+
+
+def test_range_filter_and_residual(orcx, orc_path):
+    df = orcx.read.format("orcx").load(orc_path)
+    got = df.where((F.col("id") >= 99990) & (F.col("id") < 99995)) \
+            .agg(F.count(F.lit(1)), F.sum("id")).collect()[0]
+    assert got[0] == 5 and got[1] == sum(range(99990, 99995))
+
+
+def test_projection_and_aggregate(orcx, orc_path):
+    df = orcx.read.format("orcx").load(orc_path).select("id")
+    assert df.agg(F.sum("id")).collect()[0][0] == sum(range(100000))
