@@ -62,6 +62,14 @@ def _ddl_of(types: list, tid: int) -> str:
             f"{n}:{_ddl_of(types, c)}" for c, n in zip(t.subtypes, t.field_names)
         )
         return f"struct<{inner}>"
+    if k == of.K_UNION:
+        # Spark has no union type: tagged-struct expansion (decode side
+        # produces matching struct<tag:int8, f0, f1, ...>)
+        inner = ",".join(
+            [f"tag:byte"] + [f"f{i}:{_ddl_of(types, c)}"
+                             for i, c in enumerate(t.subtypes)]
+        )
+        return f"struct<{inner}>"
     if k in _K_TO_DDL:
         return _K_TO_DDL[k]
     raise NotImplementedError(f"ORC kind {k} has no Spark mapping")

@@ -383,6 +383,26 @@ def _decode_column(col_id: int, t: OrcType, streams: dict, encodings, n: int,
                                comp, f"{name}.value", tz, types)
         dense = pa.MapArray.from_arrays(_int32_offsets(lengths), keys, items)
         return _respace(dense, not_null)
+    if k == K_UNION:
+        # ORC union (src/array_decoder/union.rs:36-163): DATA = byte-RLE
+        # variant tags; each child column stores values DENSELY for its
+        # own tag only. Spark has no union type, so the decode target is
+        # the tagged-struct expansion struct<tag:int8, f0:T0, f1:T1, ...>
+        # with f_i null wherever tag != i — lossless and SQL-queryable.
+        tags = decode_byte_rle(data, n_dense)
+        fields = [pa.array(tags.view(np.int8), type=pa.int8())]
+        names = ["tag"]
+        for i, cid in enumerate(t.subtypes):
+            sel = tags == i
+            n_child = int(sel.sum())
+            child = _decode_column(cid, types[cid], streams, encodings,
+                                   n_child, comp, f"{name}.{i}", tz, types)
+            idx = np.zeros(n_dense, dtype=np.int64)
+            idx[sel] = np.arange(n_child)
+            fields.append(child.take(pa.array(idx, type=pa.int64(), mask=~sel)))
+            names.append(f"f{i}")
+        dense = pa.StructArray.from_arrays(fields, names)
+        return _respace(dense, not_null)
 
     if k in (K_SHORT, K_INT, K_LONG):
         vals = rle(data, n_dense, signed=True)
@@ -412,6 +432,11 @@ def _decode_column(col_id: int, t: OrcType, streams: dict, encodings, n: int,
         return _respace(dense, not_null)
     if k == K_DECIMAL:
         try:
+            if (t.precision or 38) > 18:
+                # rescaling a 64-bit mantissa to a wide declared scale can
+                # silently overflow int64 — wide decimals always take the
+                # exact path
+                raise ValueError("precision > 18")
             mant = decode_decimal(data, get(S_SECONDARY), n_dense, t.scale)
             words = np.empty((n_dense, 2), dtype=np.uint64)
             words[:, 0] = mant.view(np.uint64)
@@ -451,7 +476,8 @@ def _decode_column(col_id: int, t: OrcType, streams: dict, encodings, n: int,
     raise NotImplementedError(f"ORC type kind {k} for column {name!r}")
 
 
-def decode_stripe(buf: bytes, footer_raw: bytes, meta: OrcMeta, n_rows: int) -> pa.Table:
+def decode_stripe(buf: bytes, footer_raw: bytes, meta: OrcMeta, n_rows: int,
+                  columns: list[str] | None = None) -> pa.Table:
     """One stripe's raw bytes (index+data regions) + its footer -> Table.
 
     The stripe footer lists ALL streams in file order — index-region
@@ -466,6 +492,8 @@ def decode_stripe(buf: bytes, footer_raw: bytes, meta: OrcMeta, n_rows: int) -> 
     root = meta.types[0]
     cols = {}
     for child_id, name in zip(root.subtypes, root.field_names):
+        if columns is not None and name not in columns:
+            continue  # projection: unprojected streams are never decoded
         cols[name] = _decode_column(
             child_id, meta.types[child_id], streams, encodings, n_rows,
             meta.compression, name, tz, meta.types,
@@ -623,10 +651,29 @@ def _decode_column_group(
         nanos = rle(bufs[S_SECONDARY], sk_s + n_dense, signed=False, exact=False)[sk_s:]
         dense = pa.array(_ts_us(secs, nanos, tz, k), type=pa.int64()).cast(pa.timestamp("us"))
     elif k == K_DECIMAL:
-        from ..codecs.decimal_codec import decode_varints_i64
+        from ..codecs.decimal_codec import (
+            decode_varints_exact,
+            decode_varints_i64,
+            i128_words,
+        )
 
         sk_s = exs[S_SECONDARY][0]
         scales = rle(bufs[S_SECONDARY], sk_s + n_dense, signed=True, exact=False)[sk_s:]
+        if (t.precision or 38) > 18:
+            # wide decimals: exact Python-int rescale (int64 would overflow)
+            ints = decode_varints_exact(bufs[S_DATA], n_dense)
+            ints = [
+                m * 10 ** (t.scale - int(s)) if t.scale >= s
+                else m // 10 ** (int(s) - t.scale)
+                for m, s in zip(ints, scales)
+            ]
+            return _respace(
+                pa.Array.from_buffers(
+                    pa.decimal128(t.precision or 38, t.scale), n_dense,
+                    [None, pa.py_buffer(i128_words(ints).tobytes())],
+                ),
+                not_null,
+            )
         mant = decode_varints_i64(bufs[S_DATA], n_dense)
         diff = t.scale - scales
         up, down = diff > 0, diff < 0
@@ -775,8 +822,10 @@ def decode_stripe_pruned(
     return pa.table(out), len(keep), n_groups
 
 
-def orc_to_table(path: str) -> pa.Table:
-    """Decode a whole ORC file with this engine's codecs -> pa.Table."""
+def orc_to_table(path: str, columns: list[str] | None = None) -> pa.Table:
+    """Decode a whole ORC file with this engine's codecs -> pa.Table.
+    ``columns`` projects to the named root columns (ProjectionMask analog,
+    src/projection.rs:24-78)."""
     meta = read_metadata(path)
     parts = []
     with open(path, "rb") as fh:
@@ -784,7 +833,8 @@ def orc_to_table(path: str) -> pa.Table:
             fh.seek(st.offset)
             body = fh.read(st.index_length + st.data_length)
             footer_raw = fh.read(st.footer_length)
-            parts.append(decode_stripe(body, footer_raw, meta, st.number_of_rows))
+            parts.append(decode_stripe(body, footer_raw, meta, st.number_of_rows,
+                                       columns=columns))
     return pa.concat_tables(parts) if parts else pa.table({})
 
 

@@ -381,3 +381,47 @@ def test_write_orc_rlev1_read_by_pyarrow(tmp_path):
         for c in tbl.column_names:
             g = got.column(c).combine_chunks().cast(tbl.schema.field(c).type)
             assert g.equals(tbl.column(c).combine_chunks()), c
+
+
+ORC_EXAMPLES = "/root/reference/tests/integration/data"
+
+
+def test_union_type_tagged_struct_expansion():
+    """ORC UNION (src/array_decoder/union.rs:36-163): byte-RLE tag stream
+    + per-variant dense children, decoded to the Spark-expressible
+    struct<tag:int8, f0, f1> expansion — validated value-for-value against
+    liborc's sparse-union read of the official testUnionAndTimestamp file.
+    Skipped when the fixture is unavailable (repo stays standalone)."""
+    import os
+
+    path = f"{ORC_EXAMPLES}/TestOrcFile.testUnionAndTimestamp.orc"
+    if not os.path.exists(path):
+        pytest.skip("official union example file not available")
+    ours = orc_to_table(path, columns=["union", "decimal"])
+    lib = paorc.read_table(path)
+    u_ours = ours.column("union").combine_chunks()
+    u_lib = lib.column("union").combine_chunks()
+    codes = np.asarray(u_lib.type_codes)
+    tags = u_ours.field("tag").to_pylist()
+    for r in range(len(codes)):
+        if tags[r] is None:
+            continue  # top-level null union
+        assert tags[r] == codes[r]
+        i = int(codes[r])
+        assert u_ours.field(f"f{i}")[r].as_py() == u_lib.field(i)[r].as_py()
+        assert u_ours.field(f"f{1 - i}")[r].as_py() is None
+    # per-value-scale decimal(38,18) takes the exact i128 rescale path
+    d = ours.column("decimal").combine_chunks()
+    assert d.cast(lib.column("decimal").combine_chunks().type).equals(
+        lib.column("decimal").combine_chunks())
+
+
+def test_orc_to_table_projection(tmp_path):
+    """ProjectionMask analog: unprojected columns are never decoded."""
+    tbl = _alltypes(n=5000)
+    path = str(tmp_path / "proj.orc")
+    paorc.write_table(tbl, path, compression="ZLIB")
+    got = orc_to_table(path, columns=["id", "name"])
+    assert got.column_names == ["id", "name"]
+    assert got.column("id").combine_chunks().cast(pa.int64()).equals(
+        tbl.column("id").combine_chunks())
