@@ -559,6 +559,38 @@ def q_streaming_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_table_arrow(chunks, src.schema).select(*cols)
 
 
+def q_streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): the
+    documents backlog streams through a keyed exact-dedup that keeps one
+    state row per text fingerprint and emits (fingerprint, keeper_id,
+    dup_count) on first sight. The md5-prefix fingerprint makes the
+    drained result exactly recomputable by the SQL oracle."""
+    import os
+    import uuid
+
+    from orc_rust_spark.streaming.dedup_stream import streaming_dedup_summary
+
+    out = f"/tmp/orc_rust_spark_stream/{uuid.uuid4().hex}"
+    in_dir = os.path.join(out, "in")
+    os.makedirs(in_dir)
+    os.symlink(f"{sf_dir}/documents.parquet", os.path.join(in_dir, "documents.parquet"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(in_dir)
+    )
+    q = (
+        streaming_dedup_summary(stream.where(F.col("text").isNotNull()))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out, "dedup"))
+        .option("checkpointLocation", os.path.join(out, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(out, "dedup"))
+
+
 def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing end to end: deterministic fake
     media payloads (arithmetic header, SQL-predictable) are packed into a
@@ -697,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analysis": q_text_analysis,
         "multimodal_extract": q_multimodal_extract,
         "streaming_encode": q_streaming_encode,
+        "streaming_stateful_dedup": q_streaming_stateful_dedup,
         "dedup_exact": q_dedup_exact,
         "word_jaccard_pairs": q_word_jaccard_pairs,
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
@@ -1031,6 +1064,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(16 + (doc_id%1500+64) AS BIGINT) AS payload_bytes, "
             "CAST(((doc_id*31)%299+1+29)//30 AS INT) AS n_sampled "
             "FROM documents",
+        "streaming_stateful_dedup": r"""
+            SELECT CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fingerprint,
+                   min(doc_id) AS keeper_id,
+                   CAST(count(*) - 1 AS BIGINT) AS dup_count
+            FROM documents WHERE text IS NOT NULL
+            GROUP BY 1
+        """,
         "dedup_exact": r"""
             SELECT min(doc_id) AS doc_id,
                    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,

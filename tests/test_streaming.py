@@ -50,3 +50,37 @@ def test_stats_stream_windowed(spark, tmp_path):
     # append mode emits only watermark-closed windows; the plan must at
     # least run and the table exist
     assert spark.table("ingest_stats").columns == ["window", "host", "pages", "bytes"]
+
+
+def test_stateful_streaming_dedup_across_batches_and_restarts(spark, tmp_path):
+    """applyInPandasWithState exact dedup: duplicates are suppressed
+    WITHIN a run and ACROSS a checkpointed restart (state survives)."""
+    import pandas as pd
+
+    from orc_rust_spark.streaming.dedup_stream import run_dedup_stream
+
+    input_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    texts = ["alpha doc", "beta doc", "alpha doc", "gamma doc", "beta doc"]
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+
+    q = run_dedup_stream(spark, input_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).select("text").collect()
+    assert sorted(r.text for r in got) == ["alpha doc", "beta doc", "gamma doc"]
+
+    # restart with new files: old fingerprints stay suppressed (state in
+    # checkpoint), only the genuinely new text passes
+    spark.createDataFrame(
+        [(10, "alpha doc"), (11, "delta doc"), (12, "gamma doc")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    q2 = run_dedup_stream(spark, input_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(out_dir).select("text").collect()
+    assert sorted(r.text for r in got2) == [
+        "alpha doc", "beta doc", "delta doc", "gamma doc"]
