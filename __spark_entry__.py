@@ -80,7 +80,9 @@ def q_roundtrip_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orc_rust_spark.operators.decode import decode_table_arrow
     from orc_rust_spark.operators.encode import encode_table
 
-    li = _read_parallel(spark, sf_dir, "lineitem")
+    li = _read_parallel(spark, sf_dir, "lineitem",
+                        ["l_orderkey", "l_linenumber", "l_extendedprice",
+                         "l_discount"])
     src = li.select(
         "l_orderkey", "l_linenumber",
         F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
@@ -118,7 +120,9 @@ def q_roundtrip_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orc_rust_spark.operators.decode import decode_table_arrow
     from orc_rust_spark.operators.encode import encode_table
 
-    li = _read_parallel(spark, sf_dir, "lineitem")
+    li = _read_parallel(spark, sf_dir, "lineitem",
+                        ["l_orderkey", "l_linenumber", "l_partkey",
+                         "l_returnflag", "l_quantity"])
     src = li.select(
         "l_orderkey",
         "l_linenumber",
@@ -145,7 +149,8 @@ def q_roundtrip_date_decimal128(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orc_rust_spark.operators.decode import decode_table_arrow
     from orc_rust_spark.operators.encode import encode_table
 
-    li = _read_parallel(spark, sf_dir, "lineitem")
+    li = _read_parallel(spark, sf_dir, "lineitem",
+                        ["l_orderkey", "l_linenumber", "l_shipdate"])
     src = li.select(
         "l_orderkey",
         "l_linenumber",
@@ -356,7 +361,8 @@ def q_roundtrip_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orc_rust_spark.operators.decode import decode_table_arrow
     from orc_rust_spark.operators.encode import encode_table
 
-    li = _read_parallel(spark, sf_dir, "lineitem")
+    li = _read_parallel(spark, sf_dir, "lineitem",
+                        ["l_orderkey", "l_linenumber", "l_quantity"])
     src = li.select(
         "l_orderkey",
         "l_linenumber",
@@ -382,7 +388,8 @@ def q_roundtrip_fsst_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orc_rust_spark.operators.decode import decode_table_arrow
     from orc_rust_spark.operators.encode import encode_table
 
-    docs = _read_parallel(spark, sf_dir, "documents")
+    docs = _read_parallel(spark, sf_dir, "documents",
+                          ["doc_id", "source", "lang"])
     src = docs.select(
         "doc_id",
         F.concat(
