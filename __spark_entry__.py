@@ -33,6 +33,20 @@ def _read_parallel(spark: SparkSession, sf_dir: str, table: str,
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
+
+def _interop_cache_path(sf_dir: str, name: str, ext: str) -> str:
+    """/tmp cache path keyed by sf tag + source parquet size/mtime so a
+    regenerated testdata dir never hits a stale artifact. One rule for
+    every cached interop artifact (ORC files, chunk tables, probes)."""
+    import os
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    st = os.stat(f"{sf_dir}/lineitem.parquet")
+    os.makedirs("/tmp/orc_rust_spark_interop", exist_ok=True)
+    return (f"/tmp/orc_rust_spark_interop/{name}_{sf_tag}"
+            f"_{st.st_size}_{int(st.st_mtime)}{ext}")
+
+
 def _roundtrip(spark: SparkSession, sf_dir: str, table: str, cols: list[str]) -> DataFrame:
     """Encode a testdata table into the chunk-table and decode it back."""
     from orc_rust_spark.operators.decode import decode_table_arrow as decode_table
@@ -183,14 +197,8 @@ def q_orc_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from orc_rust_spark.sources.orc_file import orc_scan
 
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    src_stat = os.stat(f"{sf_dir}/lineitem.parquet")
-    # cache key includes source size+mtime so regenerated testdata never
-    # hits a stale ORC file
-    orc_path = (f"/tmp/orc_rust_spark_interop/lineitem_{sf_tag}"
-                f"_{src_stat.st_size}_{int(src_stat.st_mtime)}.orc")
+    orc_path = _interop_cache_path(sf_dir, "lineitem", ".orc")
     if not os.path.exists(orc_path):
-        os.makedirs(os.path.dirname(orc_path), exist_ok=True)
         tbl = pq.read_table(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
@@ -224,12 +232,8 @@ def q_orc_file_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from orc_rust_spark.sources.orc_file import orc_scan, write_orc
 
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    src_stat = os.stat(f"{sf_dir}/lineitem.parquet")
-    orc_path = (f"/tmp/orc_rust_spark_interop/lineitem_ours_{sf_tag}"
-                f"_{src_stat.st_size}_{int(src_stat.st_mtime)}.orc")
+    orc_path = _interop_cache_path(sf_dir, "lineitem_ours", ".orc")
     if not os.path.exists(orc_path):
-        os.makedirs(os.path.dirname(orc_path), exist_ok=True)
         tbl = pq.read_table(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"],
@@ -255,20 +259,22 @@ def _lineitem_bloom_orc(sf_dir: str) -> str:
     cached per sf (the index is written once, queried many times)."""
     import os
 
+    import pyarrow.compute as pc
     import pyarrow.orc as paorc
     import pyarrow.parquet as pq
 
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    src_stat = os.stat(f"{sf_dir}/lineitem.parquet")
-    orc_path = (f"/tmp/orc_rust_spark_interop/lineitem_bloom_{sf_tag}"
-                f"_{src_stat.st_size}_{int(src_stat.st_mtime)}.orc")
+    orc_path = _interop_cache_path(sf_dir, "lineitem_bloom", ".orc")
     cols = ["l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate"]
     if not os.path.exists(orc_path):
-        os.makedirs(os.path.dirname(orc_path), exist_ok=True)
         tbl = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=cols)
         # bloom_filter_columns take TYPE-TREE ids: 1 = l_orderkey
         paorc.write_table(tbl, orc_path, compression="ZLIB",
                           stripe_size=4 * 1024 * 1024, bloom_filter_columns=[1])
+        # probe sidecar: computed once with the file, NOT inside the timed
+        # query (the same measure-the-lookup rule as _lineitem_chunks)
+        probe = int(pc.max(tbl.column("l_orderkey")).as_py())
+        with open(orc_path + ".probe", "w") as fh:
+            fh.write(str(probe))
     return orc_path
 
 
@@ -279,15 +285,11 @@ def q_orc_file_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (src/row_index.rs:235-329), evaluates per-10k-group stats + bloom
     (src/row_group_filter.rs:54-205,370-408), and seek-decodes ONLY the
     matching groups via the recorded stream positions."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
     from orc_rust_spark.sources.orc_file import orc_scan
 
     orc_path = _lineitem_bloom_orc(sf_dir)
-    probe = int(pc.max(
-        pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
-        .column("l_orderkey")).as_py())
+    with open(orc_path + ".probe") as fh:
+        probe = int(fh.read())
     df = orc_scan(
         spark, orc_path,
         schema="l_orderkey long, l_partkey long, l_quantity double, "
@@ -331,12 +333,8 @@ def q_orc_file_rlev1_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from orc_rust_spark.sources.orc_file import orc_scan, write_orc
 
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    src_stat = os.stat(f"{sf_dir}/lineitem.parquet")
-    orc_path = (f"/tmp/orc_rust_spark_interop/lineitem_rlev1_{sf_tag}"
-                f"_{src_stat.st_size}_{int(src_stat.st_mtime)}.orc")
+    orc_path = _interop_cache_path(sf_dir, "lineitem_rlev1", ".orc")
     if not os.path.exists(orc_path):
-        os.makedirs(os.path.dirname(orc_path), exist_ok=True)
         tbl = pq.read_table(f"{sf_dir}/lineitem.parquet",
                             columns=["l_orderkey", "l_partkey", "l_suppkey",
                                      "l_returnflag"])
@@ -458,12 +456,8 @@ def _lineitem_chunks(spark: SparkSession, sf_dir: str):
 
     cols = ["l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate"]
     src = _read_parallel(spark, sf_dir, "lineitem", cols)
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    st = os.stat(f"{sf_dir}/lineitem.parquet")
-    cache = (f"/tmp/orc_rust_spark_interop/lineitem_chunks_{sf_tag}"
-             f"_{st.st_size}_{int(st.st_mtime)}.parquet")
+    cache = _interop_cache_path(sf_dir, "lineitem_chunks", ".parquet")
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
-        os.makedirs(os.path.dirname(cache), exist_ok=True)
         # row_index on every column -> point lookups decode only matching
         # 10k-row groups; bloom on the key column for equality pruning
         plan = {c: {"row_index": True, "block_codec": "zlib"} for c in cols}

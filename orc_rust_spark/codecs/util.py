@@ -205,3 +205,18 @@ def bitunpack(buf, n: int, width: int) -> np.ndarray:
     full = np.zeros((n, 64), dtype=np.uint8)
     full[:, 64 - width :] = bits
     return np.packbits(full, axis=1)[:, ::-1].copy().view(np.uint64).ravel()
+
+
+def int32_offsets(lengths) -> "pa.Array":
+    """Arrow int32 offsets buffer from per-value lengths (shared by the
+    chunk decoder and the real-ORC reader's list/map assembly)."""
+    import numpy as np
+    import pyarrow as pa
+
+    lengths = np.asarray(lengths, dtype=np.int64)
+    total = int(lengths.sum()) if lengths.size else 0
+    if total > 2**31 - 1:
+        raise OverflowError("list child count exceeds int32 offsets")
+    offsets = np.zeros(lengths.size + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+    return pa.array(offsets, type=pa.int32())

@@ -177,10 +177,7 @@ def decode_chunk_arrays(
     return out
 
 
-def _int32_offsets(lengths: np.ndarray) -> pa.Array:
-    offsets = np.zeros(lengths.size + 1, dtype=np.int32)
-    np.cumsum(lengths, out=offsets[1:])
-    return pa.array(offsets, type=pa.int32())
+from ..codecs.util import int32_offsets as _int32_offsets  # shared helper
 
 
 def _rg_of(metas: dict) -> dict | None:

@@ -105,7 +105,7 @@ class Comparison(Predicate):
             return universe
         if rg["codec"] == "decimal":  # unscaled-mantissa stats: unusable
             return universe
-        numeric = rg["codec"] in ("rle_v2", "byte_rle", "date", "timestamp_split")
+        numeric = rg["codec"] in ("rle_v2", "rle_v1", "byte_rle", "date", "timestamp_split")
         floaty = rg["codec"] == "float_plain"
         stringy = not numeric and not floaty
         v = self.value

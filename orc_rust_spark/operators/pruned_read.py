@@ -162,7 +162,7 @@ def _rg_keep_groups(rg: dict, eq_value=None, lo=None, hi=None) -> list[int]:
         return all_groups
     if not all(_stat_usable_bound(b) for b in (lo, hi) if b is not None):
         return all_groups
-    numeric = rg["codec"] in ("rle_v2", "byte_rle", "date", "timestamp_split")
+    numeric = rg["codec"] in ("rle_v2", "rle_v1", "byte_rle", "date", "timestamp_split")
     floaty = rg["codec"] == "float_plain"
 
     def parse(s):

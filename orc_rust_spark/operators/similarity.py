@@ -169,6 +169,8 @@ def cosine_topk(
                 best = _merge_topk(
                     best, (np.take_along_axis(sims, idx, axis=1), ids[idx]), kk
                 )
+            if best is None:  # empty corpus: no neighbors for this batch
+                continue
             top = best[1].shape[1]
             yield pd.DataFrame({
                 "qid": np.repeat(qids, top),

@@ -86,10 +86,17 @@ class _StripePartition(InputPartition):
 
 
 class OrcRustReader(DataSourceReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, columns: list[str] | None = None):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("orcx requires a path: .load('/file.orc')")
+        # projection from the (possibly user-specified) scan schema: read()
+        # must return exactly these columns in this order
+        self.columns = columns
+        # metadata parsed ONCE on the driver; the reader object (and its
+        # parsed footer) is pickled into every task — no per-stripe
+        # re-read of the file tail
+        self.meta = of.read_metadata(self.path)
         # (column, lo, hi) bounds accumulated from pushed filters
         self.bounds: dict[str, list] = {}
 
@@ -125,7 +132,7 @@ class OrcRustReader(DataSourceReader):
         return None
 
     def partitions(self):
-        meta = of.read_metadata(self.path)
+        meta = self.meta
         pred = self._predicate()
         idx = (
             of.prune_stripes(meta, pred[0], pred[1], pred[2])
@@ -142,7 +149,7 @@ class OrcRustReader(DataSourceReader):
 
         if part.offset < 0:
             return
-        meta = of.read_metadata(part.path)
+        meta = self.meta  # parsed once on the driver, shipped pickled
         with open(part.path, "rb") as fh:
             fh.seek(part.offset)
             body = fh.read(part.index_length + part.data_length)
@@ -156,7 +163,11 @@ class OrcRustReader(DataSourceReader):
                 eq=eq, lo=None if eq is not None else lo,
                 hi=None if eq is not None else hi)
         else:
-            tbl = of.decode_stripe(body, footer_raw, meta, part.rows)
+            tbl = of.decode_stripe(body, footer_raw, meta, part.rows,
+                                   columns=self.columns)
+        if self.columns is not None:
+            # user-declared scan schema: subset + reorder to match exactly
+            tbl = tbl.select([c for c in self.columns if c in tbl.column_names])
         # normalize large_* arrow types to the plain widths Spark expects
         cols = []
         for c in tbl.columns:
@@ -185,4 +196,5 @@ class OrcRustDataSource(DataSource):
         )
 
     def reader(self, schema) -> OrcRustReader:
-        return OrcRustReader(dict(self.options))
+        names = list(schema.fieldNames()) if hasattr(schema, "fieldNames") else None
+        return OrcRustReader(dict(self.options), columns=names)

@@ -332,10 +332,7 @@ def _ts_us(secs: np.ndarray, nanos_enc: np.ndarray, tz: str, kind: int) -> np.nd
     return ns // 1000
 
 
-def _int32_offsets(lengths: np.ndarray) -> pa.Array:
-    offsets = np.zeros(lengths.size + 1, dtype=np.int32)
-    np.cumsum(lengths, out=offsets[1:])
-    return pa.array(offsets, type=pa.int32())
+from ..codecs.util import int32_offsets as _int32_offsets  # shared helper
 
 
 def _decode_column(col_id: int, t: OrcType, streams: dict, encodings, n: int,
@@ -712,9 +709,21 @@ def _decode_column_group(
     return _respace(dense, not_null)
 
 
+def _bloom_probe_ok(col_kind: int, eq) -> bool:
+    """Only probe the bloom filter when the probe value's hash family
+    matches what the writer fed it (i64 for integer columns, utf8 bytes
+    for string columns) — a mismatched probe false-negatives and would
+    WRONGLY prune (three-valued safety)."""
+    if col_kind in (K_BYTE, K_SHORT, K_INT, K_LONG):
+        return isinstance(eq, int)
+    if col_kind in (K_STRING, K_VARCHAR, K_CHAR, K_BINARY):
+        return isinstance(eq, (str, bytes))
+    return False
+
+
 def _rg_keep_for_stripe(
     entries: list, blooms: list | None, n_rows: int, stride: int,
-    eq=None, lo=None, hi=None,
+    eq=None, lo=None, hi=None, col_kind: int = -1,
 ) -> list[int]:
     """Row groups whose index stats (and bloom, for eq) may match — the
     reference's evaluate_row_group_predicate (src/row_group_filter.rs:54-205,
@@ -737,11 +746,12 @@ def _rg_keep_for_stripe(
                     ok = False
                 if hi is not None and mn > hi:
                     ok = False
-        if ok and eq is not None and blooms and g < len(blooms) and blooms[g] is not None:
+        if (ok and eq is not None and blooms and g < len(blooms)
+                and blooms[g] is not None and _bloom_probe_ok(col_kind, eq)):
             bf = blooms[g]
             if isinstance(eq, int):
                 ok = bf.might_contain_i64(eq)
-            elif isinstance(eq, (str, bytes)):
+            else:
                 probe = eq.encode() if isinstance(eq, str) else eq
                 ok = bf.might_contain_bytes(probe)
         if ok:
@@ -787,7 +797,8 @@ def decode_stripe_pruned(
         (col_id, S_BLOOM_FILTER))
     blooms = (_parse_bloom_index(blockc.decompress_stream(bl_raw, meta.compression))
               if bl_raw is not None else None)
-    keep = _rg_keep_for_stripe(entries, blooms, n_rows, stride, eq=eq, lo=lo, hi=hi)
+    keep = _rg_keep_for_stripe(entries, blooms, n_rows, stride, eq=eq, lo=lo,
+                               hi=hi, col_kind=meta.types[col_id].kind)
     if len(keep) >= n_groups:
         return full()
     if not keep:
@@ -927,12 +938,21 @@ def write_orc(table: pa.Table, path: str, compression: str = "zlib",
         for n_, k_ in zip(names, kinds):
             arr = table.column(n_).combine_chunks()
             if k_ == K_TIMESTAMP:
-                us = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+                # int64 end-to-end (a to_numpy of a nullable array silently
+                # becomes float64: NaN nulls -> garbage values, lost mask,
+                # and >2^53 ns values perturbed)
+                mask = (np.asarray(arr.is_valid()) if arr.null_count else None)
+                us = (arr.cast(pa.int64()).fill_null(0)
+                      .to_numpy(zero_copy_only=False).astype(np.int64))
                 idx = pd.DatetimeIndex((us * 1000).astype("datetime64[ns]"))
                 inst = idx.tz_localize(
                     writer_timezone, ambiguous=True, nonexistent="shift_forward"
                 ).tz_convert("UTC").tz_localize(None).asi8
-                arr = pa.array((inst - delta) // 1000, type=pa.int64()).cast(arr.type)
+                shifted = (inst - delta) // 1000
+                arr = pa.array(
+                    shifted, type=pa.int64(),
+                    mask=None if mask is None else ~mask,
+                ).cast(arr.type)
             cols.append(arr)
         table = pa.table(dict(zip(names, cols)))
 
@@ -1045,6 +1065,12 @@ def prune_stripes(meta: OrcMeta, column: str, lo=None, hi=None) -> list[int]:
             keep.append(i)
             continue
         mn, mx = mm
+        # three-valued safety for probe/stat TYPE confusion (int probe on a
+        # string column would raise or misprune): mismatch keeps the stripe
+        bound = lo if lo is not None else hi
+        if isinstance(mn, str) != isinstance(bound, str):
+            keep.append(i)
+            continue
         if lo is not None and mx < lo:
             continue
         if hi is not None and mn > hi:
@@ -1135,7 +1161,10 @@ def orc_point_lookup(path: str, column: str, value) -> tuple[pa.Table, int, int]
                 body, footer_raw, meta, st.number_of_rows, column, eq=value)
             decoded += kept
             if tbl.num_rows:
-                parts.append(tbl.filter(pc.equal(tbl.column(column), value)))
+                try:
+                    parts.append(tbl.filter(pc.equal(tbl.column(column), value)))
+                except pa.ArrowNotImplementedError:
+                    pass  # probe type incomparable to the column: no match
     if parts:
         return pa.concat_tables(parts), decoded, total
     root = meta.types[0]

@@ -80,3 +80,12 @@ def test_range_filter_and_residual(orcx, orc_path):
 def test_projection_and_aggregate(orcx, orc_path):
     df = orcx.read.format("orcx").load(orc_path).select("id")
     assert df.agg(F.sum("id")).collect()[0][0] == sum(range(100000))
+
+
+def test_user_schema_subset_and_reorder(orcx, orc_path):
+    """A user-specified .schema() (subset, reordered) must be honored:
+    the reader projects and reorders to the declared schema."""
+    df = orcx.read.format("orcx").schema("val double, id long").load(orc_path)
+    assert [f.name for f in df.schema.fields] == ["val", "id"]
+    assert df.count() == 100000
+    assert df.agg(F.sum("id")).collect()[0][0] == sum(range(100000))

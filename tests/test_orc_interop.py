@@ -425,3 +425,35 @@ def test_orc_to_table_projection(tmp_path):
     assert got.column_names == ["id", "name"]
     assert got.column("id").combine_chunks().cast(pa.int64()).equals(
         tbl.column("id").combine_chunks())
+
+
+def test_mismatched_probe_types_never_misprune(tmp_path):
+    """Type-confused probes (int probe on a string column and vice versa)
+    must degrade to keep-everything + exact residual, never crash or
+    wrongly prune (three-valued safety at stripe, group AND bloom level)."""
+    from orc_rust_spark.sources.orc_file import orc_point_lookup
+
+    tbl, path = _rg_file(tmp_path)
+    # int probe against the string-typed name column: residual filter just
+    # returns nothing, but nothing may crash and no group may "prune away"
+    # a hypothetical match
+    out, decoded, total = orc_point_lookup(path, "name", 12345)
+    assert out.num_rows == 0 and decoded == total
+    # string probe against the int id column
+    out2, d2, t2 = orc_point_lookup(path, "id", "54321")
+    assert out2.num_rows == 0 and d2 == t2
+
+
+def test_writer_timezone_null_timestamps(tmp_path):
+    """Nulls (and the null mask) must survive a tz-declaring write — the
+    float64 to_numpy of a nullable column silently turned nulls into
+    garbage concrete values before."""
+    from orc_rust_spark.sources.orc_file import write_orc
+
+    us = [1_600_000_000_000_000, None, 1_700_000_000_123_456, None]
+    tbl = pa.table({"ts": pa.array(us, type=pa.timestamp("us"))})
+    path = str(tmp_path / "tznull.orc")
+    write_orc(tbl, path, compression="zlib", writer_timezone="America/New_York")
+    back = orc_to_table(path).column("ts").combine_chunks().cast(pa.timestamp("us"))
+    assert back.null_count == 2
+    assert back.equals(tbl.column("ts").combine_chunks())
