@@ -38,6 +38,20 @@ from pyspark.sql.datasource import (
 
 from . import orc_file as of
 
+
+def _expand_paths(path: str) -> list[str]:
+    """A single .orc file, a directory of them, or a glob -> file list."""
+    import glob as _glob
+    import os
+
+    if os.path.isdir(path):
+        out = sorted(_glob.glob(os.path.join(path, "*.orc")))
+    else:
+        out = sorted(_glob.glob(path)) if any(c in path for c in "*?[") else [path]
+    if not out:
+        raise FileNotFoundError(f"no ORC files at {path!r}")
+    return out
+
 _K_TO_DDL = {
     of.K_BOOLEAN: "boolean", of.K_BYTE: "byte", of.K_SHORT: "short",
     of.K_INT: "int", of.K_LONG: "long", of.K_FLOAT: "float",
@@ -93,10 +107,10 @@ class OrcRustReader(DataSourceReader):
         # projection from the (possibly user-specified) scan schema: read()
         # must return exactly these columns in this order
         self.columns = columns
-        # metadata parsed ONCE on the driver; the reader object (and its
-        # parsed footer) is pickled into every task — no per-stripe
-        # re-read of the file tail
-        self.meta = of.read_metadata(self.path)
+        # metadata parsed ONCE on the driver per file; the reader object
+        # (and its parsed footers) is pickled into every task — no
+        # per-stripe re-read of file tails
+        self.metas = {p: of.read_metadata(p) for p in _expand_paths(self.path)}
         # (column, lo, hi) bounds accumulated from pushed filters
         self.bounds: dict[str, list] = {}
 
@@ -132,24 +146,26 @@ class OrcRustReader(DataSourceReader):
         return None
 
     def partitions(self):
-        meta = self.meta
         pred = self._predicate()
-        idx = (
-            of.prune_stripes(meta, pred[0], pred[1], pred[2])
-            if pred else range(len(meta.stripes))
-        )
-        return [
-            _StripePartition(self.path, s.offset, s.index_length,
-                             s.data_length, s.footer_length, s.number_of_rows)
-            for s in (meta.stripes[i] for i in idx)
-        ] or [_StripePartition(self.path, -1, 0, 0, 0, 0)]  # empty marker
+        parts = []
+        for path, meta in self.metas.items():
+            idx = (
+                of.prune_stripes(meta, pred[0], pred[1], pred[2])
+                if pred else range(len(meta.stripes))
+            )
+            parts.extend(
+                _StripePartition(path, s.offset, s.index_length,
+                                 s.data_length, s.footer_length, s.number_of_rows)
+                for s in (meta.stripes[i] for i in idx)
+            )
+        return parts or [_StripePartition(self.path, -1, 0, 0, 0, 0)]  # empty
 
     def read(self, part: _StripePartition):
         import pyarrow as pa
 
         if part.offset < 0:
             return
-        meta = self.meta  # parsed once on the driver, shipped pickled
+        meta = self.metas[part.path]  # parsed once on the driver, pickled
         with open(part.path, "rb") as fh:
             fh.seek(part.offset)
             body = fh.read(part.index_length + part.data_length)
@@ -188,7 +204,7 @@ class OrcRustDataSource(DataSource):
         return "orcx"
 
     def schema(self) -> str:
-        meta = of.read_metadata(self.options["path"])
+        meta = of.read_metadata(_expand_paths(self.options["path"])[0])
         root = meta.types[0]
         return ", ".join(
             f"{n} {_ddl_of(meta.types, c)}"

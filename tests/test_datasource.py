@@ -89,3 +89,21 @@ def test_user_schema_subset_and_reorder(orcx, orc_path):
     assert [f.name for f in df.schema.fields] == ["val", "id"]
     assert df.count() == 100000
     assert df.agg(F.sum("id")).collect()[0][0] == sum(range(100000))
+
+
+def test_directory_of_orc_files(orcx, tmp_path):
+    """orcx reads a DIRECTORY of ORC files: stripes of every file become
+    partitions; pushdown prunes across all of them."""
+    import pyarrow.parquet  # noqa: F401
+
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(3):
+        tbl = pa.table({"id": pa.array(np.arange(i * 1000, (i + 1) * 1000)),
+                        "f": pa.array([float(x) for x in range(1000)])})
+        paorc.write_table(tbl, str(d / f"part{i}.orc"), compression="ZLIB")
+    df = orcx.read.format("orcx").load(str(d))
+    assert df.count() == 3000
+    assert df.agg(F.sum("id")).collect()[0][0] == sum(range(3000))
+    one = df.where(F.col("id") == 2500).collect()
+    assert len(one) == 1 and one[0].f == 500.0
