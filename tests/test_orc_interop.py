@@ -457,3 +457,48 @@ def test_writer_timezone_null_timestamps(tmp_path):
     back = orc_to_table(path).column("ts").combine_chunks().cast(pa.timestamp("us"))
     assert back.null_count == 2
     assert back.equals(tbl.column("ts").combine_chunks())
+
+
+@pytest.mark.parametrize("probe_row", [0, 1, 9999, 10000, 10001, 49999, 50000, 99999])
+def test_row_group_seek_boundaries(tmp_path, probe_row):
+    """Group-boundary probes (first/last row of a group, stripe edges):
+    the seek-decoded row must match the source exactly at every boundary —
+    the positions arithmetic (run skip, bit skip, length offsets) has its
+    off-by-ones precisely here."""
+    from orc_rust_spark.sources.orc_file import orc_point_lookup
+
+    tbl, path = _rg_file(tmp_path, bloom=False)
+    out, decoded, total = orc_point_lookup(path, "id", probe_row)
+    assert out.num_rows == 1
+    got = {c: out.column(c)[0].as_py() for c in out.column_names}
+    want = {c: tbl.column(c)[probe_row].as_py() for c in tbl.column_names}
+    assert got == want
+    assert decoded < total  # sorted ids: stats prune to ~1 group
+
+
+def test_row_group_seek_multi_group_range(tmp_path):
+    """A range predicate spanning several (but not all) groups seek-decodes
+    each kept group; the concatenated output must equal the source slice
+    across every column type (nullable strings, floats, ts, decimals)."""
+    from orc_rust_spark.sources.orc_file import (
+        decode_stripe_pruned,
+        read_metadata,
+    )
+
+    tbl, path = _rg_file(tmp_path, bloom=False)
+    meta = read_metadata(path)
+    st = meta.stripes[0]
+    with open(path, "rb") as fh:
+        fh.seek(st.offset)
+        body = fh.read(st.index_length + st.data_length)
+        fr = fh.read(st.footer_length)
+    lo, hi = 25_000, 74_999  # groups 2..7 of 10 exactly
+    out, kept, total = decode_stripe_pruned(
+        body, fr, meta, st.number_of_rows, "id", lo=lo, hi=hi)
+    assert 0 < kept < total
+    ids = out.column("id").to_pylist()
+    assert min(ids) <= lo and max(ids) >= hi  # whole groups, superset of range
+    want = tbl.slice(min(ids), len(ids))
+    for c in tbl.column_names:
+        got = out.column(c).combine_chunks().cast(tbl.schema.field(c).type)
+        assert got.equals(want.column(c).combine_chunks()), c
