@@ -338,6 +338,8 @@ from ..codecs.util import int32_offsets as _int32_offsets  # shared helper
 def _decode_column(col_id: int, t: OrcType, streams: dict, encodings, n: int,
                    comp: str, name: str, tz: str = "UTC",
                    types: list[OrcType] | None = None) -> pa.Array:
+    DECODED_COLUMNS.append(name)
+
     def get(kind):
         raw = streams.get((col_id, kind))
         return None if raw is None else blockc.decompress_stream(raw, comp)
@@ -555,10 +557,19 @@ def _parse_bloom_index(raw: bytes) -> list:
 # byte-RLE-values-consumed + bits-consumed (2); raw byte streams none.
 _RLE_EXTRA, _BOOL_EXTRA, _RAW_EXTRA = 1, 2, 0
 
+#: column names whose values were seek- or full-decoded since the last
+#: clear() — instrumentation for projection tests (in-process calls only;
+#: Spark workers mutate their own copy)
+DECODED_COLUMNS: list[str] = []
+
 
 def _position_layout(t: OrcType, enc_kind: int, has_present: bool) -> list[tuple[int, int]] | None:
-    """[(stream_kind, n_extras)] in position-recording order for a
-    primitive column, or None if seek-decode is unsupported (nested)."""
+    """[(stream_kind, n_extras)] in position-recording order for one
+    column, or None if seek-decode is unsupported (union). Nested
+    list/map/struct columns record PRESENT + (for list/map) the LENGTH
+    RLE stream — the reference records/uses positions for every decoder
+    including nested ones (src/array_decoder/list.rs:36-104,
+    src/stripe.rs:296-308); children carry their own entries."""
     k = t.kind
     out = [(S_PRESENT, _BOOL_EXTRA)] if has_present else []
     if k in (K_SHORT, K_INT, K_LONG, K_DATE):
@@ -581,24 +592,42 @@ def _position_layout(t: OrcType, enc_kind: int, has_present: bool) -> list[tuple
     elif k == K_DECIMAL:
         out.append((S_DATA, _RAW_EXTRA))
         out.append((S_SECONDARY, _RLE_EXTRA))
+    elif k == K_STRUCT:
+        pass  # PRESENT only; children seek through their own entries
+    elif k in (K_LIST, K_MAP):
+        out.append((S_LENGTH, _RLE_EXTRA))
     else:
         return None
     return out
 
 
+def _subtree_ids(types: list[OrcType], cid: int) -> list[int]:
+    """All type-tree column ids under (and including) cid, pre-order."""
+    out = [cid]
+    for c in types[cid].subtypes:
+        out.extend(_subtree_ids(types, c))
+    return out
+
+
 def _decode_column_group(
     col_id: int, t: OrcType, streams: dict, encodings, comp: str, tz: str,
-    entries: list, g: int, n_g: int, dict_cache: dict, name: str,
+    entries_by_col: dict, g: int, n_g: int, dict_cache: dict, name: str,
+    types: list[OrcType] | None = None,
 ) -> pa.Array:
-    """Decode ONE row group of a primitive column by seeking to the group's
-    recorded stream positions (reference seek model: src/row_index.rs:42-51
-    position semantics) — groups not decoded are never RLE-decoded nor
-    (beyond their compressed suffix) decompressed."""
+    """Decode ONE row group of a column (``n_g`` = this column's value
+    count within the group — top-level rows for root children, element
+    counts for nested children) by seeking to the group's recorded stream
+    positions (reference seek model: src/row_index.rs:42-51) — groups not
+    decoded are never RLE-decoded nor (beyond their compressed suffix)
+    decompressed. Nested columns recurse: the parent derives each child's
+    group value count (PRESENT for struct, LENGTH sums for list/map) and
+    the child seeks via its OWN row-index entry for the same group."""
+    DECODED_COLUMNS.append(name)
     enc_kind, dict_size = encodings[col_id]
     rle = _int_decoder(enc_kind)
     has_present = (col_id, S_PRESENT) in streams
     layout = _position_layout(t, enc_kind, has_present)
-    pos = entries[g][0]
+    pos = entries_by_col[col_id][g][0]
     cur = 0
     bufs: dict[int, object] = {}
     exs: dict[int, tuple] = {}
@@ -622,6 +651,35 @@ def _decode_column_group(
         n_dense = int(not_null.sum())
 
     k = t.kind
+    if k == K_STRUCT:
+        children = [
+            _decode_column_group(cid, types[cid], streams, encodings, comp, tz,
+                                 entries_by_col, g, n_dense, dict_cache,
+                                 f"{name}.{fname}", types)
+            for cid, fname in zip(t.subtypes, t.field_names)
+        ]
+        dense = pa.StructArray.from_arrays(children, t.field_names)
+        return _respace(dense, not_null)
+    if k in (K_LIST, K_MAP):
+        sk = exs[S_LENGTH][0]
+        lengths = rle(bufs[S_LENGTH], sk + n_dense, signed=False, exact=False)[sk:]
+        n_child = int(lengths.sum())
+        if k == K_LIST:
+            cid = t.subtypes[0]
+            child = _decode_column_group(cid, types[cid], streams, encodings,
+                                         comp, tz, entries_by_col, g, n_child,
+                                         dict_cache, f"{name}.item", types)
+            dense = pa.ListArray.from_arrays(_int32_offsets(lengths), child)
+        else:
+            kid, vid = t.subtypes[0], t.subtypes[1]
+            keys = _decode_column_group(kid, types[kid], streams, encodings,
+                                        comp, tz, entries_by_col, g, n_child,
+                                        dict_cache, f"{name}.key", types)
+            items = _decode_column_group(vid, types[vid], streams, encodings,
+                                         comp, tz, entries_by_col, g, n_child,
+                                         dict_cache, f"{name}.value", types)
+            dense = pa.MapArray.from_arrays(_int32_offsets(lengths), keys, items)
+        return _respace(dense, not_null)
     if k in (K_SHORT, K_INT, K_LONG, K_DATE):
         sk = exs[S_DATA][0]
         vals = rle(bufs[S_DATA], sk + n_dense, signed=True, exact=False)[sk:]
@@ -721,39 +779,52 @@ def _bloom_probe_ok(col_kind: int, eq) -> bool:
     return False
 
 
+def _group_may_match(stats, bf, col_kind: int, lo, hi, eq) -> bool:
+    """Three-valued per-group test: stats range check, then (for an
+    equality probe) the bloom filter — missing/mismatched stats keep."""
+    ok = True
+    if stats is not None:
+        mn, mx = stats
+        same = (isinstance(mn, str) and isinstance(lo if lo is not None else hi, str)) or (
+            isinstance(mn, (int, float)) and isinstance(
+                lo if lo is not None else hi, (int, float))
+        )
+        if same:
+            if lo is not None and mx < lo:
+                ok = False
+            if hi is not None and mn > hi:
+                ok = False
+    if ok and eq is not None and bf is not None and _bloom_probe_ok(col_kind, eq):
+        if isinstance(eq, int):
+            ok = bf.might_contain_i64(eq)
+        else:
+            probe = eq.encode() if isinstance(eq, str) else eq
+            ok = bf.might_contain_bytes(probe)
+    return ok
+
+
 def _rg_keep_for_stripe(
     entries: list, blooms: list | None, n_rows: int, stride: int,
     eq=None, lo=None, hi=None, col_kind: int = -1,
 ) -> list[int]:
     """Row groups whose index stats (and bloom, for eq) may match — the
     reference's evaluate_row_group_predicate (src/row_group_filter.rs:54-205,
-    bloom :370-408). Three-valued: missing/mismatched stats keep."""
+    bloom :370-408). Three-valued: missing/mismatched stats keep. ``eq``
+    may be a list/set of values (an IN-list probe): a group is kept if ANY
+    value may match."""
+    eqs = None
     if eq is not None:
-        lo = hi = eq
+        eqs = (sorted(eq) if isinstance(eq, (set, frozenset))
+               else list(eq) if isinstance(eq, (list, tuple)) else [eq])
     n_groups = (n_rows + stride - 1) // stride
     keep = []
     for g in range(min(n_groups, len(entries))):
         stats = entries[g][1]
-        ok = True
-        if stats is not None:
-            mn, mx = stats
-            same = (isinstance(mn, str) and isinstance(lo if lo is not None else hi, str)) or (
-                isinstance(mn, (int, float)) and isinstance(
-                    lo if lo is not None else hi, (int, float))
-            )
-            if same:
-                if lo is not None and mx < lo:
-                    ok = False
-                if hi is not None and mn > hi:
-                    ok = False
-        if (ok and eq is not None and blooms and g < len(blooms)
-                and blooms[g] is not None and _bloom_probe_ok(col_kind, eq)):
-            bf = blooms[g]
-            if isinstance(eq, int):
-                ok = bf.might_contain_i64(eq)
-            else:
-                probe = eq.encode() if isinstance(eq, str) else eq
-                ok = bf.might_contain_bytes(probe)
+        bf = blooms[g] if (blooms and g < len(blooms)) else None
+        if eqs is not None:
+            ok = any(_group_may_match(stats, bf, col_kind, v, v, v) for v in eqs)
+        else:
+            ok = _group_may_match(stats, None, col_kind, lo, hi, None)
         if ok:
             keep.append(g)
     keep.extend(range(len(entries), n_groups))  # entries missing: keep
@@ -763,14 +834,21 @@ def _rg_keep_for_stripe(
 def decode_stripe_pruned(
     buf: bytes, footer_raw: bytes, meta: OrcMeta, n_rows: int,
     column: str, eq=None, lo=None, hi=None,
+    columns: list[str] | None = None,
 ) -> tuple[pa.Table, int, int]:
     """Decode only the row groups of this stripe whose ROW_INDEX stats /
-    bloom filter may satisfy the predicate on ``column``.
+    bloom filter may satisfy the predicate on ``column`` — and only the
+    ``columns`` projection (reference semantics: unprojected streams are
+    never touched, src/stripe.rs:154-165 / src/projection.rs:37-69; the
+    predicate column's INDEX drives pruning even when unprojected).
+
+    ``eq`` may be a single value or an IN-list of values.
 
     -> (table of kept groups' rows, groups_decoded, groups_total). The
     caller applies the residual filter. Falls back to full decode (all
     groups "decoded") when the column has no usable index or a projected
-    column type has no seek support (nested).
+    column type has no seek support (union), always respecting the
+    projection.
     """
     stream_list, encodings, tz = _read_stripe_footer(footer_raw, meta.compression)
     streams: dict[tuple[int, int], bytes] = {}
@@ -781,9 +859,11 @@ def decode_stripe_pruned(
     root = meta.types[0]
     stride = int(meta.row_index_stride or 10_000)
     n_groups = (n_rows + stride - 1) // stride
+    proj = [n for n in root.field_names if columns is None or n in columns]
 
     def full():
-        return decode_stripe(buf, footer_raw, meta, n_rows), n_groups, n_groups
+        return (decode_stripe(buf, footer_raw, meta, n_rows, columns=columns),
+                n_groups, n_groups)
 
     try:
         col_id = root.subtypes[root.field_names.index(column)]
@@ -793,44 +873,95 @@ def decode_stripe_pruned(
     if ri_raw is None or not stride:
         return full()
     entries = _parse_row_index(blockc.decompress_stream(ri_raw, meta.compression))
-    bl_raw = streams.get((col_id, S_BLOOM_FILTER_UTF8)) or streams.get(
-        (col_id, S_BLOOM_FILTER))
+    col_kind = meta.types[col_id].kind
+    bl_raw = streams.get((col_id, S_BLOOM_FILTER_UTF8))
+    if bl_raw is None and col_kind in (K_BYTE, K_SHORT, K_INT, K_LONG):
+        # pre-ORC-101 legacy blooms hashed strings in the WRITER's default
+        # charset — only integer probes are charset-independent, so the
+        # deprecated stream is trusted for integer columns alone (a
+        # mismatched string probe would false-negative and WRONGLY prune)
+        bl_raw = streams.get((col_id, S_BLOOM_FILTER))
     blooms = (_parse_bloom_index(blockc.decompress_stream(bl_raw, meta.compression))
               if bl_raw is not None else None)
     keep = _rg_keep_for_stripe(entries, blooms, n_rows, stride, eq=eq, lo=lo,
-                               hi=hi, col_kind=meta.types[col_id].kind)
+                               hi=hi, col_kind=col_kind)
     if len(keep) >= n_groups:
         return full()
     if not keep:
-        return decode_stripe(buf, footer_raw, meta, 0), 0, n_groups
+        return (decode_stripe(buf, footer_raw, meta, 0, columns=columns),
+                0, n_groups)
 
-    # seek-decode every projected column group by group; nested or
-    # index-less columns force the full-decode fallback
+    # seek-decode every PROJECTED column (including its nested subtree)
+    # group by group; columns whose type has no seek support or whose
+    # index is missing/truncated force the full-decode fallback
+    proj_ids = [root.subtypes[root.field_names.index(n)] for n in proj]
+    need = max(keep) + 1
     per_col_entries: dict[int, list] = {}
-    for cid in root.subtypes:
-        t = meta.types[cid]
-        if _position_layout(t, encodings[cid][0], (cid, S_PRESENT) in streams) is None:
-            return full()
-        raw = streams.get((cid, S_ROW_INDEX))
-        if raw is None:
-            return full()
-        per_col_entries[cid] = _parse_row_index(
-            blockc.decompress_stream(raw, meta.compression))
+    for top in proj_ids:
+        for cid in _subtree_ids(meta.types, top):
+            t = meta.types[cid]
+            if _position_layout(t, encodings[cid][0],
+                                (cid, S_PRESENT) in streams) is None:
+                return full()
+            raw = streams.get((cid, S_ROW_INDEX))
+            if raw is None:
+                return full()
+            parsed = _parse_row_index(
+                blockc.decompress_stream(raw, meta.compression))
+            if len(parsed) < need:  # truncated/short index: cannot seek
+                return full()
+            per_col_entries[cid] = parsed
 
     dict_cache: dict[int, pa.Array] = {}
-    cols: dict[str, list] = {name: [] for name in root.field_names}
+    cols: dict[str, list] = {name: [] for name in proj}
     for g in keep:
         n_g = min(stride, n_rows - g * stride)
-        for cid, name in zip(root.subtypes, root.field_names):
+        for cid, name in zip(proj_ids, proj):
             cols[name].append(_decode_column_group(
                 cid, meta.types[cid], streams, encodings, meta.compression, tz,
-                per_col_entries[cid], g, n_g, dict_cache, name))
+                per_col_entries, g, n_g, dict_cache, name, meta.types))
     out = {}
-    for name in root.field_names:
+    for name in proj:
         parts = cols[name]
         out[name] = parts[0] if len(parts) == 1 else pa.concat_arrays(
             [p.cast(parts[0].type) for p in parts])
     return pa.table(out), len(keep), n_groups
+
+
+_K_TO_ARROW = {
+    K_BOOLEAN: pa.bool_(), K_BYTE: pa.int8(), K_SHORT: pa.int16(),
+    K_INT: pa.int32(), K_LONG: pa.int64(), K_FLOAT: pa.float32(),
+    K_DOUBLE: pa.float64(), K_STRING: pa.large_string(),
+    K_VARCHAR: pa.large_string(), K_CHAR: pa.large_string(),
+    K_BINARY: pa.large_binary(), K_TIMESTAMP: pa.timestamp("us"),
+    K_TIMESTAMP_INSTANT: pa.timestamp("us"), K_DATE: pa.date32(),
+}
+
+
+def _arrow_type_of(types: list[OrcType], cid: int) -> pa.DataType:
+    """The Arrow type _decode_column produces for type-tree column cid,
+    including nested types (union -> its tagged-struct expansion)."""
+    t = types[cid]
+    k = t.kind
+    if k == K_DECIMAL:
+        return pa.decimal128(t.precision or 38, t.scale)
+    if k == K_LIST:
+        return pa.list_(_arrow_type_of(types, t.subtypes[0]))
+    if k == K_MAP:
+        return pa.map_(_arrow_type_of(types, t.subtypes[0]),
+                       _arrow_type_of(types, t.subtypes[1]))
+    if k == K_STRUCT:
+        return pa.struct([
+            pa.field(n, _arrow_type_of(types, c))
+            for c, n in zip(t.subtypes, t.field_names)
+        ])
+    if k == K_UNION:
+        return pa.struct(
+            [pa.field("tag", pa.int8())]
+            + [pa.field(f"f{i}", _arrow_type_of(types, c))
+               for i, c in enumerate(t.subtypes)]
+        )
+    return _K_TO_ARROW[k]
 
 
 def orc_to_table(path: str, columns: list[str] | None = None) -> pa.Table:
@@ -1048,15 +1179,30 @@ def write_orc(table: pa.Table, path: str, compression: str = "zlib",
         fh.write(bytes(out))
 
 
-def prune_stripes(meta: OrcMeta, column: str, lo=None, hi=None) -> list[int]:
-    """Stripe indexes whose Metadata stats may intersect [lo, hi] — the
-    reference's stripe-level predicate pushdown over StripeStatistics
-    (three-valued: stripes without stats are kept)."""
+def prune_stripes(meta: OrcMeta, column: str, lo=None, hi=None,
+                  values: list | None = None) -> list[int]:
+    """Stripe indexes whose Metadata stats may intersect [lo, hi] — or,
+    for an IN-list probe, contain ANY of ``values`` — the reference's
+    stripe-level predicate pushdown over StripeStatistics (three-valued:
+    stripes without stats are kept)."""
     root = meta.types[0]
     try:
         col_id = root.subtypes[root.field_names.index(column)]
     except ValueError:
         return list(range(len(meta.stripes)))
+
+    def may_match(mn, mx, lo_, hi_) -> bool:
+        # three-valued safety for probe/stat TYPE confusion (int probe on a
+        # string column would raise or misprune): mismatch keeps the stripe
+        bound = lo_ if lo_ is not None else hi_
+        if isinstance(mn, str) != isinstance(bound, str):
+            return True
+        if lo_ is not None and mx < lo_:
+            return False
+        if hi_ is not None and mn > hi_:
+            return False
+        return True
+
     keep = []
     for i in range(len(meta.stripes)):
         stats = meta.stripe_stats[i] if i < len(meta.stripe_stats) else {}
@@ -1065,17 +1211,12 @@ def prune_stripes(meta: OrcMeta, column: str, lo=None, hi=None) -> list[int]:
             keep.append(i)
             continue
         mn, mx = mm
-        # three-valued safety for probe/stat TYPE confusion (int probe on a
-        # string column would raise or misprune): mismatch keeps the stripe
-        bound = lo if lo is not None else hi
-        if isinstance(mn, str) != isinstance(bound, str):
+        if values is not None:
+            ok = any(may_match(mn, mx, v, v) for v in values)
+        else:
+            ok = may_match(mn, mx, lo, hi)
+        if ok:
             keep.append(i)
-            continue
-        if lo is not None and mx < lo:
-            continue
-        if hi is not None and mn > hi:
-            continue
-        keep.append(i)
     return keep
 
 
@@ -1168,18 +1309,11 @@ def orc_point_lookup(path: str, column: str, value) -> tuple[pa.Table, int, int]
     if parts:
         return pa.concat_tables(parts), decoded, total
     root = meta.types[0]
-    kind_to_arrow = {
-        K_BOOLEAN: pa.bool_(), K_BYTE: pa.int8(), K_SHORT: pa.int16(),
-        K_INT: pa.int32(), K_LONG: pa.int64(), K_FLOAT: pa.float32(),
-        K_DOUBLE: pa.float64(), K_STRING: pa.large_string(),
-        K_VARCHAR: pa.large_string(), K_CHAR: pa.large_string(),
-        K_BINARY: pa.large_binary(), K_TIMESTAMP: pa.timestamp("us"),
-        K_TIMESTAMP_INSTANT: pa.timestamp("us"), K_DATE: pa.date32(),
+    # hit- and miss-path schemas must be IDENTICAL (callers union results
+    # across probes): the same recursive kind->arrow mapping the decoder
+    # produces, including nested types
+    empty = {
+        n_: pa.array([], type=_arrow_type_of(meta.types, cid))
+        for cid, n_ in zip(root.subtypes, root.field_names)
     }
-    empty = {}
-    for cid, n_ in zip(root.subtypes, root.field_names):
-        t = meta.types[cid]
-        at = (pa.decimal128(t.precision or 38, t.scale)
-              if t.kind == K_DECIMAL else kind_to_arrow.get(t.kind, pa.null()))
-        empty[n_] = pa.array([], type=at)
     return pa.table(empty), decoded, total

