@@ -299,6 +299,41 @@ def q_orc_file_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.where(F.col("l_orderkey") == probe)
 
 
+def q_orc_file_write_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-pruning write-side indexes (VERDICT r3 next #6): lineitem is
+    written to ORC by OUR writer with ROW_INDEX + per-group bloom +
+    stripe/file statistics (write_orc row_index_stride path), then point-
+    looked-up by OUR reader — stripe stats prune stripes, per-group stats
+    + bloom prune 10k groups, position-seek decodes only survivors. pytest
+    additionally asserts groups_decoded < groups_total on these files and
+    that liborc reads them bit-identically."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from orc_rust_spark.sources.orc_file import orc_scan, write_orc
+
+    orc_path = _interop_cache_path(sf_dir, "lineitem_ours_idx", ".orc")
+    cols = ["l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate"]
+    if not os.path.exists(orc_path):
+        tbl = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=cols)
+        write_orc(tbl, orc_path, compression="zlib", stripe_rows=100_000,
+                  bloom_columns=["l_orderkey"])
+        probe = int(pc.max(tbl.column("l_orderkey")).as_py())
+        with open(orc_path + ".probe", "w") as fh:
+            fh.write(str(probe))
+    with open(orc_path + ".probe") as fh:
+        probe = int(fh.read())
+    df = orc_scan(
+        spark, orc_path,
+        schema="l_orderkey long, l_partkey long, l_quantity double, "
+               "l_returnflag string, l_shipdate timestamp_ntz",
+        predicate=("l_orderkey", probe, probe),
+    )
+    return df.where(F.col("l_orderkey") == probe)
+
+
 def q_orcx_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine as a registered PySpark Python DataSource:
     spark.read.format("orcx") plans like any native source — Catalyst
@@ -675,6 +710,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_PARAMS = dict(n_centroids=16, iters=5, seed=13, sample_rows=4096, k=5)
+IVF_NPROBE = 3
 
 
 def _ivf_centroids_for(sf_dir: str) -> list[list[float]]:
@@ -699,6 +735,19 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(vecs, _ivf_centroids_for(sf_dir), k=IVF_PARAMS["k"])
 
 
+def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF multi-probe (VERDICT r3 next #10): each query probes its
+    NPROBE nearest centroids (sim desc, index asc — deterministic), the
+    corpus keeps its single assignment, so recall rises while the join
+    stays posting-list-local. The oracle re-trains identical centroids
+    and re-ranks probes with the same row_number rule."""
+    from orc_rust_spark.operators.similarity import ivf_topk
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(vecs, _ivf_centroids_for(sf_dir), k=IVF_PARAMS["k"],
+                    nprobe=IVF_NPROBE)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orc_rust_spark.operators.similarity import embedding_neardup_pairs
 
@@ -718,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_file_scan": q_orc_file_scan,
         "orc_file_write": q_orc_file_write,
         "orc_file_point_lookup": q_orc_file_point_lookup,
+        "orc_file_write_pruned": q_orc_file_write_pruned,
         "orcx_datasource_scan": q_orcx_datasource_scan,
         "orc_file_rlev1_scan": q_orc_file_rlev1_scan,
         "roundtrip_int8": q_roundtrip_int8,
@@ -738,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "embedding_neardup": q_embedding_neardup,
     }
 
@@ -928,6 +979,59 @@ def _ann_ivf_oracle_sql() -> str:
     """
 
 
+def _ann_ivf_multiprobe_oracle_sql() -> str:
+    """DuckDB re-implementation of q_ann_ivf_multiprobe: identical
+    re-trained centroid literals; query probes = top-IVF_NPROBE centroids
+    by (sim DESC, index ASC) — the same deterministic rule as the Spark
+    side's struct sort on (-sim, idx); corpus keeps its single
+    first-occurrence-argmax assignment."""
+    centroids = _ivf_centroids_for("/root/testdata/sf0.01")
+
+    def dot(plane: list[float]) -> str:
+        lits = ", ".join(repr(x) for x in plane)
+        return (
+            f"list_sum(list_transform(list_zip(embedding, [{lits}]), "
+            "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        )
+
+    sims = ", ".join(dot(c) for c in centroids)
+    cos = (
+        "list_sum(list_transform(list_zip(q.embedding, c.embedding), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / "
+        "(sqrt(list_sum(list_transform(q.embedding, "
+        "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(c.embedding, "
+        "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))"
+    )
+    return f"""
+        WITH s AS (
+          SELECT vec_id, embedding, [{sims}] AS sims FROM embeddings
+        ), b AS (
+          SELECT vec_id, embedding,
+                 CAST(list_indexof(sims, list_max(sims)) - 1 AS INT) AS cluster
+          FROM s
+        ), qc AS (
+          SELECT vec_id, CAST(i AS INT) AS cluster FROM (
+            SELECT s.vec_id, i,
+                   row_number() OVER (
+                     PARTITION BY s.vec_id
+                     ORDER BY s.sims[i+1] DESC, i ASC
+                   ) AS rn
+            FROM s, range({len(centroids)}) t(i)
+          ) WHERE rn <= {IVF_NPROBE}
+        )
+        SELECT vec_id, rank, neighbor_id, cosine FROM (
+          SELECT q.vec_id, c.vec_id AS neighbor_id, round({cos}, 6) AS cosine,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round({cos}, 6) DESC, c.vec_id ASC
+                 ) AS rank
+          FROM qc JOIN s q ON qc.vec_id = q.vec_id
+                JOIN b c ON qc.cluster = c.cluster AND q.vec_id != c.vec_id
+        ) WHERE rank <= {IVF_PARAMS["k"]}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "roundtrip_documents":
@@ -969,6 +1073,10 @@ def oracle_sql() -> dict[str, str]:
             "min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus",
         "orc_file_point_lookup":
+            "SELECT l_orderkey, l_partkey, l_quantity, l_returnflag, l_shipdate "
+            "FROM lineitem "
+            "WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)",
+        "orc_file_write_pruned":
             "SELECT l_orderkey, l_partkey, l_quantity, l_returnflag, l_shipdate "
             "FROM lineitem "
             "WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)",
@@ -1105,6 +1213,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup": _simhash_oracle_sql(),
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "ann_ivf_topk": _ann_ivf_oracle_sql(),
+        "ann_ivf_multiprobe": _ann_ivf_multiprobe_oracle_sql(),
         "ann_cosine_topk": """
             SELECT vec_id, rank, neighbor_id, cosine FROM (
               SELECT a.vec_id, b.vec_id AS neighbor_id,

@@ -334,19 +334,55 @@ def ivf_assign(
     return vectors.select(F.col(id_col), F.col(vec_col), cluster.alias("cluster"))
 
 
+def ivf_query_clusters(
+    vectors: DataFrame, centroids: list[list[float]], nprobe: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """The ``nprobe`` nearest centroids per QUERY vector, exploded to one
+    row per (query, cluster). Deterministic order: similarity descending,
+    then centroid index ascending (struct sort on (-sim, idx)) — the same
+    rule an external SQL oracle expresses with row_number() OVER
+    (ORDER BY sim DESC, idx ASC)."""
+    pairs = F.array(*[
+        F.struct(
+            (-_dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])))
+            .alias("ns"),
+            F.lit(i).alias("i"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    top = F.slice(F.array_sort(pairs), 1, nprobe)
+    return vectors.select(
+        F.col(id_col), F.col(vec_col),
+        F.explode(F.transform(top, lambda x: x["i"])).alias("cluster"),
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     centroids: list[list[float]],
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF approximate top-k: candidates restricted to the query's own
     inverted list (cluster). Shuffle-on-cluster, so each task sees one
-    posting list instead of the full corpus — the classic IVF scale path
-    (multi-probe raises recall at proportional cost)."""
+    posting list instead of the full corpus — the classic IVF scale path.
+
+    ``nprobe`` > 1 probes the query's nprobe nearest centroids (the
+    recall/cost knob real corpora need): the query side explodes to
+    nprobe rows, the corpus side keeps its single assignment, so each
+    (query, neighbor) pair still arises at most once and cost scales
+    linearly with nprobe while staying posting-list-local."""
     a = ivf_assign(vectors, centroids, id_col, vec_col).persist()  # both sides
-    q = a.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "cluster")
+    if nprobe > 1:
+        q = ivf_query_clusters(vectors, centroids, nprobe, id_col, vec_col) \
+            .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
+                    "cluster")
+    else:
+        q = a.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
+                     "cluster")
     c = a.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "cluster")
     pairs = q.join(c, ["cluster"]).where(F.col("qid") != F.col("nid"))
     scored = pairs.withColumn(

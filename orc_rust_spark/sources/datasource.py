@@ -40,18 +40,7 @@ from pyspark.sql.datasource import (
 from . import orc_file as of
 
 
-def _expand_paths(path: str) -> list[str]:
-    """A single .orc file, a directory of them, or a glob -> file list."""
-    import glob as _glob
-    import os
-
-    if os.path.isdir(path):
-        out = sorted(_glob.glob(os.path.join(path, "*.orc")))
-    else:
-        out = sorted(_glob.glob(path)) if any(c in path for c in "*?[") else [path]
-    if not out:
-        raise FileNotFoundError(f"no ORC files at {path!r}")
-    return out
+_expand_paths = of.expand_paths  # shared with orc_scan (one path-resolution rule)
 
 _K_TO_DDL = {
     of.K_BOOLEAN: "boolean", of.K_BYTE: "byte", of.K_SHORT: "short",

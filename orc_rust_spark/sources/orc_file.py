@@ -169,6 +169,19 @@ def _decompress_tail(buf: bytes, compression: str) -> bytes:
     return bytes(blockc.decompress_stream(buf, compression))
 
 
+def expand_paths(path: str) -> list[str]:
+    """A single .orc file, a directory of them, or a glob -> file list."""
+    import glob as _glob
+
+    if os.path.isdir(path):
+        out = sorted(_glob.glob(os.path.join(path, "*.orc")))
+    else:
+        out = sorted(_glob.glob(path)) if any(c in path for c in "*?[") else [path]
+    if not out:
+        raise FileNotFoundError(f"no ORC files at {path!r}")
+    return out
+
+
 def read_metadata(path: str) -> OrcMeta:
     size = os.path.getsize(path)
     with open(path, "rb") as fh:
@@ -1033,9 +1046,245 @@ def _orc_kind_of(t: pa.DataType) -> int:
     raise NotImplementedError(f"no ORC mapping for arrow type {t}")
 
 
+# --- write-side statistics + row index + bloom -------------------------------
+
+
+def _zigzag64(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def _stats_proto(n_values: int, has_null: bool, kind: int, mn, mx) -> bytes:
+    """ColumnStatistics: numberOfValues + typed min/max (int/double/string
+    families — the ones the read side parses back, _parse_column_stats) +
+    hasNull. Other types carry counts only (stats are optional per spec;
+    three-valued pruning keeps groups without them)."""
+    import struct as _struct
+
+    out = _pb_field(1, 0, int(n_values))
+    if mn is not None and mx is not None:
+        if kind in (K_BYTE, K_SHORT, K_INT, K_LONG):
+            sub = (_pb_field(1, 0, _zigzag64(int(mn)))
+                   + _pb_field(2, 0, _zigzag64(int(mx))))
+            out += _pb_field(2, 2, sub)  # intStatistics
+        elif kind in (K_FLOAT, K_DOUBLE):
+            sub = (_pb_varint((1 << 3) | 1) + _struct.pack("<d", float(mn))
+                   + _pb_varint((2 << 3) | 1) + _struct.pack("<d", float(mx)))
+            out += _pb_field(3, 2, sub)  # doubleStatistics (fixed64)
+        elif kind == K_STRING:
+            sub = (_pb_field(1, 2, mn.encode()) + _pb_field(2, 2, mx.encode()))
+            out += _pb_field(4, 2, sub)  # stringStatistics
+    out += _pb_field(10, 0, 1 if has_null else 0)
+    return out
+
+
+def _group_min_max(kind: int, g_dense: pa.Array):
+    """Full-precision per-group (min, max) for the stat families we emit —
+    never truncated (a truncated max below the true max would WRONGLY
+    prune an equality probe on it)."""
+    import math as _math
+
+    import pyarrow.compute as pc
+
+    if not len(g_dense):
+        return None, None
+    if kind in (K_BYTE, K_SHORT, K_INT, K_LONG):
+        mm = pc.min_max(g_dense)
+        return int(mm["min"].as_py()), int(mm["max"].as_py())
+    if kind in (K_FLOAT, K_DOUBLE):
+        mm = pc.min_max(g_dense)
+        mn, mx = mm["min"].as_py(), mm["max"].as_py()
+        if mn is None or mx is None or _math.isnan(mn) or _math.isnan(mx):
+            return None, None
+        return float(mn), float(mx)
+    if kind == K_STRING:
+        mm = pc.min_max(g_dense.cast(pa.large_string()))
+        return mm["min"].as_py(), mm["max"].as_py()
+    return None, None
+
+
+def _agg_stats(kind: int, group_stats: list[tuple]) -> tuple:
+    """Aggregate per-group (n_dense, g_has_null, mn, mx) -> column totals."""
+    n_values = sum(g[0] for g in group_stats)
+    has_null = any(g[1] for g in group_stats)
+    mns = [g[2] for g in group_stats if g[2] is not None]
+    mxs = [g[3] for g in group_stats if g[3] is not None]
+    if mns and len(mns) == len(group_stats):
+        return n_values, has_null, min(mns), max(mxs)
+    if mns:  # some group had no typed stats (e.g. all-null or NaN): omit
+        return n_values, has_null, None, None
+    return n_values, has_null, None, None
+
+
+def _encode_indexed_column(
+    name: str, arr: pa.Array, kind: int, compression: str, stride: int,
+    rle_version: int, bloom: bool,
+):
+    """Encode one flat column per ``stride``-row group with recorded seek
+    positions (the write-side ROW_INDEX analog of src/row_index.rs):
+    every encoder RESTARTS at each group boundary and — for compressed
+    files — each group's bytes form their own block run, so a group's
+    position is simply (chunk_offset[, 0]) with every RLE/bit extra ZERO.
+    Spec-legal (positions just say where to seek) and exactly what the
+    read side's _decode_column_group consumes.
+
+    -> (data_streams [(orc_kind, final_bytes)] in file order,
+        row_index_proto (uncompressed), bloom_proto | None,
+        enc_proto, (n_values, has_null, mn, mx))
+    """
+    import pyarrow.compute as pc  # noqa: F401
+
+    from ..codecs.boolean_rle import encode_boolean_rle
+    from ..codecs.rle_v2 import encode_rlev2
+    from ..operators.encode import (
+        _bloomable,
+        _encode_column,
+        _flatten_large_binary,
+    )
+    from ..sources import chunk_table as ct
+
+    n = len(arr)
+    has_nulls = arr.null_count > 0
+    valid = np.asarray(arr.is_valid()) if has_nulls else None
+    group_starts = list(range(0, n, stride)) if n else [0]
+    plan = {"block_codec": "none", "rle_version": rle_version}
+
+    # string columns pick ONE stripe-wide codec (the per-group selector is
+    # data-dependent and ORC allows one ColumnEncoding per column)
+    use_dict = False
+    dict_streams: list[tuple[int, bytes]] = []
+    dict_size = 0
+    dense_ranks = None
+    if kind in (K_STRING, K_BINARY):
+        from ..codecs.selector import choose_string_codec, string_chunk_stats
+
+        dense_all = arr.drop_null().cast(pa.large_binary())
+        codec0, _ = choose_string_codec(
+            dense_all, string_chunk_stats(dense_all), None)
+        use_dict = codec0 == "dict"
+        if use_dict:
+            denc = dense_all.dictionary_encode()
+            indices = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            order = pc.sort_indices(denc.dictionary).to_numpy().astype(np.int64)
+            rank = np.empty_like(order)
+            rank[order] = np.arange(order.size)
+            dense_ranks = rank[indices]
+            sorted_dict = denc.dictionary.take(pa.array(order))
+            dict_data, dict_offs = _flatten_large_binary(sorted_dict)
+            dict_streams = [
+                (S_LENGTH, encode_rlev2(np.diff(dict_offs), signed=False)),
+                (S_DICTIONARY_DATA, dict_data),
+            ]
+            dict_size = len(sorted_dict)
+
+    group_parts: list[dict[int, bytes]] = []
+    group_stats: list[tuple] = []
+    data_codec = None
+    dense_prefix = 0
+    for g_start in group_starts:
+        g_n = min(stride, n - g_start) if n else 0
+        sl = arr.slice(g_start, g_n)
+        g_dense = sl.drop_null()
+        parts: dict[int, bytes] = {}
+        if has_nulls:
+            parts[S_PRESENT] = encode_boolean_rle(valid[g_start: g_start + g_n])
+        if kind in (K_STRING, K_BINARY) and use_dict:
+            idxs = dense_ranks[dense_prefix: dense_prefix + len(g_dense)]
+            parts[S_DATA] = encode_rlev2(idxs, signed=False)
+            data_codec = "dict"
+        elif kind in (K_STRING, K_BINARY):
+            bdata, boffs = _flatten_large_binary(g_dense.cast(pa.large_binary()))
+            parts[S_DATA] = bdata
+            parts[S_LENGTH] = encode_rlev2(np.diff(boffs), signed=False)
+            data_codec = "direct"
+        else:
+            captured: list[tuple[str, str, bytes]] = []
+
+            def cap(_col, k_, codec, data_bytes, **kw):
+                captured.append((k_, codec, data_bytes))
+
+            _encode_column(name, sl, plan, cap)
+            for k_, codec, data_bytes in captured:
+                if k_ == ct.PRESENT:
+                    continue  # our own per-group PRESENT covers all groups
+                parts[_KIND_TO_ORC[k_]] = data_bytes
+                if k_ == ct.DATA:
+                    data_codec = codec
+        dense_prefix += len(g_dense)
+        mn, mx = _group_min_max(kind, g_dense)
+        group_stats.append((len(g_dense), sl.null_count > 0, mn, mx))
+        group_parts.append(parts)
+
+    enc_kind = E_DICTIONARY_V2 if use_dict else (
+        E_DIRECT if data_codec in ("boolean_rle", "byte_rle", "float_plain",
+                                   "rle_v1") else E_DIRECT_V2)
+    layout = _position_layout(OrcType(kind=kind), enc_kind, has_nulls)
+
+    def maybe_comp(b: bytes) -> bytes:
+        return b if compression == "none" else blockc.compress_stream(b, compression)
+
+    # merge per-group sub-streams per kind, tracking each group's start
+    # offset in the FINAL (compressed) stream bytes
+    merged: dict[int, bytes] = {}
+    offsets: dict[int, list[int]] = {}
+    for kind_ in (k for k, _ in layout):
+        buf = bytearray()
+        offs = []
+        for parts in group_parts:
+            offs.append(len(buf))
+            piece = parts.get(kind_, b"")
+            if piece:
+                buf.extend(maybe_comp(piece))
+        merged[kind_] = bytes(buf)
+        offsets[kind_] = offs
+    for kind_, raw in dict_streams:  # whole-stripe streams: no positions
+        merged[kind_] = maybe_comp(raw)
+
+    entries = bytearray()
+    for g in range(len(group_parts)):
+        positions = b""
+        for kind_, extras in layout:
+            positions += _pb_field(1, 0, offsets[kind_][g])
+            if compression != "none":
+                positions += _pb_field(1, 0, 0)  # in-block offset
+            positions += b"".join(_pb_field(1, 0, 0) for _ in range(extras))
+        nd, gnull, mn, mx = group_stats[g]
+        entry = positions + _pb_field(2, 2, _stats_proto(nd, gnull, kind, mn, mx))
+        entries += _pb_field(1, 2, entry)
+
+    bloom_proto = None
+    if bloom and _bloomable(arr.type):
+        from ..codecs.bloom import BloomFilter
+
+        protos = bytearray()
+        for g_start in group_starts:
+            g_dense = arr.slice(g_start, min(stride, n - g_start)).drop_null()
+            bf = BloomFilter.for_expected(len(g_dense))
+            if pa.types.is_integer(arr.type):
+                bf.add_i64(g_dense.to_numpy(zero_copy_only=False).astype(np.int64))
+            elif len(g_dense):
+                bdata, boffs = _flatten_large_binary(g_dense.cast(pa.large_binary()))
+                bf.add_bytes(bdata, boffs)
+            sub = _pb_field(1, 0, bf.k) + _pb_field(3, 2, bf.bitset.tobytes())
+            protos += _pb_field(1, 2, sub)
+        bloom_proto = bytes(protos)
+
+    if use_dict:
+        enc_proto = _pb_field(1, 0, E_DICTIONARY_V2) + _pb_field(2, 0, dict_size)
+    else:
+        enc_proto = _pb_field(1, 0, enc_kind)
+    data_streams = [
+        (k, merged[k])
+        for k in (S_PRESENT, S_DATA, S_LENGTH, S_DICTIONARY_DATA, S_SECONDARY)
+        if k in merged
+    ]
+    return (data_streams, bytes(entries), bloom_proto, enc_proto,
+            _agg_stats(kind, group_stats))
+
+
 def write_orc(table: pa.Table, path: str, compression: str = "zlib",
               stripe_rows: int = 100_000, writer_timezone: str = "UTC",
-              rle_version: int = 2) -> None:
+              rle_version: int = 2, row_index_stride: int = 10_000,
+              bloom_columns: list[str] | None = None) -> None:
     """Write a flat-schema Arrow table as a REAL Apache ORC v1 file using
     this engine's encoders — the reference ArrowWriter analog
     (src/arrow_writer.rs:71-259, stripe flush src/writer/stripe.rs:109-165).
@@ -1044,10 +1293,19 @@ def write_orc(table: pa.Table, path: str, compression: str = "zlib",
     SECONDARY streams from our RLEv2/byte-RLE/boolean/float/decimal/
     timestamp codecs, protobuf StripeFooter/Footer/PostScript, optional
     zlib block compression on every stream and on the tail.
+
+    With ``row_index_stride`` > 0 (default 10,000) every stripe carries a
+    ROW_INDEX stream per column (per-group seek positions + statistics),
+    optional per-group BLOOM_FILTER_UTF8 streams for ``bloom_columns``,
+    per-stripe statistics in the Metadata section, and file statistics in
+    the Footer — so files WE write are prunable by our own reader (and by
+    any ORC reader), beyond the reference writer which emits no indexes.
+    ``row_index_stride=0`` writes the legacy index-less layout.
     """
     from ..operators.encode import encode_chunk
 
     comp_enum = {"none": 0, "zlib": 1, "snappy": 2, "lz4": 4, "zstd": 5}[compression]
+    bloom_cols = set(bloom_columns or [])
 
     def maybe_compress(b: bytes) -> bytes:
         return b if compression == "none" else blockc.compress_stream(b, compression)
@@ -1089,45 +1347,100 @@ def write_orc(table: pa.Table, path: str, compression: str = "zlib",
 
     out = bytearray(MAGIC)
     stripe_infos = []
+    stripe_stats_protos: list[bytes] = []  # Metadata section, one per stripe
+    file_stats: list[tuple | None] = [None] * len(names)  # per column
+    total_nonnull_rows = 0
     plan = {n: {"block_codec": "none", "rle_version": rle_version} for n in names}
     for start in range(0, max(table.num_rows, 1), stripe_rows):
         sl = table.slice(start, stripe_rows)
         if sl.num_rows == 0:
             break
-        batch = encode_chunk(sl, 0, 0, plan)
-        rows = batch.to_pylist()
-        by_col: dict[str, dict[str, dict]] = {}
-        for r in rows:
-            by_col.setdefault(r["column"], {})[r["stream_kind"]] = r
         offset = len(out)
         stream_protos = []
-        data_len = 0
         enc_protos = [_pb_field(1, 0, E_DIRECT)]  # root struct encoding
-        for col_idx, name in enumerate(names, start=1):
-            col = by_col[name]
-            codec = col["DATA"]["codec"]
-            for sk in _STREAM_ORDER:
-                if sk not in col:
-                    continue
-                payload = maybe_compress(bytes(col[sk]["data"]))
+        index_len = data_len = 0
+        if row_index_stride:
+            # --- indexed layout: per-group encode with recorded positions
+            per_col = [
+                _encode_indexed_column(
+                    name, sl.column(name).combine_chunks(), kinds[i],
+                    compression, row_index_stride, rle_version,
+                    bloom=name in bloom_cols)
+                for i, name in enumerate(names)
+            ]
+            n_groups = (sl.num_rows + row_index_stride - 1) // row_index_stride
+            # index region first: root ROW_INDEX (stats only), then each
+            # column's ROW_INDEX (+ bloom)
+            root_entries = bytearray()
+            for g in range(n_groups):
+                g_n = min(row_index_stride, sl.num_rows - g * row_index_stride)
+                root_entries += _pb_field(
+                    1, 2, _pb_field(2, 2, _stats_proto(g_n, False, K_STRUCT,
+                                                       None, None)))
+            index_streams = [(0, S_ROW_INDEX, maybe_compress(bytes(root_entries)))]
+            for col_idx, (_, ri, bloom_b, _, _) in enumerate(per_col, start=1):
+                index_streams.append((col_idx, S_ROW_INDEX, maybe_compress(ri)))
+                if bloom_b is not None:
+                    index_streams.append(
+                        (col_idx, S_BLOOM_FILTER_UTF8, maybe_compress(bloom_b)))
+            for col_idx, kind_, payload in index_streams:
                 out.extend(payload)
                 stream_protos.append(
-                    _pb_field(1, 0, _KIND_TO_ORC[sk])
-                    + _pb_field(2, 0, col_idx)
-                    + _pb_field(3, 0, len(payload))
-                )
-                data_len += len(payload)
-            if codec == "dict":
-                enc = _pb_field(1, 0, E_DICTIONARY_V2) + _pb_field(
-                    2, 0, int(col["DATA"]["dict_size"])
-                )
-            elif codec in ("boolean_rle", "byte_rle", "float_plain", "rle_v1"):
-                # rle_v1 int streams declare the legacy DIRECT encoding so
-                # independent readers pick the RLEv1 decoder
-                enc = _pb_field(1, 0, E_DIRECT)
-            else:  # rle_v2-based codecs
-                enc = _pb_field(1, 0, E_DIRECT_V2)
-            enc_protos.append(enc)
+                    _pb_field(1, 0, kind_) + _pb_field(2, 0, col_idx)
+                    + _pb_field(3, 0, len(payload)))
+                index_len += len(payload)
+            # data region (streams arrive final/compressed from the encoder)
+            stripe_col_stats = [(sl.num_rows, False, None, None)]  # root
+            for col_idx, (streams, _, _, enc, agg) in enumerate(per_col, start=1):
+                for kind_, payload in streams:
+                    out.extend(payload)
+                    stream_protos.append(
+                        _pb_field(1, 0, kind_) + _pb_field(2, 0, col_idx)
+                        + _pb_field(3, 0, len(payload)))
+                    data_len += len(payload)
+                enc_protos.append(enc)
+                stripe_col_stats.append(agg)
+                prev = file_stats[col_idx - 1]
+                file_stats[col_idx - 1] = agg if prev is None else _agg_stats(
+                    kinds[col_idx - 1], [prev, agg])
+            stripe_stats_protos.append(b"".join(
+                _pb_field(1, 2, _stats_proto(
+                    s[0], s[1], K_STRUCT if i == 0 else kinds[i - 1],
+                    s[2], s[3]))
+                for i, s in enumerate(stripe_col_stats)))
+        else:
+            # --- legacy index-less layout (pre-round-4 behavior)
+            batch = encode_chunk(sl, 0, 0, plan)
+            rows = batch.to_pylist()
+            by_col: dict[str, dict[str, dict]] = {}
+            for r in rows:
+                by_col.setdefault(r["column"], {})[r["stream_kind"]] = r
+            for col_idx, name in enumerate(names, start=1):
+                col = by_col[name]
+                codec = col["DATA"]["codec"]
+                for sk in _STREAM_ORDER:
+                    if sk not in col:
+                        continue
+                    payload = maybe_compress(bytes(col[sk]["data"]))
+                    out.extend(payload)
+                    stream_protos.append(
+                        _pb_field(1, 0, _KIND_TO_ORC[sk])
+                        + _pb_field(2, 0, col_idx)
+                        + _pb_field(3, 0, len(payload))
+                    )
+                    data_len += len(payload)
+                if codec == "dict":
+                    enc = _pb_field(1, 0, E_DICTIONARY_V2) + _pb_field(
+                        2, 0, int(col["DATA"]["dict_size"])
+                    )
+                elif codec in ("boolean_rle", "byte_rle", "float_plain", "rle_v1"):
+                    # rle_v1 int streams declare the legacy DIRECT encoding
+                    # so independent readers pick the RLEv1 decoder
+                    enc = _pb_field(1, 0, E_DIRECT)
+                else:  # rle_v2-based codecs
+                    enc = _pb_field(1, 0, E_DIRECT_V2)
+                enc_protos.append(enc)
+        total_nonnull_rows += sl.num_rows
         sf = b"".join(_pb_field(1, 2, s) for s in stream_protos)
         sf += b"".join(_pb_field(2, 2, e) for e in enc_protos)
         sf += _pb_field(3, 2, writer_timezone.encode())  # writerTimezone
@@ -1135,11 +1448,21 @@ def write_orc(table: pa.Table, path: str, compression: str = "zlib",
         out.extend(sf_bytes)
         stripe_infos.append(
             _pb_field(1, 0, offset)          # offset
-            + _pb_field(2, 0, 0)             # indexLength
+            + _pb_field(2, 0, index_len)     # indexLength
             + _pb_field(3, 0, data_len)      # dataLength
             + _pb_field(4, 0, len(sf_bytes))  # footerLength
             + _pb_field(5, 0, sl.num_rows)   # numberOfRows
         )
+
+    content_len = len(out) - len(MAGIC)  # stripes region only
+
+    # Metadata section: per-stripe StripeStatistics (read back into
+    # OrcMeta.stripe_stats and used by prune_stripes)
+    meta_bytes = b""
+    if stripe_stats_protos:
+        meta_bytes = maybe_compress(b"".join(
+            _pb_field(1, 2, s) for s in stripe_stats_protos))
+        out.extend(meta_bytes)
 
     # footer: types (pre-order: root struct + children), stripes, row count
     root_type = _pb_field(1, 0, K_STRUCT)
@@ -1154,13 +1477,20 @@ def write_orc(table: pa.Table, path: str, compression: str = "zlib",
         if pa.types.is_decimal(t):
             tp += _pb_field(5, 0, t.precision) + _pb_field(6, 0, t.scale)
         type_protos.append(tp)
-    content_len = len(out) - len(MAGIC)
     footer = _pb_field(1, 0, len(MAGIC))           # headerLength
     footer += _pb_field(2, 0, content_len)         # contentLength
     footer += b"".join(_pb_field(3, 2, s) for s in stripe_infos)
     footer += b"".join(_pb_field(4, 2, t) for t in type_protos)
     footer += _pb_field(6, 0, table.num_rows)
-    footer += _pb_field(8, 0, 10_000)              # rowIndexStride
+    if row_index_stride and stripe_stats_protos:
+        # file statistics (repeated ColumnStatistics, type-tree order)
+        footer += _pb_field(7, 2, _stats_proto(
+            table.num_rows, False, K_STRUCT, None, None))
+        for i, agg in enumerate(file_stats):
+            s = agg or (0, False, None, None)
+            footer += _pb_field(7, 2, _stats_proto(
+                s[0], s[1], kinds[i], s[2], s[3]))
+    footer += _pb_field(8, 0, row_index_stride)    # rowIndexStride
     footer_bytes = maybe_compress(footer)
     out.extend(footer_bytes)
 
@@ -1170,7 +1500,7 @@ def write_orc(table: pa.Table, path: str, compression: str = "zlib",
         ps += _pb_field(3, 0, blockc.DEFAULT_BLOCK_SIZE)
     ps += _pb_field(4, 0, 0)                       # version major 0
     ps += _pb_field(4, 0, 12)                      # version minor 12
-    ps += _pb_field(5, 0, 0)                       # metadataLength
+    ps += _pb_field(5, 0, len(meta_bytes))         # metadataLength
     ps += _pb_field(6, 0, 1)                       # writerVersion
     ps += _pb_field(8000, 2, MAGIC)                # magic
     out.extend(ps)
@@ -1224,7 +1554,13 @@ def orc_scan(spark, path: str, schema, predicate=None) -> "pyspark.sql.DataFrame
     """Distributed ORC scan: one task per stripe (the reference's byte-range
     split model, src/arrow_reader.rs:358-372) — each task seeks to its
     stripe, fetches only that byte range, and decodes with this engine's
-    codecs inside the Python worker.
+    codecs inside the Python worker. ``path`` may be a single file, a
+    directory of .orc files, or a glob.
+
+    File metadata (PostScript/Footer/Metadata tails) is parsed ONCE per
+    file on the driver and shipped to the tasks pickled inside the scan
+    closure — workers never re-read file tails (same model as the orcx
+    DataSource reader).
 
     ``predicate``: optional (column, lo, hi) — pushdown happens at TWO
     granularities, mirroring the reference: stripes whose Metadata
@@ -1234,17 +1570,18 @@ def orc_scan(spark, path: str, schema, predicate=None) -> "pyspark.sql.DataFrame
     (src/row_group_filter.rs:54-205,370-408). The residual filter still
     must be applied by the caller.
     """
-    from pyspark.sql import functions as F  # noqa: F401
-
-    meta = read_metadata(path)
-    idx = (
-        prune_stripes(meta, predicate[0], predicate[1], predicate[2])
-        if predicate else range(len(meta.stripes))
-    )
-    stripes = [
-        (path, s.offset, s.index_length, s.data_length, s.footer_length, s.number_of_rows)
-        for s in (meta.stripes[i] for i in idx)
-    ]
+    metas = {p: read_metadata(p) for p in expand_paths(path)}  # driver, once
+    stripes = []
+    for p, meta in metas.items():
+        idx = (
+            prune_stripes(meta, predicate[0], predicate[1], predicate[2])
+            if predicate else range(len(meta.stripes))
+        )
+        stripes.extend(
+            (p, s.offset, s.index_length, s.data_length, s.footer_length,
+             s.number_of_rows)
+            for s in (meta.stripes[i] for i in idx)
+        )
     if not stripes:
         return spark.createDataFrame([], schema)
     sdf = spark.createDataFrame(
@@ -1256,7 +1593,7 @@ def orc_scan(spark, path: str, schema, predicate=None) -> "pyspark.sql.DataFrame
     def scan(batches):
         for b in batches:
             for row in b.to_pylist():
-                m = read_metadata(row["path"])
+                m = metas[row["path"]]  # parsed on the driver, pickled
                 with open(row["path"], "rb") as fh:
                     fh.seek(row["offset"])
                     body = fh.read(row["index_length"] + row["data_length"])

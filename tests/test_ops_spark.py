@@ -228,3 +228,32 @@ def test_multimodal_plumbing(spark):
     # real decode is an explicit stub
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...", fake=False)
+
+
+def test_ivf_topk_and_multiprobe(spark, vectors):
+    """IVF: cluster-local candidates; nprobe>1 probes the query's nearest
+    clusters — recall vs exact top-1 must be monotone in nprobe and every
+    (query, neighbor) pair unique (corpus keeps a single assignment)."""
+    from orc_rust_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    pdf = vectors.toPandas().sort_values("vec_id")
+    cents = train_ivf_centroids(
+        np.array(pdf["embedding"].tolist()), n_centroids=4, iters=3)
+    exact = {(r.vec_id, r.neighbor_id) for r in cosine_topk(vectors, k=1).collect()}
+
+    recalls = {}
+    for nprobe in (1, 2, 4):
+        rows = ivf_topk(vectors, cents, k=1, nprobe=nprobe).collect()
+        pairs = [(r.vec_id, r.neighbor_id) for r in rows]
+        assert len(pairs) == len(set(pairs))  # no duplicate candidates
+        recalls[nprobe] = len(exact & set(pairs)) / len(exact)
+    assert recalls[1] <= recalls[2] <= recalls[4]
+    assert recalls[4] > recalls[1] or recalls[1] == 1.0  # probing helps
+    # planted near-dup pair survives with enough probes
+    full = {(r.vec_id, r.neighbor_id) for r in
+            ivf_topk(vectors, cents, k=1, nprobe=4).collect()}
+    assert (1, 5) in full and (5, 1) in full
