@@ -1,6 +1,6 @@
-"""CLI chunk-table inspector — the analog of the reference's `orc` binary
-subcommands info/export/stats/layout/index/bloom (src/bin/orc/main.rs:31-66,
-src/bin/orc/bloom.rs).
+"""CLI chunk-table / ORC-file inspector — the analog of the reference's
+`orc` binary subcommands info/export/stats/layout/index/bloom
+(src/bin/orc/main.rs:31-66, src/bin/orc/bloom.rs).
 
 Usage:
     python -m orc_rust_spark.inspect <chunks_dir> [info|stats|layout]
@@ -10,11 +10,115 @@ Usage:
       (per-row-group min/max of a row_index-encoded column)
     python -m orc_rust_spark.inspect <chunks_dir> bloom <column> <value>
       (test a value against every chunk's bloom filter)
+
+A path ending in .orc is inspected as a REAL ORC file instead (no Spark
+session; pure tail/stream parse, like the reference CLI):
+    python -m orc_rust_spark.inspect <file.orc> [info|layout]
+    python -m orc_rust_spark.inspect <file.orc> index <column>
+    python -m orc_rust_spark.inspect <file.orc> bloom <column> <value>
 """
 
 from __future__ import annotations
 
 import sys
+
+_ORC_CMDS = ("info", "layout", "index", "bloom")
+
+
+def _orc_kind_name(k: int) -> str:
+    from .sources import orc_file as of
+
+    names = {getattr(of, n): n[2:].lower() for n in dir(of) if n.startswith("K_")}
+    return names.get(k, str(k))
+
+
+def main_orc(argv: list[str]) -> int:
+    """Inspect a real ORC file through this engine's metadata/stream
+    parsers — info, per-stripe stream layout, per-row-group index stats,
+    and bloom probes."""
+    from .codecs import block as blockc
+    from .sources import orc_file as of
+
+    path = argv[1]
+    cmd = argv[2] if len(argv) > 2 else "info"
+    if cmd not in _ORC_CMDS:
+        print(f"unknown ORC command {cmd!r}; use info|layout|index|bloom")
+        return 2
+    meta = of.read_metadata(path)
+    root = meta.types[0]
+    if cmd == "info":
+        print(f"rows       : {meta.number_of_rows:,}")
+        print(f"stripes    : {len(meta.stripes)}")
+        print(f"compression: {meta.compression}")
+        print(f"stride     : {meta.row_index_stride}")
+        for cid, name in zip(root.subtypes, root.field_names):
+            print(f"  {name}: {_orc_kind_name(meta.types[cid].kind)}")
+        return 0
+
+    with open(path, "rb") as fh:
+        for si, st in enumerate(meta.stripes):
+            fh.seek(st.offset)
+            body = fh.read(st.index_length + st.data_length)
+            footer_raw = fh.read(st.footer_length)
+            streams, encodings, _tz = of._read_stripe_footer(
+                footer_raw, meta.compression)
+            by_col: dict[tuple, bytes] = {}
+            pos = 0
+            for col, kind, length in streams:
+                by_col[(col, kind)] = body[pos: pos + length]
+                pos += length
+            if cmd == "layout":
+                print(f"stripe {si}: rows={st.number_of_rows:,} "
+                      f"index={st.index_length:,}B data={st.data_length:,}B")
+                for col, kind, length in streams:
+                    kn = {0: "PRESENT", 1: "DATA", 2: "LENGTH",
+                          3: "DICTIONARY_DATA", 4: "DICTIONARY_COUNT",
+                          5: "SECONDARY", 6: "ROW_INDEX", 7: "BLOOM_FILTER",
+                          8: "BLOOM_FILTER_UTF8"}.get(kind, str(kind))
+                    name = ("<root>" if col == 0 else
+                            root.field_names[root.subtypes.index(col)]
+                            if col in root.subtypes else f"col{col}")
+                    print(f"  {name:<20} {kn:<17} {length:>10,}B")
+                continue
+            col_name = argv[3] if len(argv) > 3 else None
+            if col_name not in root.field_names:
+                print(f"no such column {col_name!r}")
+                return 2
+            cid = root.subtypes[root.field_names.index(col_name)]
+            if cmd == "index":
+                raw = by_col.get((cid, of.S_ROW_INDEX))
+                if raw is None:
+                    print(f"stripe {si}: no ROW_INDEX for {col_name}")
+                    continue
+                entries = of._parse_row_index(
+                    blockc.decompress_stream(raw, meta.compression))
+                print(f"stripe {si}: {len(entries)} row groups")
+                for g, (positions, stats) in enumerate(entries):
+                    mm = f"min={stats[0]} max={stats[1]}" if stats else "no stats"
+                    print(f"  rg {g}: positions={list(positions)} {mm}")
+            elif cmd == "bloom":
+                value_raw = argv[4] if len(argv) > 4 else ""
+                value = (int(value_raw) if value_raw.lstrip("-").isdigit()
+                         else value_raw)
+                raw = by_col.get((cid, of.S_BLOOM_FILTER_UTF8)) or by_col.get(
+                    (cid, of.S_BLOOM_FILTER))
+                if raw is None:
+                    print(f"stripe {si}: no bloom filter for {col_name}")
+                    continue
+                blooms = of._parse_bloom_index(
+                    blockc.decompress_stream(raw, meta.compression))
+                maybe = []
+                for g, bf in enumerate(blooms):
+                    if bf is None:
+                        maybe.append(g)
+                    elif isinstance(value, int) and bf.might_contain_i64(value):
+                        maybe.append(g)
+                    elif isinstance(value, str) and bf.might_contain_bytes(
+                            value.encode()):
+                        maybe.append(g)
+                print(f"stripe {si}: groups={len(blooms)} "
+                      f"maybe-contain={maybe}")
+    return 0
 
 
 def main(argv: list[str], spark=None) -> int:
@@ -22,6 +126,8 @@ def main(argv: list[str], spark=None) -> int:
         print(__doc__)
         return 2
     chunks_dir = argv[1]
+    if chunks_dir.endswith(".orc"):
+        return main_orc(argv)
     cmd = argv[2] if len(argv) > 2 else "info"
     from pyspark.sql import functions as F
 

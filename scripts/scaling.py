@@ -35,19 +35,19 @@ def measure(cpus: int, reps: int = int(os.environ.get("SCALING_REPS", "3"))) -> 
     sys.path.insert(0, REPO)
     from pyspark.sql import functions as F
 
+    from orc_rust_spark.operators.decode import decode_table_arrow
     from orc_rust_spark.operators.encode import encode_table
     from orc_rust_spark.plans.pipeline import plan_codecs
     from orc_rust_spark.session import get_spark
+    from orc_rust_spark.sources.webtext import WEBTEXT_SCHEMA
 
     spark = get_spark(f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     # identical input splits at every cluster size (default split planning
     # depends on defaultParallelism, which would change the work units)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
-    path = os.path.join(
-        os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/orc_rust_spark_bench"),
-        f"webtext_{ROWS}_64.parquet",
-    )
+    cache = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/orc_rust_spark_bench")
+    path = os.path.join(cache, f"webtext_{ROWS}_64.parquet")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from orc_rust_spark.sources.webtext import webtext_df
 
@@ -62,14 +62,35 @@ def measure(cpus: int, reps: int = int(os.environ.get("SCALING_REPS", "3"))) -> 
         t0 = time.time()
         encode_table(src, plan=plan).write.format("noop").mode("overwrite").save()
         times.append(time.time() - t0)
+    enc_best = min(times)
+
+    # --- decode direction (VERDICT r3 next #9): the same chunk table —
+    # persisted ONCE and shared by every cluster size — decoded back to
+    # rows through the Arrow decode path (co_locate shuffle included: that
+    # is the real shape when reading a stored chunk table)
+    chunks_path = os.path.join(cache, f"webtext_chunks_{ROWS}.parquet")
+    if not os.path.exists(os.path.join(chunks_path, "_SUCCESS")):
+        encode_table(src, plan=plan).write.mode("overwrite").parquet(chunks_path)
+    chunks = spark.read.parquet(chunks_path)
+    decode_table_arrow(chunks, WEBTEXT_SCHEMA).write.format("noop").mode(
+        "overwrite").save()  # warm decode-stage workers
+    dec_times = []
+    for _ in range(reps):
+        t0 = time.time()
+        decode_table_arrow(chunks, WEBTEXT_SCHEMA).write.format("noop").mode(
+            "overwrite").save()
+        dec_times.append(time.time() - t0)
+    dec_best = min(dec_times)
     spark.stop()
-    best = min(times)
     return {
         "cpus": cpus,
-        "wall_sec": round(best, 3),
+        "wall_sec": round(enc_best, 3),
         "all_times": [round(t, 3) for t in times],
         "raw_gb": round(raw / 1e9, 4),
-        "gb_per_sec": round(raw / 1e9 / best, 4),
+        "gb_per_sec": round(raw / 1e9 / enc_best, 4),
+        "decode_wall_sec": round(dec_best, 3),
+        "decode_all_times": [round(t, 3) for t in dec_times],
+        "decode_gb_per_sec": round(raw / 1e9 / dec_best, 4),
     }
 
 
@@ -87,12 +108,18 @@ def main() -> None:
         results[cpus] = json.loads(line)
     eff_2_8 = (results[2]["wall_sec"] / results[8]["wall_sec"]) / 4
     eff_8_32 = (results[8]["wall_sec"] / results[32]["wall_sec"]) / 4
+    dec_eff_2_8 = (results[2]["decode_wall_sec"] / results[8]["decode_wall_sec"]) / 4
+    dec_eff_8_32 = (results[8]["decode_wall_sec"] / results[32]["decode_wall_sec"]) / 4
     summary = {
         "raw_gb": results[8]["raw_gb"],
         "wall_sec": {c: results[c]["wall_sec"] for c in CORES},
         "gb_per_sec": {c: results[c]["gb_per_sec"] for c in CORES},
         "efficiency_n2_to_4n8": round(eff_2_8, 3),
         "efficiency_n8_to_4n32": round(eff_8_32, 3),
+        "decode_wall_sec": {c: results[c]["decode_wall_sec"] for c in CORES},
+        "decode_gb_per_sec": {c: results[c]["decode_gb_per_sec"] for c in CORES},
+        "decode_efficiency_n2_to_4n8": round(dec_eff_2_8, 3),
+        "decode_efficiency_n8_to_4n32": round(dec_eff_8_32, 3),
         "detail": results,
     }
     print(json.dumps(summary))

@@ -99,3 +99,58 @@ def test_unknown_command(spark, chunks_dir, capsys):
     rc = main(["inspect", chunks_dir, "nope"], spark=spark)
     assert rc == 2
     assert "unknown command" in capsys.readouterr().out
+
+
+@pytest.fixture(scope="module")
+def orc_file(tmp_path_factory):
+    import numpy as np
+    import pyarrow as pa
+
+    from orc_rust_spark.sources.orc_file import write_orc
+
+    n = 25000
+    tbl = pa.table({
+        "id": pa.array(np.arange(n)),
+        "name": pa.array([f"n_{i % 9}" for i in range(n)]),
+    })
+    path = str(tmp_path_factory.mktemp("insp") / "t.orc")
+    write_orc(tbl, path, compression="zlib", bloom_columns=["id"])
+    return path
+
+
+def _run_orc(capsys, *argv) -> str:
+    from orc_rust_spark.inspect import main
+
+    rc = main(["inspect", *argv])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    return out
+
+
+def test_orc_file_info(orc_file, capsys):
+    """A .orc path dispatches to the real-ORC inspector (reference CLI
+    parity: src/bin/orc operates on ORC files) — no Spark session."""
+    out = _run_orc(capsys, orc_file)
+    assert "rows       : 25,000" in out
+    assert "compression: zlib" in out
+    assert "id: long" in out and "name: string" in out
+
+
+def test_orc_file_layout(orc_file, capsys):
+    out = _run_orc(capsys, orc_file, "layout")
+    assert "ROW_INDEX" in out and "BLOOM_FILTER_UTF8" in out
+    assert "DICTIONARY_DATA" in out  # low-card name column dict-encoded
+
+
+def test_orc_file_index(orc_file, capsys):
+    out = _run_orc(capsys, orc_file, "index", "id")
+    assert "3 row groups" in out
+    assert "min=0 max=9999" in out
+    assert "min=20000 max=24999" in out
+
+
+def test_orc_file_bloom(orc_file, capsys):
+    out = _run_orc(capsys, orc_file, "bloom", "id", "12345")
+    assert "maybe-contain=[1]" in out
+    out2 = _run_orc(capsys, orc_file, "bloom", "id", "99999999")
+    assert "maybe-contain=[]" in out2
