@@ -258,12 +258,18 @@ def lsh_topk(
     """
     b = hyperplane_buckets(vectors, dim, n_planes, id_col=id_col, vec_col=vec_col,
                            planes=planes).persist()  # both join sides share it
-    q = b.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "bucket")
-    c = b.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "bucket")
+    # norms are computed ONCE per row before the join — the naive per-pair
+    # cosine folds both norms for every candidate pair (3 array folds per
+    # pair instead of 1); sqrt of the same values is the same double, so
+    # the rounded cosine stays bit-identical to the SQL oracle
+    q = b.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
+                 _norm(F.col(vec_col)).alias("qn"), "bucket")
+    c = b.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
+                 _norm(F.col(vec_col)).alias("nn"), "bucket")
     pairs = q.join(c, ["bucket"]).where(F.col("qid") != F.col("nid"))
     scored = pairs.withColumn(
         "cosine",
-        F.round(_dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv"))), 6),
+        F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
     return (
@@ -379,15 +385,18 @@ def ivf_topk(
     if nprobe > 1:
         q = ivf_query_clusters(vectors, centroids, nprobe, id_col, vec_col) \
             .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
-                    "cluster")
+                    _norm(F.col(vec_col)).alias("qn"), "cluster")
     else:
         q = a.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
-                     "cluster")
-    c = a.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "cluster")
+                     _norm(F.col(vec_col)).alias("qn"), "cluster")
+    c = a.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
+                 _norm(F.col(vec_col)).alias("nn"), "cluster")
+    # per-row norms computed before the join (1 fold per pair, not 3);
+    # identical doubles -> identical rounded cosines vs the SQL oracle
     pairs = q.join(c, ["cluster"]).where(F.col("qid") != F.col("nid"))
     scored = pairs.withColumn(
         "cosine",
-        F.round(_dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv"))), 6),
+        F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
     return (
