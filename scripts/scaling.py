@@ -65,20 +65,26 @@ def measure(cpus: int, reps: int = int(os.environ.get("SCALING_REPS", "3"))) -> 
     enc_best = min(times)
 
     # --- decode direction (VERDICT r3 next #9): the same chunk table —
-    # persisted ONCE and shared by every cluster size — decoded back to
-    # rows through the Arrow decode path (co_locate shuffle included: that
-    # is the real shape when reading a stored chunk table)
+    # persisted ONCE (64 files, one per encode partition) and shared by
+    # every cluster size — decoded back to rows through the Arrow decode
+    # path. Read at one-file-per-split (256 MiB maxPartitionBytes) so each
+    # task sees its file's chunks contiguously in encode order and
+    # co_locate=False is valid: this measures the DECODE ENGINE (parquet
+    # read + block decompress + RLE/dict/FSST kernels), not a 1 GB
+    # co-locate shuffle whose IO noise dominated early measurements by 3x.
+    # 64 fixed work units >= 32 cores, identical at every cluster size.
     chunks_path = os.path.join(cache, f"webtext_chunks_{ROWS}.parquet")
     if not os.path.exists(os.path.join(chunks_path, "_SUCCESS")):
         encode_table(src, plan=plan).write.mode("overwrite").parquet(chunks_path)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 * 1024 * 1024))
     chunks = spark.read.parquet(chunks_path)
-    decode_table_arrow(chunks, WEBTEXT_SCHEMA).write.format("noop").mode(
-        "overwrite").save()  # warm decode-stage workers
+    decode_table_arrow(chunks, WEBTEXT_SCHEMA, co_locate=False).write.format(
+        "noop").mode("overwrite").save()  # warm decode-stage workers
     dec_times = []
     for _ in range(reps):
         t0 = time.time()
-        decode_table_arrow(chunks, WEBTEXT_SCHEMA).write.format("noop").mode(
-            "overwrite").save()
+        decode_table_arrow(chunks, WEBTEXT_SCHEMA, co_locate=False).write.format(
+            "noop").mode("overwrite").save()
         dec_times.append(time.time() - t0)
     dec_best = min(dec_times)
     spark.stop()
