@@ -356,6 +356,38 @@ def q_orcx_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orcx_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native ORC sink: df.write.format("orcx") writes one indexed
+    ORC file per task through this engine's writer (two-phase commit:
+    .inprogress files renamed by the driver), read straight back through
+    the orcx reader and aggregated. The write happens INSIDE the timed
+    query — this measures the sink, not a cached artifact."""
+    import glob
+    import shutil
+    import uuid
+
+    from orc_rust_spark.sources.datasource import OrcRustDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(OrcRustDataSource)
+    # earlier reps' outputs are dead once a new one is written (the
+    # returned DataFrame reads lazily, so THIS rep's dir must persist)
+    for old in glob.glob("/tmp/orc_rust_spark_interop/orcx_write_*"):
+        shutil.rmtree(old, ignore_errors=True)
+    out = f"/tmp/orc_rust_spark_interop/orcx_write_{uuid.uuid4().hex}"
+    src = _read_parallel(spark, sf_dir, "lineitem",
+                         ["l_orderkey", "l_partkey", "l_quantity", "l_returnflag"])
+    src.write.format("orcx").mode("overwrite") \
+        .option("bloom_columns", "l_orderkey").save(out)
+    df = spark.read.format("orcx").load(out)
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("l_orderkey").alias("sum_ok"),
+        F.sum("l_partkey").alias("sum_pk"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+    )
+
+
 def q_orc_file_rlev1_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RLEv1 decode compat (E10, reference src/encoding/rle_v1.rs): an ORC
     file whose int columns are RLEv1-encoded with legacy DIRECT column
@@ -769,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_file_point_lookup": q_orc_file_point_lookup,
         "orc_file_write_pruned": q_orc_file_write_pruned,
         "orcx_datasource_scan": q_orcx_datasource_scan,
+        "orcx_write_roundtrip": q_orcx_write_roundtrip,
         "orc_file_rlev1_scan": q_orc_file_rlev1_scan,
         "roundtrip_int8": q_roundtrip_int8,
         "roundtrip_fsst_urls": q_roundtrip_fsst_urls,
@@ -1086,6 +1119,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, "
             "max(l_orderkey) AS max_ok "
             "FROM lineitem WHERE l_orderkey <= 1000 GROUP BY l_returnflag",
+        "orcx_write_roundtrip":
+            "SELECT l_returnflag, "
+            "CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(sum(l_orderkey) AS BIGINT) AS sum_ok, "
+            "CAST(sum(l_partkey) AS BIGINT) AS sum_pk, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty "
+            "FROM lineitem GROUP BY l_returnflag",
         "orc_file_rlev1_scan":
             "SELECT l_returnflag, "
             "CAST(count(*) AS BIGINT) AS cnt, "

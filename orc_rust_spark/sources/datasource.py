@@ -27,6 +27,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     GreaterThan,
@@ -35,6 +36,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 from . import orc_file as of
@@ -207,8 +209,86 @@ class OrcRustReader(DataSourceReader):
         yield from pa.Table.from_arrays(cols, tbl.column_names).to_batches()
 
 
+@dataclass
+class _OrcCommit(WriterCommitMessage):
+    tmp_path: str | None
+    final_path: str | None
+    rows: int
+    size: int
+
+
+class OrcRustWriter(DataSourceArrowWriter):
+    """``df.write.format("orcx").save(dir)``: every task writes one real
+    ORC file through this engine's indexed writer (ROW_INDEX + optional
+    blooms + statistics — the files it emits are prunable by the read
+    side). Two-phase visibility: tasks write ``*.orc.inprogress`` (never
+    matched by the reader's ``*.orc`` glob), the driver renames them on
+    commit and deletes them on abort.
+
+    Options: compression (zlib), stripe_rows (100000), row_index_stride
+    (10000; 0 = no indexes), bloom_columns (comma-separated).
+    """
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("orcx write requires a path: .save('/dir')")
+        self.compression = options.get("compression", "zlib")
+        self.stripe_rows = int(options.get("stripe_rows", 100_000))
+        self.stride = int(options.get("row_index_stride", 10_000))
+        self.bloom_cols = [
+            c for c in (options.get("bloom_columns") or "").split(",") if c
+        ]
+        self.overwrite = overwrite
+
+    def _prepare(self):
+        import glob as _glob
+        import os
+
+        os.makedirs(self.path, exist_ok=True)
+        if self.overwrite:
+            for p in _glob.glob(os.path.join(self.path, "*.orc")):
+                os.remove(p)
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _OrcCommit(None, None, 0, 0)
+        tbl = pa.Table.from_batches(batches)
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        name = f"part-{pid:05d}-{uuid.uuid4().hex}.orc"
+        tmp = os.path.join(self.path, name + ".inprogress")
+        of.write_orc(tbl, tmp, compression=self.compression,
+                     stripe_rows=self.stripe_rows,
+                     row_index_stride=self.stride,
+                     bloom_columns=self.bloom_cols or None)
+        return _OrcCommit(tmp, os.path.join(self.path, name),
+                          tbl.num_rows, os.path.getsize(tmp))
+
+    def commit(self, messages):
+        import os
+
+        for m in messages:
+            if m and m.tmp_path:
+                os.rename(m.tmp_path, m.final_path)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m and m.tmp_path and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
 class OrcRustDataSource(DataSource):
-    """``spark.read.format("orcx").load(path)`` over this engine's reader."""
+    """``spark.read.format("orcx")`` / ``df.write.format("orcx")`` over
+    this engine's reader and indexed writer."""
 
     @classmethod
     def name(cls) -> str:
@@ -225,3 +305,8 @@ class OrcRustDataSource(DataSource):
     def reader(self, schema) -> OrcRustReader:
         names = list(schema.fieldNames()) if hasattr(schema, "fieldNames") else None
         return OrcRustReader(dict(self.options), columns=names)
+
+    def writer(self, schema, overwrite: bool) -> OrcRustWriter:
+        w = OrcRustWriter(dict(self.options), schema, overwrite)
+        w._prepare()  # driver-side: mkdir + clear on overwrite
+        return w

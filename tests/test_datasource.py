@@ -151,3 +151,54 @@ def test_user_schema_unknown_column_rejected(orcx, orc_path):
 
     with pytest.raises(ValueError, match="nope.*do not exist"):
         OrcRustReader({"path": orc_path}, columns=["id", "nope"])
+
+
+def test_orcx_write_roundtrip(orcx, tmp_path):
+    """df.write.format('orcx'): each task writes one indexed ORC file
+    (two-phase: *.inprogress renamed on driver commit); read back via
+    orcx AND liborc bit-identically, and the files carry prunable
+    indexes."""
+    import glob
+    import os
+
+    import pyarrow.orc as paorc
+
+    d = str(tmp_path / "out")
+    n = 50000
+    df = orcx.range(n).selectExpr(
+        "id", "id * 2 AS v", "concat('name_', id % 40) AS name")
+    df.repartition(4).write.format("orcx").option("bloom_columns", "id") \
+        .mode("overwrite").save(d)
+    files = sorted(glob.glob(os.path.join(d, "*.orc")))
+    assert len(files) == 4
+    assert not glob.glob(os.path.join(d, "*.inprogress"))  # all committed
+
+    back = orcx.read.format("orcx").load(d)
+    assert back.count() == n
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(range(n))
+    one = back.where(F.col("id") == 12345).collect()
+    assert len(one) == 1 and one[0].v == 24690 and one[0].name == "name_25"
+
+    # liborc independently reads every emitted file
+    total = sum(paorc.read_table(f).num_rows for f in files)
+    assert total == n
+    # the files self-prune: every one carries a ROW_INDEX
+    from orc_rust_spark.sources.orc_file import (
+        S_ROW_INDEX,
+        _read_stripe_footer,
+        read_metadata,
+    )
+
+    meta = read_metadata(files[0])
+    assert meta.stripes[0].index_length > 0
+    with open(files[0], "rb") as fh:
+        fh.seek(meta.stripes[0].offset + meta.stripes[0].index_length
+                + meta.stripes[0].data_length)
+        streams, _, _ = _read_stripe_footer(
+            fh.read(meta.stripes[0].footer_length), meta.compression)
+    assert any(k == S_ROW_INDEX for _, k, _ in streams)
+
+    # overwrite mode replaces prior files
+    orcx.range(10).selectExpr("id", "id AS v", "'x' AS name") \
+        .coalesce(1).write.format("orcx").mode("overwrite").save(d)
+    assert orcx.read.format("orcx").load(d).count() == 10
