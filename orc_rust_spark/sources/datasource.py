@@ -36,8 +36,23 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
     WriterCommitMessage,
 )
+
+
+def _prefix_upper_bound(prefix: str) -> str | None:
+    """Smallest string ``u`` such that every string starting with
+    ``prefix`` is < u — i.e. prefix with its last non-maximal code point
+    incremented (trailing U+10FFFF chars dropped). None when no sound
+    bound exists (prefix is all-maximal). Sound for code-point-wise
+    string comparison, which is how min/max stats are compared."""
+    cps = list(prefix)
+    while cps and ord(cps[-1]) >= 0x10FFFF:
+        cps.pop()
+    if not cps:
+        return None
+    return "".join(cps[:-1]) + chr(ord(cps[-1]) + 1)
 
 from . import orc_file as of
 
@@ -114,16 +129,24 @@ class OrcRustReader(DataSourceReader):
                     raise ValueError(
                         f"orcx: column(s) {missing} in the user schema do not "
                         f"exist in {p!r} (file columns: {sorted(have)})")
-        # (column, lo, hi) bounds + IN-list value sets from pushed filters
+        # (column, lo, hi) bounds + IN-list value sets + null predicates
+        # from pushed filters
         self.bounds: dict[str, list] = {}
         self.in_sets: dict[str, list] = {}
+        self.null_preds: dict[str, bool] = {}  # col -> not_null flag
 
     def pushFilters(self, filters):
+        from pyspark.sql.datasource import IsNotNull, IsNull
+
         for f in filters:
             col = getattr(f, "attribute", None)
             val = getattr(f, "value", None)
             if col is not None and len(col) == 1:
                 name = col[0]
+                if isinstance(f, IsNotNull):
+                    self.null_preds[name] = True
+                elif isinstance(f, IsNull):
+                    self.null_preds[name] = False
                 if isinstance(val, (int, float, str)):
                     b = self.bounds.setdefault(name, [None, None])
                     if isinstance(f, EqualTo):
@@ -132,6 +155,13 @@ class OrcRustReader(DataSourceReader):
                         b[0] = val if b[0] is None else max(b[0], val)
                     elif isinstance(f, (LessThan, LessThanOrEqual)):
                         b[1] = val if b[1] is None else min(b[1], val)
+                    elif isinstance(f, StringStartsWith):
+                        # startswith(p) ⇒ p <= col < next(p): a sound
+                        # min/max range for code-point-ordered stats
+                        b[0] = val if b[0] is None else max(b[0], val)
+                        ub = _prefix_upper_bound(val)
+                        if ub is not None:
+                            b[1] = ub if b[1] is None else min(b[1], ub)
                 elif (isinstance(f, In) and isinstance(val, tuple) and val
                       and all(isinstance(v, (int, float, str)) for v in val)):
                     # IN-list = union of equality probes: stripes/groups/
@@ -142,18 +172,25 @@ class OrcRustReader(DataSourceReader):
             yield f
 
     def _predicate(self):
-        """(column, lo, hi, eq_values|None): the most selective single
-        column — an equality, then the smallest IN-list, then any bound."""
+        """(column, lo, hi, eq_values|None, not_null|None): the most
+        selective single column — an equality, then the smallest IN-list,
+        then any range bound, then a null predicate (IS [NOT] NULL over
+        the per-group numberOfValues/hasNull statistics)."""
+        def nn(col):
+            return self.null_preds.get(col)
+
         for col, (lo, hi) in self.bounds.items():
             if lo is not None and lo == hi:
-                return (col, lo, hi, [lo])
+                return (col, lo, hi, [lo], nn(col))
         if self.in_sets:
             col = min(self.in_sets, key=lambda c: len(self.in_sets[c]))
             vals = self.in_sets[col]
-            return (col, min(vals), max(vals), vals)
+            return (col, min(vals), max(vals), vals, nn(col))
         for col, (lo, hi) in self.bounds.items():
             if lo is not None or hi is not None:
-                return (col, lo, hi, None)
+                return (col, lo, hi, None, nn(col))
+        for col, flag in self.null_preds.items():
+            return (col, None, None, None, flag)
         return None
 
     def partitions(self):
@@ -183,14 +220,15 @@ class OrcRustReader(DataSourceReader):
             footer_raw = fh.read(part.footer_length)
         pred = self._predicate()
         if pred is not None:
-            col, lo, hi, eqs = pred
+            col, lo, hi, eqs, not_null = pred
             # the projection reaches the pruned decode path too: unprojected
             # columns of kept groups are never seek-decoded (VERDICT r3
             # missing #1)
             tbl, _, _ = of.decode_stripe_pruned(
                 body, footer_raw, meta, part.rows, col,
                 eq=eqs, lo=None if eqs is not None else lo,
-                hi=None if eqs is not None else hi, columns=self.columns)
+                hi=None if eqs is not None else hi, columns=self.columns,
+                not_null=not_null)
         else:
             tbl = of.decode_stripe(body, footer_raw, meta, part.rows,
                                    columns=self.columns)

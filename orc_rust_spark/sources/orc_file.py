@@ -518,20 +518,34 @@ def decode_stripe(buf: bytes, footer_raw: bytes, meta: OrcMeta, n_rows: int,
 # predicate evaluation src/row_group_filter.rs:54-205, bloom probe :370-408.
 
 
-def _parse_row_index(raw: bytes) -> list[tuple[list[int], tuple | None]]:
-    """ROW_INDEX stream -> [(positions, (min,max)|None)] per row group."""
+def _parse_stats_nullinfo(raw: bytes) -> tuple[int | None, bool | None]:
+    """ColumnStatistics -> (numberOfValues = NON-null count, hasNull)."""
+    n_values = has_null = None
+    for fno, wt, v in _fields(raw):
+        if fno == 1 and wt == 0:
+            n_values = int(v)
+        elif fno == 10 and wt == 0:
+            has_null = bool(v)
+    return n_values, has_null
+
+
+def _parse_row_index(raw: bytes) -> list[tuple]:
+    """ROW_INDEX stream -> [(positions, (min,max)|None,
+    (n_values, has_null))] per row group."""
     entries = []
     for fno, _, v in _fields(raw):
         if fno != 1:  # RowIndexEntry
             continue
         positions: list[int] = []
         stats = None
+        nullinfo = (None, None)
         for f2, w2, v2 in _fields(v):
             if f2 == 1:  # repeated uint64 positions (packed or not)
                 positions.extend(_packed_u32(v2))
             elif f2 == 2:  # ColumnStatistics
                 stats = _parse_column_stats(v2)
-        entries.append((positions, stats))
+                nullinfo = _parse_stats_nullinfo(v2)
+        entries.append((positions, stats, nullinfo))
     return entries
 
 
@@ -819,12 +833,15 @@ def _group_may_match(stats, bf, col_kind: int, lo, hi, eq) -> bool:
 def _rg_keep_for_stripe(
     entries: list, blooms: list | None, n_rows: int, stride: int,
     eq=None, lo=None, hi=None, col_kind: int = -1,
+    not_null: bool | None = None,
 ) -> list[int]:
     """Row groups whose index stats (and bloom, for eq) may match — the
     reference's evaluate_row_group_predicate (src/row_group_filter.rs:54-205,
     bloom :370-408). Three-valued: missing/mismatched stats keep. ``eq``
     may be a list/set of values (an IN-list probe): a group is kept if ANY
-    value may match."""
+    value may match. ``not_null`` prunes on the null statistics:
+    True (an IS NOT NULL probe) drops groups with zero non-null values,
+    False (IS NULL) drops groups whose stats say hasNull is false."""
     eqs = None
     if eq is not None:
         eqs = (sorted(eq) if isinstance(eq, (set, frozenset))
@@ -838,6 +855,12 @@ def _rg_keep_for_stripe(
             ok = any(_group_may_match(stats, bf, col_kind, v, v, v) for v in eqs)
         else:
             ok = _group_may_match(stats, None, col_kind, lo, hi, None)
+        if ok and not_null is not None and len(entries[g]) > 2:
+            n_values, has_null = entries[g][2]
+            if not_null is True and n_values == 0:
+                ok = False  # every value in the group is null
+            elif not_null is False and has_null is False:
+                ok = False  # stats guarantee the group has no nulls
         if ok:
             keep.append(g)
     keep.extend(range(len(entries), n_groups))  # entries missing: keep
@@ -848,6 +871,7 @@ def decode_stripe_pruned(
     buf: bytes, footer_raw: bytes, meta: OrcMeta, n_rows: int,
     column: str, eq=None, lo=None, hi=None,
     columns: list[str] | None = None,
+    not_null: bool | None = None,
 ) -> tuple[pa.Table, int, int]:
     """Decode only the row groups of this stripe whose ROW_INDEX stats /
     bloom filter may satisfy the predicate on ``column`` — and only the
@@ -897,7 +921,7 @@ def decode_stripe_pruned(
     blooms = (_parse_bloom_index(blockc.decompress_stream(bl_raw, meta.compression))
               if bl_raw is not None else None)
     keep = _rg_keep_for_stripe(entries, blooms, n_rows, stride, eq=eq, lo=lo,
-                               hi=hi, col_kind=col_kind)
+                               hi=hi, col_kind=col_kind, not_null=not_null)
     if len(keep) >= n_groups:
         return full()
     if not keep:

@@ -124,7 +124,7 @@ def test_in_list_filter_pushdown(orcx, orc_path):
     r = OrcRustReader({"path": orc_path})
     list(r.pushFilters([In(("id",), (5, 98765))]))
     pred = r._predicate()
-    assert pred == ("id", 5, 98765, [5, 98765])
+    assert pred == ("id", 5, 98765, [5, 98765], None)
     # stripes between the two probes are pruned (ids are sorted, so only
     # the stripes containing 5 and 98765 survive)
     pruned = r.partitions()

@@ -834,3 +834,82 @@ def test_orc_scan_dir_and_driver_side_metadata(spark, tmp_path, monkeypatch):
     from pyspark.sql import functions as F
     assert df.agg(F.sum("id")).collect()[0][0] == sum(range(3000))
     assert len(calls) == 3  # the collect scheduled tasks; no further parses
+
+
+def test_null_stats_group_pruning(tmp_path):
+    """IS NULL / IS NOT NULL prune on per-group null statistics
+    (numberOfValues / hasNull): an all-null group is skipped for
+    IS NOT NULL, null-free groups are skipped for IS NULL — on liborc-
+    written AND our-writer files."""
+    from orc_rust_spark.sources.orc_file import (
+        decode_stripe_pruned,
+        read_metadata,
+        write_orc,
+    )
+
+    n = 30000
+    vals = [None if i < 10000 else i * 2 for i in range(n)]  # group 0 null
+    tbl = pa.table({"id": pa.array(np.arange(n)),
+                    "v": pa.array(vals, type=pa.int64())})
+    ours = str(tmp_path / "nulls_ours.orc")
+    write_orc(tbl, ours, compression="zlib")
+    libs = str(tmp_path / "nulls_lib.orc")
+    paorc.write_table(tbl, libs, compression="ZLIB")
+
+    for path in (ours, libs):
+        meta = read_metadata(path)
+        st = meta.stripes[0]
+        with open(path, "rb") as fh:
+            fh.seek(st.offset)
+            body = fh.read(st.index_length + st.data_length)
+            fr = fh.read(st.footer_length)
+        # IS NOT NULL: the all-null group 0 must be pruned
+        out, kept, total = decode_stripe_pruned(
+            body, fr, meta, st.number_of_rows, "v", not_null=True)
+        assert kept == total - 1, (path, kept, total)
+        got = [x for x in out.column("v").to_pylist() if x is not None]
+        assert got == [i * 2 for i in range(10000, n)]
+        # IS NULL: only the all-null group may survive
+        out2, kept2, _ = decode_stripe_pruned(
+            body, fr, meta, st.number_of_rows, "v", not_null=False)
+        assert kept2 == 1, (path, kept2)
+        assert set(out2.column("v").to_pylist()) == {None}
+
+
+def test_orcx_null_and_prefix_pushdown(spark, tmp_path):
+    """orcx end-to-end: IS NOT NULL and startswith() filters prune row
+    groups through the pushed predicate; results stay exact."""
+    from orc_rust_spark.sources.datasource import (
+        OrcRustDataSource,
+        OrcRustReader,
+        _prefix_upper_bound,
+    )
+
+    assert _prefix_upper_bound("abc") == "abd"
+    assert _prefix_upper_bound("a" + chr(0x10FFFF)) == "b"
+    assert _prefix_upper_bound(chr(0x10FFFF)) is None
+
+    n = 30000
+    tbl = pa.table({
+        "id": pa.array(np.arange(n)),
+        "v": pa.array([None if i < 10000 else i * 2 for i in range(n)],
+                      type=pa.int64()),
+        "s": pa.array([f"{'abc' if i >= 20000 else 'zzz'}_{i}" for i in range(n)]),
+    })
+    path = str(tmp_path / "np.orc")
+    paorc.write_table(tbl, path, compression="ZLIB")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(OrcRustDataSource)
+    df = spark.read.format("orcx").load(path)
+    from pyspark.sql import functions as F
+    assert df.where(F.col("v").isNotNull()).count() == 20000
+    assert df.where(F.col("v").isNull()).count() == 10000
+    got = df.where(F.col("s").startswith("abc")).count()
+    assert got == 10000
+
+    # reader-level: the prefix filter became a sound [lo, hi) range
+    from pyspark.sql.datasource import StringStartsWith
+
+    r = OrcRustReader({"path": path})
+    list(r.pushFilters([StringStartsWith(("s",), "abc")]))
+    assert r._predicate() == ("s", "abc", "abd", None, None)
