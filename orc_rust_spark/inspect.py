@@ -93,8 +93,11 @@ def main_orc(argv: list[str]) -> int:
                 entries = of._parse_row_index(
                     blockc.decompress_stream(raw, meta.compression))
                 print(f"stripe {si}: {len(entries)} row groups")
-                for g, (positions, stats) in enumerate(entries):
+                for g, (positions, stats, nullinfo) in enumerate(entries):
                     mm = f"min={stats[0]} max={stats[1]}" if stats else "no stats"
+                    n_values, has_null = nullinfo
+                    if n_values is not None:
+                        mm += f" n={n_values} has_null={bool(has_null)}"
                     print(f"  rg {g}: positions={list(positions)} {mm}")
             elif cmd == "bloom":
                 value_raw = argv[4] if len(argv) > 4 else ""

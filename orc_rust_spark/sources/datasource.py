@@ -136,6 +136,8 @@ class OrcRustReader(DataSourceReader):
         self.null_preds: dict[str, bool] = {}  # col -> not_null flag
 
     def pushFilters(self, filters):
+        import datetime as _dt
+
         from pyspark.sql.datasource import IsNotNull, IsNull
 
         for f in filters:
@@ -147,7 +149,9 @@ class OrcRustReader(DataSourceReader):
                     self.null_preds[name] = True
                 elif isinstance(f, IsNull):
                     self.null_preds[name] = False
-                if isinstance(val, (int, float, str)):
+                # date/datetime probes prune via dateStatistics /
+                # timestampStatistics (UTC-millis) stats
+                if isinstance(val, (int, float, str, _dt.date)):
                     b = self.bounds.setdefault(name, [None, None])
                     if isinstance(f, EqualTo):
                         b[0] = b[1] = val

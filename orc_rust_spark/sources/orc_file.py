@@ -137,7 +137,14 @@ class OrcMeta:
 
 
 def _parse_column_stats(raw: bytes):
-    """ColumnStatistics -> (min, max) for int/double/string stats, else None."""
+    """ColumnStatistics -> (min, max) typed per stat family:
+    int/double/string native, dateStatistics as datetime.date,
+    timestampStatistics (UTC-millis fields only — the writer-local
+    millis of pre-ORC-135 writers are ambiguous) as naive
+    datetime.datetime. Probe/stat type matching happens at compare time
+    (three-valued: mismatches keep)."""
+    import datetime as _dt
+
     for fno, _, v in _fields(raw):
         if fno == 2:  # intStatistics (sint64 = zigzag varints)
             d = {}
@@ -161,6 +168,24 @@ def _parse_column_stats(raw: bytes):
                     d[f2] = v2.decode()
             if 1 in d and 2 in d:
                 return (d[1], d[2])
+        elif fno == 7:  # dateStatistics (sint32 days since epoch)
+            d = {}
+            for f2, _, v2 in _fields(v):
+                d[f2] = (v2 >> 1) ^ -(v2 & 1)
+            if 1 in d and 2 in d:
+                epoch = _dt.date(1970, 1, 1)
+                return (epoch + _dt.timedelta(days=d[1]),
+                        epoch + _dt.timedelta(days=d[2]))
+        elif fno == 9:  # timestampStatistics (sint64 millis)
+            d = {}
+            for f2, _, v2 in _fields(v):
+                d[f2] = (v2 >> 1) ^ -(v2 & 1)
+            # only the UTC fields (3=minimumUtc, 4=maximumUtc) are
+            # unambiguous; writer-local 1/2 are ignored (keep = safe)
+            if 3 in d and 4 in d:
+                epoch = _dt.datetime(1970, 1, 1)
+                return (epoch + _dt.timedelta(milliseconds=d[3]),
+                        epoch + _dt.timedelta(milliseconds=d[4]))
     return None
 
 
@@ -806,16 +831,32 @@ def _bloom_probe_ok(col_kind: int, eq) -> bool:
     return False
 
 
+def _stats_comparable(mn, bound) -> bool:
+    """Probe/stat TYPE agreement gate: comparisons only happen within one
+    family (str, datetime, date, numeric) — anything else keeps the
+    group/stripe (three-valued safety; a raw-int probe on a date column,
+    say, must never prune)."""
+    import datetime as _dt
+
+    if isinstance(mn, str):
+        return isinstance(bound, str)
+    if isinstance(mn, _dt.datetime):
+        return isinstance(bound, _dt.datetime)
+    if isinstance(mn, _dt.date):
+        return isinstance(bound, _dt.date) and not isinstance(bound, _dt.datetime)
+    if isinstance(mn, (int, float)) and not isinstance(mn, bool):
+        return (isinstance(bound, (int, float))
+                and not isinstance(bound, bool))
+    return False
+
+
 def _group_may_match(stats, bf, col_kind: int, lo, hi, eq) -> bool:
     """Three-valued per-group test: stats range check, then (for an
     equality probe) the bloom filter — missing/mismatched stats keep."""
     ok = True
     if stats is not None:
         mn, mx = stats
-        same = (isinstance(mn, str) and isinstance(lo if lo is not None else hi, str)) or (
-            isinstance(mn, (int, float)) and isinstance(
-                lo if lo is not None else hi, (int, float))
-        )
+        same = _stats_comparable(mn, lo if lo is not None else hi)
         if same:
             if lo is not None and mx < lo:
                 ok = False
@@ -1097,6 +1138,25 @@ def _stats_proto(n_values: int, has_null: bool, kind: int, mn, mx) -> bytes:
         elif kind == K_STRING:
             sub = (_pb_field(1, 2, mn.encode()) + _pb_field(2, 2, mx.encode()))
             out += _pb_field(4, 2, sub)  # stringStatistics
+        elif kind == K_DATE:
+            import datetime as _dt
+
+            epoch = _dt.date(1970, 1, 1)
+            sub = (_pb_field(1, 0, _zigzag64((mn - epoch).days))
+                   + _pb_field(2, 0, _zigzag64((mx - epoch).days)))
+            out += _pb_field(7, 2, sub)  # dateStatistics
+        elif kind in (K_TIMESTAMP, K_TIMESTAMP_INSTANT):
+            import datetime as _dt
+
+            epoch = _dt.datetime(1970, 1, 1)
+            us0 = (mn - epoch) // _dt.timedelta(microseconds=1)
+            us1 = (mx - epoch) // _dt.timedelta(microseconds=1)
+            # millis truncation must WIDEN the range (floor min, ceil max)
+            # or an exact-us probe at the boundary could be wrongly pruned
+            ms0, ms1 = us0 // 1000, -((-us1) // 1000)
+            sub = (_pb_field(3, 0, _zigzag64(ms0))    # minimumUtc
+                   + _pb_field(4, 0, _zigzag64(ms1)))  # maximumUtc
+            out += _pb_field(9, 2, sub)  # timestampStatistics
     out += _pb_field(10, 0, 1 if has_null else 0)
     return out
 
@@ -1123,6 +1183,16 @@ def _group_min_max(kind: int, g_dense: pa.Array):
     if kind == K_STRING:
         mm = pc.min_max(g_dense.cast(pa.large_string()))
         return mm["min"].as_py(), mm["max"].as_py()
+    if kind in (K_DATE, K_TIMESTAMP, K_TIMESTAMP_INSTANT):
+        import datetime as _dt
+
+        mm = pc.min_max(g_dense)
+        mn, mx = mm["min"].as_py(), mm["max"].as_py()
+        if isinstance(mn, _dt.datetime) and mn.tzinfo is not None:
+            # tz-aware arrow timestamps: stats as naive UTC instants
+            mn = mn.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            mx = mx.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return mn, mx
     return None, None
 
 
@@ -1141,7 +1211,7 @@ def _agg_stats(kind: int, group_stats: list[tuple]) -> tuple:
 
 def _encode_indexed_column(
     name: str, arr: pa.Array, kind: int, compression: str, stride: int,
-    rle_version: int, bloom: bool,
+    rle_version: int, bloom: bool, ts_stats: bool = True,
 ):
     """Encode one flat column per ``stride``-row group with recorded seek
     positions (the write-side ROW_INDEX analog of src/row_index.rs):
@@ -1235,6 +1305,11 @@ def _encode_indexed_column(
                     data_codec = codec
         dense_prefix += len(g_dense)
         mn, mx = _group_min_max(kind, g_dense)
+        if kind in (K_TIMESTAMP, K_TIMESTAMP_INSTANT) and not ts_stats:
+            # non-UTC writer tz: the STORED seconds are wall-shifted, so
+            # stats over them would not describe the decoded values —
+            # omit rather than misprune
+            mn = mx = None
         group_stats.append((len(g_dense), sl.null_count > 0, mn, mx))
         group_parts.append(parts)
 
@@ -1389,7 +1464,8 @@ def write_orc(table: pa.Table, path: str, compression: str = "zlib",
                 _encode_indexed_column(
                     name, sl.column(name).combine_chunks(), kinds[i],
                     compression, row_index_stride, rle_version,
-                    bloom=name in bloom_cols)
+                    bloom=name in bloom_cols,
+                    ts_stats=writer_timezone in ("UTC", "GMT"))
                 for i, name in enumerate(names)
             ]
             n_groups = (sl.num_rows + row_index_stride - 1) // row_index_stride
@@ -1548,8 +1624,7 @@ def prune_stripes(meta: OrcMeta, column: str, lo=None, hi=None,
     def may_match(mn, mx, lo_, hi_) -> bool:
         # three-valued safety for probe/stat TYPE confusion (int probe on a
         # string column would raise or misprune): mismatch keeps the stripe
-        bound = lo_ if lo_ is not None else hi_
-        if isinstance(mn, str) != isinstance(bound, str):
+        if not _stats_comparable(mn, lo_ if lo_ is not None else hi_):
             return True
         if lo_ is not None and mx < lo_:
             return False
@@ -1643,10 +1718,13 @@ def orc_point_lookup(path: str, column: str, value) -> tuple[pa.Table, int, int]
     group counts make the pruning observable (reference integration tests
     assert exact row counts after bloom pruning, tests/integration/main.rs
     :374-488)."""
+    import datetime as _dt
+
     import pyarrow.compute as pc
 
     meta = read_metadata(path)
-    lo = hi = value if isinstance(value, (int, float, str)) else None
+    lo = hi = (value if isinstance(value, (int, float, str, _dt.date))
+               else None)
     keep = prune_stripes(meta, column, lo, hi)
     parts, decoded, total = [], 0, 0
     with open(path, "rb") as fh:

@@ -913,3 +913,41 @@ def test_orcx_null_and_prefix_pushdown(spark, tmp_path):
     r = OrcRustReader({"path": path})
     list(r.pushFilters([StringStartsWith(("s",), "abc")]))
     assert r._predicate() == ("s", "abc", "abd", None, None)
+
+
+def test_date_timestamp_stats_pruning(tmp_path):
+    """Date/timestamp probes prune row groups via dateStatistics /
+    timestampStatistics (UTC-millis fields) — on liborc-written AND
+    our-writer files; raw-int probes on those columns must never prune
+    (type gate keeps)."""
+    import datetime as dt
+
+    from orc_rust_spark.sources.orc_file import orc_point_lookup, write_orc
+
+    n = 60000
+    base = dt.datetime(2024, 3, 1)
+    tbl = pa.table({
+        "id": pa.array(np.arange(n)),
+        "ts": pa.array(np.int64(1_709_251_200_000_000) + np.arange(n) * 1_000_000,
+                       type=pa.timestamp("us")),          # 1s apart, sorted
+        "d": pa.array((np.arange(n) // 3600).astype(np.int32)
+                      + np.int32(19783), type=pa.date32()),  # ~16 groups
+    })
+    ours = str(tmp_path / "ts_ours.orc")
+    write_orc(tbl, ours, compression="zlib")
+    libs = str(tmp_path / "ts_lib.orc")
+    paorc.write_table(tbl, libs, compression="ZLIB")
+
+    probe_ts = base + dt.timedelta(seconds=34567)
+    probe_d = dt.date(1970, 1, 1) + dt.timedelta(days=19783 + 34567 // 3600)
+    for path in (ours, libs):
+        out, decoded, total = orc_point_lookup(path, "ts", probe_ts)
+        assert out.num_rows == 1, path
+        assert out.column("id")[0].as_py() == 34567
+        assert decoded < total, (path, decoded, total)
+        out2, d2, t2 = orc_point_lookup(path, "d", probe_d)
+        assert d2 < t2, (path, d2, t2)
+        assert 34567 in out2.column("id").to_pylist()
+        # type-confused probe: raw int on a timestamp column keeps all
+        out3, d3, t3 = orc_point_lookup(path, "ts", 1_709_251_200)
+        assert d3 == t3 and out3.num_rows == 0
