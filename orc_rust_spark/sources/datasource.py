@@ -197,14 +197,39 @@ class OrcRustReader(DataSourceReader):
             return (col, None, None, None, flag)
         return None
 
+    def _predicates(self) -> list[dict]:
+        """EVERY pushed single-column probe as an AND-list — the reader
+        intersects per-column row-group keeps, so `a = 1 AND b > 5`
+        prunes on BOTH indexes, not just the most selective one."""
+        preds: dict[str, dict] = {}
+        for col, (lo, hi) in self.bounds.items():
+            if lo is not None and lo == hi:
+                preds[col] = dict(column=col, eq=[lo])
+            elif lo is not None or hi is not None:
+                preds[col] = dict(column=col, lo=lo, hi=hi)
+        for col, vals in self.in_sets.items():
+            if col not in preds:  # an equality/range bound is tighter
+                preds[col] = dict(column=col, eq=vals)
+        for col, flag in self.null_preds.items():
+            if col in preds:
+                preds[col]["not_null"] = flag
+            else:
+                preds[col] = dict(column=col, not_null=flag)
+        return list(preds.values())
+
     def partitions(self):
-        pred = self._predicate()
+        preds = self._predicates()
         parts = []
         for path, meta in self.metas.items():
-            idx = (
-                of.prune_stripes(meta, pred[0], pred[1], pred[2], values=pred[3])
-                if pred else range(len(meta.stripes))
-            )
+            idx = set(range(len(meta.stripes)))
+            for p in preds:  # stripe keeps intersect across columns too
+                if p.get("eq") is not None:
+                    idx &= set(of.prune_stripes(meta, p["column"],
+                                                values=p["eq"]))
+                elif p.get("lo") is not None or p.get("hi") is not None:
+                    idx &= set(of.prune_stripes(meta, p["column"],
+                                                p.get("lo"), p.get("hi")))
+            idx = sorted(idx)
             parts.extend(
                 _StripePartition(path, s.offset, s.index_length,
                                  s.data_length, s.footer_length, s.number_of_rows)
@@ -222,17 +247,14 @@ class OrcRustReader(DataSourceReader):
             fh.seek(part.offset)
             body = fh.read(part.index_length + part.data_length)
             footer_raw = fh.read(part.footer_length)
-        pred = self._predicate()
-        if pred is not None:
-            col, lo, hi, eqs, not_null = pred
+        preds = self._predicates()
+        if preds:
             # the projection reaches the pruned decode path too: unprojected
             # columns of kept groups are never seek-decoded (VERDICT r3
-            # missing #1)
+            # missing #1); per-column keeps INTERSECT across the AND-list
             tbl, _, _ = of.decode_stripe_pruned(
-                body, footer_raw, meta, part.rows, col,
-                eq=eqs, lo=None if eqs is not None else lo,
-                hi=None if eqs is not None else hi, columns=self.columns,
-                not_null=not_null)
+                body, footer_raw, meta, part.rows, columns=self.columns,
+                predicates=preds)
         else:
             tbl = of.decode_stripe(body, footer_raw, meta, part.rows,
                                    columns=self.columns)

@@ -910,9 +910,10 @@ def _rg_keep_for_stripe(
 
 def decode_stripe_pruned(
     buf: bytes, footer_raw: bytes, meta: OrcMeta, n_rows: int,
-    column: str, eq=None, lo=None, hi=None,
+    column: str | None = None, eq=None, lo=None, hi=None,
     columns: list[str] | None = None,
     not_null: bool | None = None,
+    predicates: list[dict] | None = None,
 ) -> tuple[pa.Table, int, int]:
     """Decode only the row groups of this stripe whose ROW_INDEX stats /
     bloom filter may satisfy the predicate on ``column`` — and only the
@@ -920,13 +921,18 @@ def decode_stripe_pruned(
     never touched, src/stripe.rs:154-165 / src/projection.rs:37-69; the
     predicate column's INDEX drives pruning even when unprojected).
 
-    ``eq`` may be a single value or an IN-list of values.
+    ``eq`` may be a single value or an IN-list of values. ``predicates``
+    generalizes to an AND-list of per-column probes
+    ``{"column", "eq", "lo", "hi", "not_null"}`` whose per-column keep
+    lists INTERSECT (the RowSelection::and_then composition,
+    src/row_selection.rs) — columns without a usable index simply don't
+    contribute.
 
     -> (table of kept groups' rows, groups_decoded, groups_total). The
     caller applies the residual filter. Falls back to full decode (all
-    groups "decoded") when the column has no usable index or a projected
-    column type has no seek support (union), always respecting the
-    projection.
+    groups "decoded") when no predicate column has a usable index or a
+    projected column type has no seek support (union), always respecting
+    the projection.
     """
     stream_list, encodings, tz = _read_stripe_footer(footer_raw, meta.compression)
     streams: dict[tuple[int, int], bytes] = {}
@@ -943,26 +949,40 @@ def decode_stripe_pruned(
         return (decode_stripe(buf, footer_raw, meta, n_rows, columns=columns),
                 n_groups, n_groups)
 
-    try:
-        col_id = root.subtypes[root.field_names.index(column)]
-    except ValueError:
+    if predicates is None:
+        predicates = ([dict(column=column, eq=eq, lo=lo, hi=hi,
+                            not_null=not_null)] if column is not None else [])
+    if not stride:
         return full()
-    ri_raw = streams.get((col_id, S_ROW_INDEX))
-    if ri_raw is None or not stride:
+    keep_sets: list[set[int]] = []
+    for p in predicates:
+        try:
+            col_id = root.subtypes[root.field_names.index(p["column"])]
+        except ValueError:
+            continue
+        ri_raw = streams.get((col_id, S_ROW_INDEX))
+        if ri_raw is None:
+            continue
+        entries = _parse_row_index(
+            blockc.decompress_stream(ri_raw, meta.compression))
+        col_kind = meta.types[col_id].kind
+        bl_raw = streams.get((col_id, S_BLOOM_FILTER_UTF8))
+        if bl_raw is None and col_kind in (K_BYTE, K_SHORT, K_INT, K_LONG):
+            # pre-ORC-101 legacy blooms hashed strings in the WRITER's
+            # default charset — only integer probes are charset-
+            # independent, so the deprecated stream is trusted for
+            # integer columns alone (a mismatched string probe would
+            # false-negative and WRONGLY prune)
+            bl_raw = streams.get((col_id, S_BLOOM_FILTER))
+        blooms = (_parse_bloom_index(
+            blockc.decompress_stream(bl_raw, meta.compression))
+            if bl_raw is not None else None)
+        keep_sets.append(set(_rg_keep_for_stripe(
+            entries, blooms, n_rows, stride, eq=p.get("eq"), lo=p.get("lo"),
+            hi=p.get("hi"), col_kind=col_kind, not_null=p.get("not_null"))))
+    if not keep_sets:
         return full()
-    entries = _parse_row_index(blockc.decompress_stream(ri_raw, meta.compression))
-    col_kind = meta.types[col_id].kind
-    bl_raw = streams.get((col_id, S_BLOOM_FILTER_UTF8))
-    if bl_raw is None and col_kind in (K_BYTE, K_SHORT, K_INT, K_LONG):
-        # pre-ORC-101 legacy blooms hashed strings in the WRITER's default
-        # charset — only integer probes are charset-independent, so the
-        # deprecated stream is trusted for integer columns alone (a
-        # mismatched string probe would false-negative and WRONGLY prune)
-        bl_raw = streams.get((col_id, S_BLOOM_FILTER))
-    blooms = (_parse_bloom_index(blockc.decompress_stream(bl_raw, meta.compression))
-              if bl_raw is not None else None)
-    keep = _rg_keep_for_stripe(entries, blooms, n_rows, stride, eq=eq, lo=lo,
-                               hi=hi, col_kind=col_kind, not_null=not_null)
+    keep = sorted(set.intersection(*keep_sets))
     if len(keep) >= n_groups:
         return full()
     if not keep:

@@ -951,3 +951,40 @@ def test_date_timestamp_stats_pruning(tmp_path):
         # type-confused probe: raw int on a timestamp column keeps all
         out3, d3, t3 = orc_point_lookup(path, "ts", 1_709_251_200)
         assert d3 == t3 and out3.num_rows == 0
+
+
+def test_multi_column_predicate_intersection(tmp_path):
+    """AND-list pruning: per-column keep lists intersect, so two range
+    predicates on different sorted-ish columns prune more than either
+    alone (RowSelection::and_then composition at group level)."""
+    from orc_rust_spark.sources.orc_file import (
+        decode_stripe_pruned,
+        read_metadata,
+    )
+
+    tbl, path = _rg_file(tmp_path, bloom=False)  # id sorted asc, 10 groups
+    meta = read_metadata(path)
+    st = meta.stripes[0]
+    with open(path, "rb") as fh:
+        fh.seek(st.offset)
+        body = fh.read(st.index_length + st.data_length)
+        fr = fh.read(st.footer_length)
+    # id >= 35000 keeps groups 3..9; ts <= epoch+54999s keeps groups 0..5
+    import datetime as dt
+
+    hi_ts = dt.datetime(1970, 1, 1) + dt.timedelta(
+        microseconds=1_700_000_000_000_000 + 54_999)
+    out, kept, total = decode_stripe_pruned(
+        body, fr, meta, st.number_of_rows,
+        predicates=[dict(column="id", lo=35000),
+                    dict(column="ts", hi=hi_ts)])
+    # intersection = groups 3..5 (3 groups); either predicate alone keeps
+    # 7 and 6 groups respectively
+    assert kept == 3, (kept, total)
+    ids = out.column("id").to_pylist()
+    assert min(ids) == 30000 and max(ids) == 59999
+    _, k_id, _ = decode_stripe_pruned(body, fr, meta, st.number_of_rows,
+                                      predicates=[dict(column="id", lo=35000)])
+    _, k_ts, _ = decode_stripe_pruned(body, fr, meta, st.number_of_rows,
+                                      predicates=[dict(column="ts", hi=hi_ts)])
+    assert kept < k_id and kept < k_ts
