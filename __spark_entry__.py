@@ -419,6 +419,62 @@ def q_orc_file_rlev1_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_ts_orc(sf_dir: str) -> tuple[str, str, str]:
+    """Events written time-sorted to ORC by OUR writer (ROW_INDEX with
+    timestampStatistics per 10k group) + a deterministic [lo, hi) probe
+    window at 10%-20% of the time span, cached per sf. Returns
+    (orc_path, lo_iso, hi_iso) — the oracle builder calls this too, so
+    both engines share the exact literals."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from orc_rust_spark.sources.orc_file import write_orc
+
+    orc_path = _interop_cache_path(sf_dir, "events_ts_ours", ".orc")
+    if not os.path.exists(orc_path + ".bounds"):
+        tbl = pq.read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        ).sort_by([("ts", "ascending")])
+        write_orc(tbl, orc_path, compression="zlib")
+        mn = pc.min(tbl.column("ts")).as_py()
+        mx = pc.max(tbl.column("ts")).as_py()
+        span = mx - mn
+        lo = (mn + span // 10).replace(microsecond=0)
+        hi = (mn + span // 5).replace(microsecond=0)
+        with open(orc_path + ".bounds", "w") as fh:
+            fh.write(f"{lo.isoformat(sep=' ')}\n{hi.isoformat(sep=' ')}")
+    with open(orc_path + ".bounds") as fh:
+        lo_iso, hi_iso = fh.read().splitlines()
+    return orc_path, lo_iso, hi_iso
+
+
+def q_orc_ts_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-statistics pruning end to end: a time-sorted events ORC
+    file written by OUR writer is range-scanned through orcx — Catalyst
+    pushes the ts bounds, stripe timestampStatistics prune stripes, and
+    per-group UTC-millis stats prune 10k row groups before seek-decode.
+    The canonical time-series shape at 100 TB (time-partitioned logs)."""
+    from orc_rust_spark.sources.datasource import OrcRustDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(OrcRustDataSource)
+    orc_path, lo_iso, hi_iso = _events_ts_orc(sf_dir)
+    df = spark.read.format("orcx").load(orc_path)
+    lo = F.lit(lo_iso).cast("timestamp_ntz")
+    hi = F.lit(hi_iso).cast("timestamp_ntz")
+    return df.where((F.col("ts") >= lo) & (F.col("ts") < hi)).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("user_id").alias("sum_uid"),
+        F.min("event_id").alias("min_eid"),
+        F.max("event_id").alias("max_eid"),
+        F.min(F.col("ts").cast("string")).alias("min_ts"),
+        F.max(F.col("ts").cast("string")).alias("max_ts"),
+    )
+
+
 def q_roundtrip_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-RLE roundtrip (E11, reference src/encoding/byte.rs): int8
     columns derived from lineitem encode through the byte-RLE state
@@ -803,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orcx_datasource_scan": q_orcx_datasource_scan,
         "orcx_write_roundtrip": q_orcx_write_roundtrip,
         "orc_file_rlev1_scan": q_orc_file_rlev1_scan,
+        "orc_ts_range_scan": q_orc_ts_range_scan,
         "roundtrip_int8": q_roundtrip_int8,
         "roundtrip_fsst_urls": q_roundtrip_fsst_urls,
         "stats_collection": q_stats_collection,
@@ -1133,6 +1190,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(l_partkey) AS BIGINT) AS sum_pk, "
             "min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk "
             "FROM lineitem GROUP BY l_returnflag",
+        "orc_ts_range_scan": (lambda b: (
+            "SELECT CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(sum(user_id) AS BIGINT) AS sum_uid, "
+            "min(event_id) AS min_eid, max(event_id) AS max_eid, "
+            "CAST(min(ts) AS VARCHAR) AS min_ts, "
+            "CAST(max(ts) AS VARCHAR) AS max_ts "
+            f"FROM events WHERE ts >= TIMESTAMP '{b[1]}' "
+            f"AND ts < TIMESTAMP '{b[2]}'"
+        ))(_events_ts_orc("/root/testdata/sf0.01")),
         "roundtrip_int8":
             "SELECT l_orderkey, l_linenumber, "
             "CAST(CAST(l_linenumber AS TINYINT) AS INT) AS ln8_i, "
