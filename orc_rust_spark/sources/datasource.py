@@ -137,6 +137,7 @@ class OrcRustReader(DataSourceReader):
 
     def pushFilters(self, filters):
         import datetime as _dt
+        from decimal import Decimal as _Dec
 
         from pyspark.sql.datasource import IsNotNull, IsNull
 
@@ -150,8 +151,9 @@ class OrcRustReader(DataSourceReader):
                 elif isinstance(f, IsNull):
                     self.null_preds[name] = False
                 # date/datetime probes prune via dateStatistics /
-                # timestampStatistics (UTC-millis) stats
-                if isinstance(val, (int, float, str, _dt.date)):
+                # timestampStatistics (UTC-millis); Decimal probes via
+                # decimalStatistics strings
+                if isinstance(val, (int, float, str, _dt.date, _Dec)):
                     b = self.bounds.setdefault(name, [None, None])
                     if isinstance(f, EqualTo):
                         b[0] = b[1] = val

@@ -168,6 +168,18 @@ def _parse_column_stats(raw: bytes):
                     d[f2] = v2.decode()
             if 1 in d and 2 in d:
                 return (d[1], d[2])
+        elif fno == 6:  # decimalStatistics (decimal strings)
+            import decimal as _decimal
+
+            d = {}
+            for f2, _, v2 in _fields(v):
+                if f2 in (1, 2):
+                    try:
+                        d[f2] = _decimal.Decimal(v2.decode())
+                    except (_decimal.InvalidOperation, UnicodeDecodeError):
+                        return None  # unparseable: keep (three-valued)
+            if 1 in d and 2 in d:
+                return (d[1], d[2])
         elif fno == 7:  # dateStatistics (sint32 days since epoch)
             d = {}
             for f2, _, v2 in _fields(v):
@@ -833,10 +845,12 @@ def _bloom_probe_ok(col_kind: int, eq) -> bool:
 
 def _stats_comparable(mn, bound) -> bool:
     """Probe/stat TYPE agreement gate: comparisons only happen within one
-    family (str, datetime, date, numeric) — anything else keeps the
-    group/stripe (three-valued safety; a raw-int probe on a date column,
-    say, must never prune)."""
+    family (str, datetime, date, decimal, numeric) — anything else keeps
+    the group/stripe (three-valued safety; a raw-int probe on a date
+    column, say, must never prune). Decimal stats additionally accept
+    int probes (exact comparison, no float rounding)."""
     import datetime as _dt
+    import decimal as _decimal
 
     if isinstance(mn, str):
         return isinstance(bound, str)
@@ -844,6 +858,9 @@ def _stats_comparable(mn, bound) -> bool:
         return isinstance(bound, _dt.datetime)
     if isinstance(mn, _dt.date):
         return isinstance(bound, _dt.date) and not isinstance(bound, _dt.datetime)
+    if isinstance(mn, _decimal.Decimal):
+        return (isinstance(bound, _decimal.Decimal)
+                or (isinstance(bound, int) and not isinstance(bound, bool)))
     if isinstance(mn, (int, float)) and not isinstance(mn, bool):
         return (isinstance(bound, (int, float))
                 and not isinstance(bound, bool))
@@ -1158,6 +1175,10 @@ def _stats_proto(n_values: int, has_null: bool, kind: int, mn, mx) -> bytes:
         elif kind == K_STRING:
             sub = (_pb_field(1, 2, mn.encode()) + _pb_field(2, 2, mx.encode()))
             out += _pb_field(4, 2, sub)  # stringStatistics
+        elif kind == K_DECIMAL:
+            sub = (_pb_field(1, 2, format(mn, "f").encode())
+                   + _pb_field(2, 2, format(mx, "f").encode()))
+            out += _pb_field(6, 2, sub)  # decimalStatistics (plain strings)
         elif kind == K_DATE:
             import datetime as _dt
 
@@ -1203,6 +1224,9 @@ def _group_min_max(kind: int, g_dense: pa.Array):
     if kind == K_STRING:
         mm = pc.min_max(g_dense.cast(pa.large_string()))
         return mm["min"].as_py(), mm["max"].as_py()
+    if kind == K_DECIMAL:
+        mm = pc.min_max(g_dense)
+        return mm["min"].as_py(), mm["max"].as_py()  # decimal.Decimal
     if kind in (K_DATE, K_TIMESTAMP, K_TIMESTAMP_INSTANT):
         import datetime as _dt
 
@@ -1739,12 +1763,13 @@ def orc_point_lookup(path: str, column: str, value) -> tuple[pa.Table, int, int]
     assert exact row counts after bloom pruning, tests/integration/main.rs
     :374-488)."""
     import datetime as _dt
+    import decimal as _decimal
 
     import pyarrow.compute as pc
 
     meta = read_metadata(path)
-    lo = hi = (value if isinstance(value, (int, float, str, _dt.date))
-               else None)
+    lo = hi = (value if isinstance(
+        value, (int, float, str, _dt.date, _decimal.Decimal)) else None)
     keep = prune_stripes(meta, column, lo, hi)
     parts, decoded, total = [], 0, 0
     with open(path, "rb") as fh:

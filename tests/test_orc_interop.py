@@ -988,3 +988,34 @@ def test_multi_column_predicate_intersection(tmp_path):
     _, k_ts, _ = decode_stripe_pruned(body, fr, meta, st.number_of_rows,
                                       predicates=[dict(column="ts", hi=hi_ts)])
     assert kept < k_id and kept < k_ts
+
+
+def test_decimal_stats_pruning(tmp_path):
+    """Decimal probes prune via decimalStatistics (decimal strings) on
+    liborc-written AND our-writer files; int probes compare exactly
+    against Decimal stats; float probes never prune (inexact)."""
+    from orc_rust_spark.sources.orc_file import orc_point_lookup, write_orc
+
+    n = 60000
+    tbl = pa.table({
+        "id": pa.array(np.arange(n)),
+        "price": pa.array([decimal.Decimal(i) / 100 for i in range(n)],
+                          type=pa.decimal128(12, 2)),  # sorted 0.00..599.99
+    })
+    ours = str(tmp_path / "dec_ours.orc")
+    write_orc(tbl, ours, compression="zlib")
+    libs = str(tmp_path / "dec_lib.orc")
+    paorc.write_table(tbl, libs, compression="ZLIB")
+
+    probe = decimal.Decimal("345.67")
+    for path in (ours, libs):
+        out, decoded, total = orc_point_lookup(path, "price", probe)
+        assert out.num_rows == 1, path
+        assert out.column("id")[0].as_py() == 34567
+        assert decoded < total, (path, decoded, total)
+        # int probe on the decimal column: exact Decimal-vs-int compare
+        out2, d2, t2 = orc_point_lookup(path, "price", 10**9)
+        assert out2.num_rows == 0 and d2 == 0, (path, d2)
+        # float probe must keep everything (no inexact pruning)
+        out3, d3, t3 = orc_point_lookup(path, "price", 345.67)
+        assert d3 == t3
