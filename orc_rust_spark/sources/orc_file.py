@@ -1693,7 +1693,8 @@ def prune_stripes(meta: OrcMeta, column: str, lo=None, hi=None,
     return keep
 
 
-def orc_scan(spark, path: str, schema, predicate=None) -> "pyspark.sql.DataFrame":  # noqa: F821
+def orc_scan(spark, path: str, schema, predicate=None,
+             columns: list[str] | None = None) -> "pyspark.sql.DataFrame":  # noqa: F821
     """Distributed ORC scan: one task per stripe (the reference's byte-range
     split model, src/arrow_reader.rs:358-372) — each task seeks to its
     stripe, fetches only that byte range, and decodes with this engine's
@@ -1712,6 +1713,10 @@ def orc_scan(spark, path: str, schema, predicate=None) -> "pyspark.sql.DataFrame
     bloom filter, when lo == hi) may match are seek-decoded
     (src/row_group_filter.rs:54-205,370-408). The residual filter still
     must be applied by the caller.
+
+    ``columns`` projects to the named root columns — ``schema`` must then
+    declare exactly those columns in file order; unprojected streams are
+    never decoded (ProjectionMask analog).
     """
     metas = {p: read_metadata(p) for p in expand_paths(path)}  # driver, once
     stripes = []
@@ -1747,9 +1752,10 @@ def orc_scan(spark, path: str, schema, predicate=None) -> "pyspark.sql.DataFrame
                     tbl, _, _ = decode_stripe_pruned(
                         body, footer_raw, m, row["rows"], col,
                         eq=eq, lo=None if eq is not None else lo,
-                        hi=None if eq is not None else hi)
+                        hi=None if eq is not None else hi, columns=columns)
                 else:
-                    tbl = decode_stripe(body, footer_raw, m, row["rows"])
+                    tbl = decode_stripe(body, footer_raw, m, row["rows"],
+                                        columns=columns)
                 for rb in tbl.to_batches():
                     yield rb
 

@@ -1019,3 +1019,24 @@ def test_decimal_stats_pruning(tmp_path):
         # float probe must keep everything (no inexact pruning)
         out3, d3, t3 = orc_point_lookup(path, "price", 345.67)
         assert d3 == t3
+
+
+def test_orc_scan_projection(spark, tmp_path):
+    """orc_scan(columns=...) decodes only the projected root columns —
+    with and without a predicate."""
+    tbl, path = _rg_file(tmp_path, bloom=False)
+    from pyspark.sql import functions as F
+
+    from orc_rust_spark.sources.orc_file import orc_scan
+
+    df = orc_scan(spark, path, schema="id long, name string",
+                  columns=["id", "name"])
+    assert df.columns == ["id", "name"]
+    assert df.count() == 100000
+    got = df.where(F.col("id") == 77).collect()[0]
+    assert got.name == tbl.column("name")[77].as_py()
+
+    df2 = orc_scan(spark, path, schema="id long, name string",
+                   columns=["id", "name"], predicate=("id", 54321, 54321))
+    row = df2.where("id = 54321").collect()
+    assert len(row) == 1 and row[0].name == tbl.column("name")[54321].as_py()
