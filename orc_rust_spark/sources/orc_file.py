@@ -145,8 +145,15 @@ def _parse_column_stats(raw: bytes):
     (three-valued: mismatches keep)."""
     import datetime as _dt
 
+    n_values = true_count = None
     for fno, _, v in _fields(raw):
-        if fno == 2:  # intStatistics (sint64 = zigzag varints)
+        if fno == 1:
+            n_values = int(v)
+        elif fno == 5:  # bucketStatistics (repeated uint64 count)
+            for f2, _, v2 in _fields(v):
+                if f2 == 1:
+                    true_count = _packed_u32(v2)[0]
+        elif fno == 2:  # intStatistics (sint64 = zigzag varints)
             d = {}
             for f2, _, v2 in _fields(v):
                 d[f2] = (v2 >> 1) ^ -(v2 & 1)
@@ -198,6 +205,10 @@ def _parse_column_stats(raw: bytes):
                 epoch = _dt.datetime(1970, 1, 1)
                 return (epoch + _dt.timedelta(milliseconds=d[3]),
                         epoch + _dt.timedelta(milliseconds=d[4]))
+    if true_count is not None and n_values is not None:
+        # boolean bucketStatistics as a (min, max) bool range: all-false
+        # groups exclude `= true` probes and vice versa
+        return (true_count >= n_values, true_count > 0)
     return None
 
 
@@ -852,6 +863,8 @@ def _stats_comparable(mn, bound) -> bool:
     import datetime as _dt
     import decimal as _decimal
 
+    if isinstance(mn, bool):  # before int: bool is an int subclass
+        return isinstance(bound, bool)
     if isinstance(mn, str):
         return isinstance(bound, str)
     if isinstance(mn, _dt.datetime):

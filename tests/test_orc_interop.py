@@ -1040,3 +1040,23 @@ def test_orc_scan_projection(spark, tmp_path):
                    columns=["id", "name"], predicate=("id", 54321, 54321))
     row = df2.where("id = 54321").collect()
     assert len(row) == 1 and row[0].name == tbl.column("name")[54321].as_py()
+
+
+def test_boolean_bucket_stats_pruning(tmp_path):
+    """Boolean probes prune via bucketStatistics (trueCount as a bool
+    min/max range): all-false groups skip `= true` and vice versa."""
+    from orc_rust_spark.sources.orc_file import orc_point_lookup
+
+    n = 60000
+    tbl = pa.table({
+        "id": pa.array(np.arange(n)),
+        "flag": pa.array([i >= 50000 for i in range(n)]),  # last group true
+    })
+    path = str(tmp_path / "bool.orc")
+    paorc.write_table(tbl, path, compression="ZLIB")
+    out, decoded, total = orc_point_lookup(path, "flag", True)
+    assert decoded == 1 and total == 6, (decoded, total)
+    assert out.num_rows == 10000
+    assert min(out.column("id").to_pylist()) == 50000
+    out2, d2, t2 = orc_point_lookup(path, "flag", False)
+    assert d2 == 5 and out2.num_rows == 50000
