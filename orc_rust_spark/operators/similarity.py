@@ -242,6 +242,78 @@ def hyperplane_buckets(
     return vectors.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
+def _bucketed_matmul_topk(
+    q: DataFrame, c: DataFrame, vectors: DataFrame, key: str, k: int,
+    id_col: str, vec_col: str, pad: int = 10,
+) -> DataFrame:
+    """Shared physical strategy of the bucketed ANN family (LSH buckets,
+    IVF posting lists): candidates come from a PER-BUCKET NumPy matmul
+    (cogroup on the bucket key — each task sees one bucket, never the
+    corpus), keeping the top-(k+pad) neighbors per query per bucket; only
+    those candidates are re-scored with the JVM fold expression, so the
+    reported cosine is bit-identical to a per-pair SQL evaluation while
+    the O(bucket^2) expression work collapses to one BLAS call per bucket
+    (the pad absorbs BLAS last-ulp rank flips at the k+pad boundary —
+    the cosine_topk argument; a true global top-k member ranks <= k
+    within its own bucket, so per-bucket top-(k+pad) loses nothing).
+
+    ``q`` may hold multiple rows per query id (IVF multi-probe): each
+    (query, bucket) pair contributes its bucket-local top-(k+pad), and
+    the final window ranks the union. q: (qid, qv, <key>);
+    c: (nid, nv, <key>); vectors: the base relation for re-scoring.
+    """
+    import pandas as pd
+
+    kk = k + pad
+
+    def gen(left: "pd.DataFrame", right: "pd.DataFrame"):
+        import numpy as np
+
+        if not len(left) or not len(right):
+            return pd.DataFrame({"qid": pd.Series([], dtype="int64"),
+                                 "nid": pd.Series([], dtype="int64")})
+        qm = np.stack(left["qv"].to_numpy()).astype(np.float64)
+        qn = np.linalg.norm(qm, axis=1)
+        qn[qn == 0] = 1.0
+        cm = np.stack(right["nv"].to_numpy()).astype(np.float64)
+        cn = np.linalg.norm(cm, axis=1)
+        cn[cn == 0] = 1.0
+        sims = (qm / qn[:, None]) @ (cm / cn[:, None]).T
+        qids = left["qid"].to_numpy().astype(np.int64)
+        nids = right["nid"].to_numpy().astype(np.int64)
+        sims[qids[:, None] == nids[None, :]] = -np.inf  # exclude self
+        top = min(kk, sims.shape[1])
+        idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+        qcol = np.repeat(qids, top)
+        ncol = nids[idx].ravel()
+        # drop -inf slots (self pairs surviving into tiny buckets' top)
+        keepm = np.isfinite(np.take_along_axis(sims, idx, axis=1).ravel())
+        return pd.DataFrame({"qid": qcol[keepm], "nid": ncol[keepm]})
+
+    cand = (
+        q.groupBy(key).cogroup(c.groupBy(key))
+        .applyInPandas(gen, schema="qid long, nid long")
+    )
+    qv_rel = vectors.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv2"),
+                            _norm(F.col(vec_col)).alias("qn2"))
+    cv_rel = vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv2"),
+                            _norm(F.col(vec_col)).alias("nn2"))
+    # broadcast ONLY the candidate set; the corpus relations stream/shuffle
+    pairs = qv_rel.join(F.broadcast(cand), "qid").join(
+        cv_rel.hint("shuffle_hash"), "nid")
+    scored = pairs.withColumn(
+        "cosine",
+        F.round(_dot(F.col("qv2"), F.col("nv2")) / (F.col("qn2") * F.col("nn2")), 6),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("qid").alias(id_col), "rank",
+                F.col("nid").alias("neighbor_id"), "cosine")
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     dim: int,
@@ -253,30 +325,15 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the same LSH bucket.
 
-    The join is shuffle-on-bucket (co-located), so at 10^12 scale each
-    task only sees one bucket's vectors instead of the full corpus.
+    Bucket-local cogroup + matmul (each task sees one bucket's vectors,
+    never the full corpus) with JVM-fold re-score of the top-(k+pad)
+    candidates only — see _bucketed_matmul_topk.
     """
     b = hyperplane_buckets(vectors, dim, n_planes, id_col=id_col, vec_col=vec_col,
-                           planes=planes).persist()  # both join sides share it
-    # norms are computed ONCE per row before the join — the naive per-pair
-    # cosine folds both norms for every candidate pair (3 array folds per
-    # pair instead of 1); sqrt of the same values is the same double, so
-    # the rounded cosine stays bit-identical to the SQL oracle
-    q = b.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
-                 _norm(F.col(vec_col)).alias("qn"), "bucket")
-    c = b.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
-                 _norm(F.col(vec_col)).alias("nn"), "bucket")
-    pairs = q.join(c, ["bucket"]).where(F.col("qid") != F.col("nid"))
-    scored = pairs.withColumn(
-        "cosine",
-        F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6),
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(F.col("qid").alias(id_col), "rank", F.col("nid").alias("neighbor_id"), "cosine")
-    )
+                           planes=planes).persist()  # both cogroup sides share it
+    q = b.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "bucket")
+    c = b.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "bucket")
+    return _bucketed_matmul_topk(q, c, vectors, "bucket", k, id_col, vec_col)
 
 
 def ivf_sample_from_parquet(
@@ -385,25 +442,12 @@ def ivf_topk(
     if nprobe > 1:
         q = ivf_query_clusters(vectors, centroids, nprobe, id_col, vec_col) \
             .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
-                    _norm(F.col(vec_col)).alias("qn"), "cluster")
+                    "cluster")
     else:
         q = a.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
-                     _norm(F.col(vec_col)).alias("qn"), "cluster")
-    c = a.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
-                 _norm(F.col(vec_col)).alias("nn"), "cluster")
-    # per-row norms computed before the join (1 fold per pair, not 3);
-    # identical doubles -> identical rounded cosines vs the SQL oracle
-    pairs = q.join(c, ["cluster"]).where(F.col("qid") != F.col("nid"))
-    scored = pairs.withColumn(
-        "cosine",
-        F.round(_dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")), 6),
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(F.col("qid").alias(id_col), "rank", F.col("nid").alias("neighbor_id"), "cosine")
-    )
+                     "cluster")
+    c = a.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "cluster")
+    return _bucketed_matmul_topk(q, c, vectors, "cluster", k, id_col, vec_col)
 
 
 def embedding_neardup_pairs(
