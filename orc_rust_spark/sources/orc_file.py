@@ -671,6 +671,8 @@ def _position_layout(t: OrcType, enc_kind: int, has_present: bool) -> list[tuple
         pass  # PRESENT only; children seek through their own entries
     elif k in (K_LIST, K_MAP):
         out.append((S_LENGTH, _RLE_EXTRA))
+    elif k == K_UNION:
+        out.append((S_DATA, _RLE_EXTRA))  # byte-RLE variant tags
     else:
         return None
     return out
@@ -734,6 +736,26 @@ def _decode_column_group(
             for cid, fname in zip(t.subtypes, t.field_names)
         ]
         dense = pa.StructArray.from_arrays(children, t.field_names)
+        return _respace(dense, not_null)
+    if k == K_UNION:
+        # per-group seek of the tag stream; each child's group value count
+        # is that group's tag count for its variant (children store values
+        # densely per tag — same tagged-struct expansion as the full path)
+        sk = exs[S_DATA][0]
+        tags = decode_byte_rle(bufs[S_DATA], sk + n_dense, exact=False)[sk:]
+        fields = [pa.array(tags.view(np.int8), type=pa.int8())]
+        names = ["tag"]
+        for i, cid in enumerate(t.subtypes):
+            sel = tags == i
+            n_child = int(sel.sum())
+            child = _decode_column_group(cid, types[cid], streams, encodings,
+                                         comp, tz, entries_by_col, g, n_child,
+                                         dict_cache, f"{name}.{i}", types)
+            idx = np.zeros(n_dense, dtype=np.int64)
+            idx[sel] = np.arange(n_child)
+            fields.append(child.take(pa.array(idx, type=pa.int64(), mask=~sel)))
+            names.append(f"f{i}")
+        dense = pa.StructArray.from_arrays(fields, names)
         return _respace(dense, not_null)
     if k in (K_LIST, K_MAP):
         sk = exs[S_LENGTH][0]
