@@ -29,6 +29,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -275,6 +276,72 @@ class OrcRustReader(DataSourceReader):
         yield from pa.Table.from_arrays(cols, tbl.column_names).to_batches()
 
 
+class OrcRustStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("orcx").load(dir)``: a micro-batch
+    stream over ORC files LANDING in a directory (the
+    continuously-crawled-corpus ingest shape). Offsets are the sorted
+    set of files seen — each micro-batch's partitions are the stripes of
+    files new since the previous offset, decoded executor-side through
+    this engine's codecs exactly like the batch reader. Checkpointed
+    offsets make restarts exactly-once per file. (A production variant
+    would age the seen-list by mtime watermark; the file set here is
+    bounded by the test/bench corpus.)"""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("orcx stream requires a directory path")
+
+    def _files(self) -> list[str]:
+        import glob as _glob
+        import os
+
+        if os.path.isdir(self.path):
+            return sorted(_glob.glob(os.path.join(self.path, "*.orc")))
+        return sorted(_glob.glob(self.path))
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def latestOffset(self) -> dict:
+        return {"seen": self._files()}
+
+    def partitions(self, start: dict, end: dict):
+        seen = set(start.get("seen", []))
+        new = [f for f in end.get("seen", []) if f not in seen]
+        parts = []
+        for p in new:
+            meta = of.read_metadata(p)  # driver-side, once per new file
+            parts.extend(
+                _StripePartition(p, s.offset, s.index_length, s.data_length,
+                                 s.footer_length, s.number_of_rows)
+                for s in meta.stripes
+            )
+        return parts
+
+    def read(self, part: _StripePartition):
+        import pyarrow as pa
+
+        meta = of.read_metadata(part.path)
+        with open(part.path, "rb") as fh:
+            fh.seek(part.offset)
+            body = fh.read(part.index_length + part.data_length)
+            footer_raw = fh.read(part.footer_length)
+        tbl = of.decode_stripe(body, footer_raw, meta, part.rows)
+        cols = []
+        for c in tbl.columns:
+            c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            if pa.types.is_large_string(c.type):
+                c = c.cast(pa.string())
+            elif pa.types.is_large_binary(c.type):
+                c = c.cast(pa.binary())
+            cols.append(c)
+        yield from pa.Table.from_arrays(cols, tbl.column_names).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets fully describe progress; nothing to clean up
+
+
 @dataclass
 class _OrcCommit(WriterCommitMessage):
     tmp_path: str | None
@@ -376,3 +443,6 @@ class OrcRustDataSource(DataSource):
         w = OrcRustWriter(dict(self.options), schema, overwrite)
         w._prepare()  # driver-side: mkdir + clear on overwrite
         return w
+
+    def streamReader(self, schema) -> OrcRustStreamReader:
+        return OrcRustStreamReader(dict(self.options))

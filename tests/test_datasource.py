@@ -202,3 +202,47 @@ def test_orcx_write_roundtrip(orcx, tmp_path):
     orcx.range(10).selectExpr("id", "id AS v", "'x' AS name") \
         .coalesce(1).write.format("orcx").mode("overwrite").save(d)
     assert orcx.read.format("orcx").load(d).count() == 10
+
+
+def test_orcx_stream_reader(orcx, tmp_path):
+    """spark.readStream.format('orcx'): micro-batches over ORC files
+    landing in a directory; checkpointed offsets give exactly-once per
+    file across restarts."""
+    import os
+
+    import pyarrow as pa
+
+    from orc_rust_spark.sources.orc_file import write_orc
+
+    d = str(tmp_path / "landing")
+    os.makedirs(d)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(i):
+        n = 1000
+        tbl = pa.table({"id": pa.array(np.arange(i * n, (i + 1) * n)),
+                        "v": pa.array([float(x) for x in range(n)])})
+        write_orc(tbl, os.path.join(d, f"f{i}.orc"), compression="zlib")
+
+    land(0)
+    land(1)
+
+    def drain():
+        q = (orcx.readStream.format("orcx").schema("id long, v double")
+             .load(d)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    got = orcx.read.parquet(out)
+    assert got.count() == 2000
+    assert got.agg(F.sum("id")).collect()[0][0] == sum(range(2000))
+
+    land(2)  # a new file arrives; restart from the checkpoint
+    drain()
+    got2 = orcx.read.parquet(out)
+    assert got2.count() == 3000  # only the NEW file was appended
+    assert got2.agg(F.sum("id")).collect()[0][0] == sum(range(3000))
