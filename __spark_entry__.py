@@ -475,6 +475,44 @@ def q_orc_ts_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_orcx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ORC ingest (readStream.format("orcx")): ORC files
+    landing in a directory stream through this engine's decoder
+    micro-batch by micro-batch (offsets = seen-file set, checkpointed),
+    drained with availableNow and aggregated — the continuously-crawled
+    corpus arriving AS ORC, not parquet."""
+    import os
+    import uuid
+
+    from orc_rust_spark.sources.datasource import OrcRustDataSource
+
+    spark.dataSource.register(OrcRustDataSource)
+    orc_path = _lineitem_bloom_orc(sf_dir)
+    base = f"/tmp/orc_rust_spark_stream/{uuid.uuid4().hex}"
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    os.symlink(orc_path, os.path.join(in_dir, "lineitem.orc"))
+    q = (
+        spark.readStream.format("orcx")
+        .schema("l_orderkey long, l_partkey long, l_quantity double, "
+                "l_returnflag string, l_shipdate timestamp_ntz")
+        .load(in_dir)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(base, "out"))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    df = spark.read.parquet(os.path.join(base, "out"))
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+        F.min("l_orderkey").alias("min_ok"),
+        F.max("l_orderkey").alias("max_ok"),
+    )
+
+
 def q_roundtrip_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-RLE roundtrip (E11, reference src/encoding/byte.rs): int8
     columns derived from lineitem encode through the byte-RLE state
@@ -870,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analysis": q_text_analysis,
         "multimodal_extract": q_multimodal_extract,
         "streaming_encode": q_streaming_encode,
+        "streaming_orcx_ingest": q_streaming_orcx_ingest,
         "streaming_stateful_dedup": q_streaming_stateful_dedup,
         "dedup_exact": q_dedup_exact,
         "word_jaccard_pairs": q_word_jaccard_pairs,
@@ -1271,6 +1310,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_encode":
             "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "streaming_orcx_ingest":
+            "SELECT l_returnflag, "
+            "CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, "
+            "min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok "
+            "FROM lineitem GROUP BY l_returnflag",
         "multimodal_extract":
             "SELECT doc_id AS media_id, "
             "CAST((doc_id*7919)%4080+16 AS INT) AS width, "
