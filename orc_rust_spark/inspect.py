@@ -103,10 +103,15 @@ def main_orc(argv: list[str]) -> int:
                 value_raw = argv[4] if len(argv) > 4 else ""
                 value = (int(value_raw) if value_raw.lstrip("-").isdigit()
                          else value_raw)
-                raw = by_col.get((cid, of.S_BLOOM_FILTER_UTF8)) or by_col.get(
-                    (cid, of.S_BLOOM_FILTER))
+                raw = by_col.get((cid, of.S_BLOOM_FILTER_UTF8))
+                if raw is None and isinstance(value, int):
+                    # the reader's charset-safety rule: legacy (pre-ORC-101)
+                    # blooms are trusted for integer probes only
+                    raw = by_col.get((cid, of.S_BLOOM_FILTER))
                 if raw is None:
-                    print(f"stripe {si}: no bloom filter for {col_name}")
+                    print(f"stripe {si}: no usable bloom filter for "
+                          f"{col_name} (legacy blooms serve integer probes "
+                          "only)")
                     continue
                 blooms = of._parse_bloom_index(
                     blockc.decompress_stream(raw, meta.compression))

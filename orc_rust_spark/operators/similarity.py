@@ -278,12 +278,20 @@ def _bucketed_matmul_topk(
         cm = np.stack(right["nv"].to_numpy()).astype(np.float64)
         cn = np.linalg.norm(cm, axis=1)
         cn[cn == 0] = 1.0
-        sims = (qm / qn[:, None]) @ (cm / cn[:, None]).T
         qids = left["qid"].to_numpy().astype(np.int64)
         nids = right["nid"].to_numpy().astype(np.int64)
+        # corpus columns ordered by nid ASC + STABLE sort on -sim: exact
+        # raw-sim ties (duplicate vectors) resolve to the lowest nids —
+        # the same (cosine desc, nid asc) rule as the final window/oracle,
+        # so the boundary cut is deterministic even with > pad duplicates
+        order = np.argsort(nids, kind="stable")
+        nids = nids[order]
+        cm = cm[order]
+        cn = cn[order]
+        sims = (qm / qn[:, None]) @ (cm / cn[:, None]).T
         sims[qids[:, None] == nids[None, :]] = -np.inf  # exclude self
         top = min(kk, sims.shape[1])
-        idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :top]
         qcol = np.repeat(qids, top)
         ncol = nids[idx].ravel()
         # drop -inf slots (self pairs surviving into tiny buckets' top)

@@ -105,6 +105,22 @@ class _StripePartition(InputPartition):
     data_length: int
     footer_length: int
     rows: int
+    meta: object = None  # driver-parsed OrcMeta (streaming partitions)
+
+
+def _normalize_table(tbl) -> "pa.Table":  # noqa: F821
+    """large_* arrow types -> the plain widths Spark expects."""
+    import pyarrow as pa
+
+    cols = []
+    for c in tbl.columns:
+        c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        if pa.types.is_large_string(c.type):
+            c = c.cast(pa.string())
+        elif pa.types.is_large_binary(c.type):
+            c = c.cast(pa.binary())
+        cols.append(c)
+    return pa.Table.from_arrays(cols, tbl.column_names)
 
 
 class OrcRustReader(DataSourceReader):
@@ -264,16 +280,7 @@ class OrcRustReader(DataSourceReader):
         if self.columns is not None:
             # user-declared scan schema: reorder to match exactly
             tbl = tbl.select(list(self.columns))
-        # normalize large_* arrow types to the plain widths Spark expects
-        cols = []
-        for c in tbl.columns:
-            c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-            if pa.types.is_large_string(c.type):
-                c = c.cast(pa.string())
-            elif pa.types.is_large_binary(c.type):
-                c = c.cast(pa.binary())
-            cols.append(c)
-        yield from pa.Table.from_arrays(cols, tbl.column_names).to_batches()
+        yield from _normalize_table(tbl).to_batches()
 
 
 class OrcRustStreamReader(DataSourceStreamReader):
@@ -287,10 +294,15 @@ class OrcRustStreamReader(DataSourceStreamReader):
     would age the seen-list by mtime watermark; the file set here is
     bounded by the test/bench corpus.)"""
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, columns: list[str] | None = None):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("orcx stream requires a directory path")
+        # the user-declared stream schema: read() must return exactly
+        # these columns in this order (Spark binds batches positionally —
+        # serving file order against a reordered schema would silently
+        # swap column values)
+        self.columns = columns
 
     def _files(self) -> list[str]:
         import glob as _glob
@@ -312,31 +324,31 @@ class OrcRustStreamReader(DataSourceStreamReader):
         parts = []
         for p in new:
             meta = of.read_metadata(p)  # driver-side, once per new file
+            if self.columns is not None:
+                have = set(meta.types[0].field_names)
+                missing = [c for c in self.columns if c not in have]
+                if missing:
+                    raise ValueError(
+                        f"orcx stream: column(s) {missing} in the declared "
+                        f"schema do not exist in {p!r}")
             parts.extend(
                 _StripePartition(p, s.offset, s.index_length, s.data_length,
-                                 s.footer_length, s.number_of_rows)
+                                 s.footer_length, s.number_of_rows, meta)
                 for s in meta.stripes
             )
         return parts
 
     def read(self, part: _StripePartition):
-        import pyarrow as pa
-
-        meta = of.read_metadata(part.path)
+        meta = part.meta  # parsed once on the driver, shipped in the split
         with open(part.path, "rb") as fh:
             fh.seek(part.offset)
             body = fh.read(part.index_length + part.data_length)
             footer_raw = fh.read(part.footer_length)
-        tbl = of.decode_stripe(body, footer_raw, meta, part.rows)
-        cols = []
-        for c in tbl.columns:
-            c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-            if pa.types.is_large_string(c.type):
-                c = c.cast(pa.string())
-            elif pa.types.is_large_binary(c.type):
-                c = c.cast(pa.binary())
-            cols.append(c)
-        yield from pa.Table.from_arrays(cols, tbl.column_names).to_batches()
+        tbl = of.decode_stripe(body, footer_raw, meta, part.rows,
+                               columns=self.columns)
+        if self.columns is not None:
+            tbl = tbl.select(list(self.columns))  # declared order exactly
+        yield from _normalize_table(tbl).to_batches()
 
     def commit(self, end: dict) -> None:
         pass  # offsets fully describe progress; nothing to clean up
@@ -375,13 +387,12 @@ class OrcRustWriter(DataSourceArrowWriter):
         self.overwrite = overwrite
 
     def _prepare(self):
-        import glob as _glob
         import os
 
+        # NOTE: overwrite deletion is deferred to commit() — deleting at
+        # planning time would destroy the prior data even if the job
+        # later fails (abort() could then only remove .inprogress files)
         os.makedirs(self.path, exist_ok=True)
-        if self.overwrite:
-            for p in _glob.glob(os.path.join(self.path, "*.orc")):
-                os.remove(p)
 
     def write(self, iterator):
         import os
@@ -405,8 +416,16 @@ class OrcRustWriter(DataSourceArrowWriter):
                           tbl.num_rows, os.path.getsize(tmp))
 
     def commit(self, messages):
+        import glob as _glob
         import os
 
+        finals = {m.final_path for m in messages if m and m.tmp_path}
+        if self.overwrite:
+            # every task succeeded: now (and only now) drop the previous
+            # generation's files, then surface the new ones
+            for p in _glob.glob(os.path.join(self.path, "*.orc")):
+                if p not in finals:
+                    os.remove(p)
         for m in messages:
             if m and m.tmp_path:
                 os.rename(m.tmp_path, m.final_path)
@@ -445,4 +464,5 @@ class OrcRustDataSource(DataSource):
         return w
 
     def streamReader(self, schema) -> OrcRustStreamReader:
-        return OrcRustStreamReader(dict(self.options))
+        names = list(schema.fieldNames()) if hasattr(schema, "fieldNames") else None
+        return OrcRustStreamReader(dict(self.options), columns=names)

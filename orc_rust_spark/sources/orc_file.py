@@ -152,7 +152,9 @@ def _parse_column_stats(raw: bytes):
         elif fno == 5:  # bucketStatistics (repeated uint64 count)
             for f2, _, v2 in _fields(v):
                 if f2 == 1:
-                    true_count = _packed_u32(v2)[0]
+                    counts = _packed_u32(v2)
+                    if counts:  # empty payload: unusable stat, keep
+                        true_count = counts[0]
         elif fno == 2:  # intStatistics (sint64 = zigzag varints)
             d = {}
             for f2, _, v2 in _fields(v):
@@ -399,7 +401,7 @@ from ..codecs.util import int32_offsets as _int32_offsets  # shared helper
 def _decode_column(col_id: int, t: OrcType, streams: dict, encodings, n: int,
                    comp: str, name: str, tz: str = "UTC",
                    types: list[OrcType] | None = None) -> pa.Array:
-    DECODED_COLUMNS.append(name)
+    _trace_decode(name)
 
     def get(kind):
         raw = streams.get((col_id, kind))
@@ -633,9 +635,16 @@ def _parse_bloom_index(raw: bytes) -> list:
 _RLE_EXTRA, _BOOL_EXTRA, _RAW_EXTRA = 1, 2, 0
 
 #: column names whose values were seek- or full-decoded since the last
-#: clear() — instrumentation for projection tests (in-process calls only;
-#: Spark workers mutate their own copy)
+#: clear() — OPT-IN instrumentation for projection tests (in-process
+#: calls only; long-lived reused Spark workers must not accumulate, so
+#: recording is gated on TRACE_DECODED_COLUMNS)
+TRACE_DECODED_COLUMNS = False
 DECODED_COLUMNS: list[str] = []
+
+
+def _trace_decode(name: str) -> None:
+    if TRACE_DECODED_COLUMNS:
+        DECODED_COLUMNS.append(name)
 
 
 def _position_layout(t: OrcType, enc_kind: int, has_present: bool) -> list[tuple[int, int]] | None:
@@ -699,7 +708,7 @@ def _decode_column_group(
     decompressed. Nested columns recurse: the parent derives each child's
     group value count (PRESENT for struct, LENGTH sums for list/map) and
     the child seeks via its OWN row-index entry for the same group."""
-    DECODED_COLUMNS.append(name)
+    _trace_decode(name)
     enc_kind, dict_size = encodings[col_id]
     rle = _int_decoder(enc_kind)
     has_present = (col_id, S_PRESENT) in streams
@@ -890,7 +899,10 @@ def _stats_comparable(mn, bound) -> bool:
     if isinstance(mn, str):
         return isinstance(bound, str)
     if isinstance(mn, _dt.datetime):
-        return isinstance(bound, _dt.datetime)
+        # naive-vs-aware comparison raises TypeError; our stats are naive,
+        # so an aware probe is simply not comparable (keep)
+        return (isinstance(bound, _dt.datetime)
+                and (mn.tzinfo is None) == (bound.tzinfo is None))
     if isinstance(mn, _dt.date):
         return isinstance(bound, _dt.date) and not isinstance(bound, _dt.datetime)
     if isinstance(mn, _decimal.Decimal):
@@ -1283,8 +1295,7 @@ def _agg_stats(kind: int, group_stats: list[tuple]) -> tuple:
     mxs = [g[3] for g in group_stats if g[3] is not None]
     if mns and len(mns) == len(group_stats):
         return n_values, has_null, min(mns), max(mxs)
-    if mns:  # some group had no typed stats (e.g. all-null or NaN): omit
-        return n_values, has_null, None, None
+    # some group lacked typed stats (all-null or NaN): omit the bounds
     return n_values, has_null, None, None
 
 
@@ -1482,6 +1493,13 @@ def write_orc(table: pa.Table, path: str, compression: str = "zlib",
     """
     from ..operators.encode import encode_chunk
 
+    if row_index_stride and row_index_stride % 8 != 0:
+        # boolean/PRESENT sub-streams pad each group to a byte boundary
+        # (np.packbits); a non-multiple-of-8 stride would misalign every
+        # row after group 0 for any CONTINUOUS reader (liborc, our full
+        # decode) — corrupt output, so reject rather than emit
+        raise ValueError(
+            f"row_index_stride must be a multiple of 8, got {row_index_stride}")
     comp_enum = {"none": 0, "zlib": 1, "snappy": 2, "lz4": 4, "zstd": 5}[compression]
     bloom_cols = set(bloom_columns or [])
 
@@ -1527,7 +1545,6 @@ def write_orc(table: pa.Table, path: str, compression: str = "zlib",
     stripe_infos = []
     stripe_stats_protos: list[bytes] = []  # Metadata section, one per stripe
     file_stats: list[tuple | None] = [None] * len(names)  # per column
-    total_nonnull_rows = 0
     plan = {n: {"block_codec": "none", "rle_version": rle_version} for n in names}
     for start in range(0, max(table.num_rows, 1), stripe_rows):
         sl = table.slice(start, stripe_rows)
@@ -1619,7 +1636,6 @@ def write_orc(table: pa.Table, path: str, compression: str = "zlib",
                 else:  # rle_v2-based codecs
                     enc = _pb_field(1, 0, E_DIRECT_V2)
                 enc_protos.append(enc)
-        total_nonnull_rows += sl.num_rows
         sf = b"".join(_pb_field(1, 2, s) for s in stream_protos)
         sf += b"".join(_pb_field(2, 2, e) for e in enc_protos)
         sf += _pb_field(3, 2, writer_timezone.encode())  # writerTimezone
@@ -1829,7 +1845,8 @@ def orc_point_lookup(path: str, column: str, value) -> tuple[pa.Table, int, int]
             if tbl.num_rows:
                 try:
                     parts.append(tbl.filter(pc.equal(tbl.column(column), value)))
-                except pa.ArrowNotImplementedError:
+                except (pa.ArrowNotImplementedError, pa.ArrowInvalid,
+                        pa.ArrowTypeError):
                     pass  # probe type incomparable to the column: no match
     if parts:
         return pa.concat_tables(parts), decoded, total

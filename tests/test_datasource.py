@@ -246,3 +246,52 @@ def test_orcx_stream_reader(orcx, tmp_path):
     got2 = orcx.read.parquet(out)
     assert got2.count() == 3000  # only the NEW file was appended
     assert got2.agg(F.sum("id")).collect()[0][0] == sum(range(3000))
+
+
+def test_orcx_overwrite_survives_failed_job(orcx, tmp_path):
+    """Overwrite must not destroy the previous generation before commit:
+    a job that fails mid-write leaves the old files intact."""
+    import glob
+    import os
+
+    d = str(tmp_path / "atomic")
+    orcx.range(100).selectExpr("id").coalesce(1) \
+        .write.format("orcx").mode("overwrite").save(d)
+    old = sorted(glob.glob(os.path.join(d, "*.orc")))
+    assert len(old) == 1
+
+    def boom(batch_id):
+        raise RuntimeError("task dies")
+
+    failing = orcx.range(100).selectExpr(
+        "CAST(raise_error('induced failure') AS BIGINT) AS id")
+    with pytest.raises(Exception):
+        failing.coalesce(1).write.format("orcx").mode("overwrite").save(d)
+    # prior generation intact, no stragglers
+    assert sorted(glob.glob(os.path.join(d, "*.orc"))) == old
+    assert orcx.read.format("orcx").load(d).count() == 100
+
+
+def test_orcx_stream_schema_reorder(orcx, tmp_path):
+    """The declared stream schema is honored positionally: a reordered
+    subset schema must serve the RIGHT values per column."""
+    import os
+
+    import pyarrow as pa
+
+    from orc_rust_spark.sources.orc_file import write_orc
+
+    d = str(tmp_path / "landing2")
+    os.makedirs(d)
+    tbl = pa.table({"id": pa.array(np.arange(100)),
+                    "v": pa.array([float(x) * 2 for x in range(100)])})
+    write_orc(tbl, os.path.join(d, "f.orc"), compression="zlib")
+    out = str(tmp_path / "sink2")
+    q = (orcx.readStream.format("orcx").schema("v double, id long").load(d)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = orcx.read.parquet(out)
+    row = got.where("id = 7").collect()[0]
+    assert row.v == 14.0 and row.id == 7

@@ -517,24 +517,29 @@ def test_pruned_decode_respects_projection(tmp_path):
         fh.seek(st.offset)
         body = fh.read(st.index_length + st.data_length)
         fr = fh.read(st.footer_length)
-    of.DECODED_COLUMNS.clear()
-    out, kept, total = of.decode_stripe_pruned(
-        body, fr, meta, st.number_of_rows, "id", eq=54321,
-        columns=["id", "name"])
-    assert 0 < kept < total
-    assert out.column_names == ["id", "name"]
-    decoded = set(of.DECODED_COLUMNS)
-    assert decoded == {"id", "name"}, decoded  # val/ts/dec/rid never decoded
-    ids = out.column("id").to_pylist()
-    assert 54321 in ids
-    i = ids.index(54321)
-    assert out.column("name")[i].as_py() == tbl.column("name")[54321].as_py()
-    # projecting AWAY the predicate column still prunes via its index
-    of.DECODED_COLUMNS.clear()
-    out2, kept2, _ = of.decode_stripe_pruned(
-        body, fr, meta, st.number_of_rows, "id", eq=54321, columns=["name"])
-    assert kept2 == kept and out2.column_names == ["name"]
-    assert set(of.DECODED_COLUMNS) == {"name"}
+    of.TRACE_DECODED_COLUMNS = True  # opt-in (never accumulates in prod)
+    try:
+        of.DECODED_COLUMNS.clear()
+        out, kept, total = of.decode_stripe_pruned(
+            body, fr, meta, st.number_of_rows, "id", eq=54321,
+            columns=["id", "name"])
+        assert 0 < kept < total
+        assert out.column_names == ["id", "name"]
+        decoded = set(of.DECODED_COLUMNS)
+        assert decoded == {"id", "name"}, decoded  # val/ts/dec/rid never decoded
+        ids = out.column("id").to_pylist()
+        assert 54321 in ids
+        i = ids.index(54321)
+        assert out.column("name")[i].as_py() == tbl.column("name")[54321].as_py()
+        # projecting AWAY the predicate column still prunes via its index
+        of.DECODED_COLUMNS.clear()
+        out2, kept2, _ = of.decode_stripe_pruned(
+            body, fr, meta, st.number_of_rows, "id", eq=54321, columns=["name"])
+        assert kept2 == kept and out2.column_names == ["name"]
+        assert set(of.DECODED_COLUMNS) == {"name"}
+    finally:
+        of.TRACE_DECODED_COLUMNS = False
+        of.DECODED_COLUMNS.clear()
 
 
 def _nested_rg_file(tmp_path, n=60000):
@@ -1224,3 +1229,33 @@ def test_union_row_group_seek(tmp_path):
             assert v["f0"] == rid * 7
         else:
             assert v["f1"] == f"s{rid % 13}"
+
+
+def test_write_orc_rejects_unaligned_stride(tmp_path):
+    """A row_index_stride not divisible by 8 would misalign boolean/
+    PRESENT sub-streams for continuous readers — rejected up front."""
+    from orc_rust_spark.sources.orc_file import write_orc
+
+    tbl = pa.table({"id": pa.array(np.arange(100))})
+    with pytest.raises(ValueError, match="multiple of 8"):
+        write_orc(tbl, str(tmp_path / "x.orc"), row_index_stride=100)
+
+
+def test_tz_aware_probe_keeps_not_crashes(tmp_path):
+    """A tz-aware datetime probe against naive timestamp stats must keep
+    (not comparable), never raise TypeError."""
+    import datetime as dt
+
+    from orc_rust_spark.sources.orc_file import orc_point_lookup, write_orc
+
+    n = 30000
+    tbl = pa.table({
+        "id": pa.array(np.arange(n)),
+        "ts": pa.array(np.int64(1_700_000_000_000_000) + np.arange(n),
+                       type=pa.timestamp("us")),
+    })
+    path = str(tmp_path / "tzp.orc")
+    write_orc(tbl, path, compression="zlib")
+    aware = dt.datetime(2023, 11, 14, tzinfo=dt.timezone.utc)
+    out, decoded, total = orc_point_lookup(path, "ts", aware)
+    assert decoded == total  # kept everything, no crash
