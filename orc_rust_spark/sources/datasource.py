@@ -420,15 +420,17 @@ class OrcRustWriter(DataSourceArrowWriter):
         import os
 
         finals = {m.final_path for m in messages if m and m.tmp_path}
-        if self.overwrite:
-            # every task succeeded: now (and only now) drop the previous
-            # generation's files, then surface the new ones
-            for p in _glob.glob(os.path.join(self.path, "*.orc")):
-                if p not in finals:
-                    os.remove(p)
+        # surface the new generation FIRST (uuid names cannot collide with
+        # the old files), THEN drop the stale ones — the reverse order
+        # would lose BOTH generations if the driver died between the loops
+        # (only invisible .inprogress files would remain)
         for m in messages:
             if m and m.tmp_path:
                 os.rename(m.tmp_path, m.final_path)
+        if self.overwrite:
+            for p in _glob.glob(os.path.join(self.path, "*.orc")):
+                if p not in finals:
+                    os.remove(p)
 
     def abort(self, messages):
         import os

@@ -202,11 +202,25 @@ def _parse_column_stats(raw: bytes):
             for f2, _, v2 in _fields(v):
                 d[f2] = (v2 >> 1) ^ -(v2 & 1)
             # only the UTC fields (3=minimumUtc, 4=maximumUtc) are
-            # unambiguous; writer-local 1/2 are ignored (keep = safe)
+            # unambiguous; writer-local 1/2 are ignored (keep = safe).
+            # External writers FLOOR-truncate both to milliseconds, so the
+            # raw max is a lower bound: a probe at the true max with a
+            # sub-millisecond component would wrongly prune. Fields 5/6
+            # (minimumNanos/maximumNanos, stored as nanos-adjunct + 1)
+            # recover exactness when present (ORC-611); otherwise widen
+            # the max by +1 ms (ceil) — min floor-truncation already
+            # widens safely downward.
             if 3 in d and 4 in d:
                 epoch = _dt.datetime(1970, 1, 1)
-                return (epoch + _dt.timedelta(milliseconds=d[3]),
-                        epoch + _dt.timedelta(milliseconds=d[4]))
+                mn = epoch + _dt.timedelta(milliseconds=d[3])
+                mx = epoch + _dt.timedelta(milliseconds=d[4])
+                if d.get(5, 0) >= 1:
+                    mn += _dt.timedelta(microseconds=(d[5] - 1) // 1000)
+                if d.get(6, 0) >= 1:
+                    mx += _dt.timedelta(microseconds=-((1 - d[6]) // 1000))
+                else:
+                    mx += _dt.timedelta(milliseconds=1)
+                return (mn, mx)
     if true_count is not None and n_values is not None:
         # boolean bucketStatistics as a (min, max) bool range: all-false
         # groups exclude `= true` probes and vice versa
@@ -649,11 +663,13 @@ def _trace_decode(name: str) -> None:
 
 def _position_layout(t: OrcType, enc_kind: int, has_present: bool) -> list[tuple[int, int]] | None:
     """[(stream_kind, n_extras)] in position-recording order for one
-    column, or None if seek-decode is unsupported (union). Nested
-    list/map/struct columns record PRESENT + (for list/map) the LENGTH
-    RLE stream — the reference records/uses positions for every decoder
-    including nested ones (src/array_decoder/list.rs:36-104,
-    src/stripe.rs:296-308); children carry their own entries."""
+    column, or None only for UNKNOWN type kinds (every known kind —
+    including nested list/map/struct and union — seek-decodes). Nested
+    columns record PRESENT + (for list/map) the LENGTH RLE stream, or
+    (for union) the byte-RLE tag stream — the reference records/uses
+    positions for every decoder including nested ones
+    (src/array_decoder/list.rs:36-104, src/stripe.rs:296-308); children
+    carry their own entries."""
     k = t.kind
     out = [(S_PRESENT, _BOOL_EXTRA)] if has_present else []
     if k in (K_SHORT, K_INT, K_LONG, K_DATE):
@@ -994,9 +1010,10 @@ def decode_stripe_pruned(
 
     -> (table of kept groups' rows, groups_decoded, groups_total). The
     caller applies the residual filter. Falls back to full decode (all
-    groups "decoded") when no predicate column has a usable index or a
-    projected column type has no seek support (union), always respecting
-    the projection.
+    groups "decoded") only when no predicate column has a usable index,
+    the index is missing/truncated, or a projected column's type kind is
+    unknown (every known kind, nested and union included, seek-decodes),
+    always respecting the projection.
     """
     stream_list, encodings, tz = _read_stripe_footer(footer_raw, meta.compression)
     streams: dict[tuple[int, int], bytes] = {}
@@ -1311,6 +1328,11 @@ def _encode_indexed_column(
     Spec-legal (positions just say where to seek) and exactly what the
     read side's _decode_column_group consumes.
 
+    Exception: a NULLABLE boolean column's dense bit count per group is
+    arbitrary, so its DATA stream cannot restart byte-aligned without
+    desynchronizing continuous readers — it is encoded as ONE continuous
+    stream with real (byte-RLE bytes, bits) position extras per group.
+
     -> (data_streams [(orc_kind, final_bytes)] in file order,
         row_index_proto (uncompressed), bloom_proto | None,
         enc_proto, (n_values, has_null, mn, mx))
@@ -1360,6 +1382,21 @@ def _encode_indexed_column(
             ]
             dict_size = len(sorted_dict)
 
+    # Nullable boolean: the per-group restart model is UNSOUND for the
+    # DATA stream — each group's dense (non-null) bit count is arbitrary,
+    # so byte-aligned restarts would desynchronize any continuous reader
+    # (liborc, our full decoder). Encode ONE continuous stream across the
+    # stripe and record REAL position extras (byte-RLE bytes consumed,
+    # bits consumed) per group — the spec's native boolean seek model,
+    # which _decode_column_group already consumes (exs[S_DATA][0]*8+[1]).
+    continuous: dict[int, bytes] = {}
+    extra_vals: dict[int, list[tuple[int, ...]]] = {}
+    bool_nullable = kind == K_BOOLEAN and has_nulls
+    if bool_nullable:
+        dense_bits = arr.drop_null().to_numpy(zero_copy_only=False).astype(bool)
+        continuous[S_DATA] = encode_boolean_rle(dense_bits)
+        extra_vals[S_DATA] = []
+
     group_parts: list[dict[int, bytes]] = []
     group_stats: list[tuple] = []
     data_codec = None
@@ -1371,7 +1408,10 @@ def _encode_indexed_column(
         parts: dict[int, bytes] = {}
         if has_nulls:
             parts[S_PRESENT] = encode_boolean_rle(valid[g_start: g_start + g_n])
-        if kind in (K_STRING, K_BINARY) and use_dict:
+        if bool_nullable:
+            extra_vals[S_DATA].append((dense_prefix // 8, dense_prefix % 8))
+            data_codec = "boolean_rle"
+        elif kind in (K_STRING, K_BINARY) and use_dict:
             idxs = dense_ranks[dense_prefix: dense_prefix + len(g_dense)]
             parts[S_DATA] = encode_rlev2(idxs, signed=False)
             data_codec = "dict"
@@ -1416,6 +1456,12 @@ def _encode_indexed_column(
     merged: dict[int, bytes] = {}
     offsets: dict[int, list[int]] = {}
     for kind_ in (k for k, _ in layout):
+        if kind_ in continuous:
+            # one whole-stripe stream; every group seeks to offset 0 and
+            # skips via its recorded extras
+            merged[kind_] = maybe_comp(continuous[kind_])
+            offsets[kind_] = [0] * len(group_parts)
+            continue
         buf = bytearray()
         offs = []
         for parts in group_parts:
@@ -1435,7 +1481,11 @@ def _encode_indexed_column(
             positions += _pb_field(1, 0, offsets[kind_][g])
             if compression != "none":
                 positions += _pb_field(1, 0, 0)  # in-block offset
-            positions += b"".join(_pb_field(1, 0, 0) for _ in range(extras))
+            ev = extra_vals.get(kind_)
+            if ev is not None:
+                positions += b"".join(_pb_field(1, 0, x) for x in ev[g])
+            else:
+                positions += b"".join(_pb_field(1, 0, 0) for _ in range(extras))
         nd, gnull, mn, mx = group_stats[g]
         entry = positions + _pb_field(2, 2, _stats_proto(nd, gnull, kind, mn, mx))
         entries += _pb_field(1, 2, entry)
