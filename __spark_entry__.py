@@ -388,6 +388,33 @@ def q_orcx_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orcx_write_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED-type ORC sink: array<float> embeddings — the core
+    LLM-pipeline datatype — written through df.write.format("orcx") as
+    real indexed ORC (the LENGTH-stream subtree of the reference's read
+    contract, src/array_decoder/list.rs:36-104; the reference WRITER
+    rejects nested types, src/writer/stripe.rs:187 unimplemented!), read
+    back through the orcx reader and verified ELEMENT-BY-ELEMENT against
+    the source parquet via the DuckDB oracle."""
+    import glob
+    import shutil
+    import uuid
+
+    from orc_rust_spark.sources.datasource import OrcRustDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(OrcRustDataSource)
+    for old in glob.glob("/tmp/orc_rust_spark_interop/orcx_emb_*"):
+        shutil.rmtree(old, ignore_errors=True)
+    out = f"/tmp/orc_rust_spark_interop/orcx_emb_{uuid.uuid4().hex}"
+    src = _read_parallel(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    src.write.format("orcx").mode("overwrite").save(out)
+    df = spark.read.format("orcx").load(out)
+    return df.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", "pos", F.col("val").cast("double").alias("val"))
+
+
 def q_orc_file_rlev1_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RLEv1 decode compat (E10, reference src/encoding/rle_v1.rs): an ORC
     file whose int columns are RLEv1-encoded with legacy DIRECT column
@@ -896,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_file_write_pruned": q_orc_file_write_pruned,
         "orcx_datasource_scan": q_orcx_datasource_scan,
         "orcx_write_roundtrip": q_orcx_write_roundtrip,
+        "orcx_write_embeddings": q_orcx_write_embeddings,
         "orc_file_rlev1_scan": q_orc_file_rlev1_scan,
         "orc_ts_range_scan": q_orc_ts_range_scan,
         "roundtrip_int8": q_roundtrip_int8,
@@ -1222,6 +1250,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(l_partkey) AS BIGINT) AS sum_pk, "
             "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty "
             "FROM lineitem GROUP BY l_returnflag",
+        "orcx_write_embeddings":
+            "SELECT vec_id, CAST(i AS INT) AS pos, "
+            "CAST(embedding[i+1] AS DOUBLE) AS val "
+            "FROM embeddings, range(8192) t(i) WHERE i < len(embedding)",
         "orc_file_rlev1_scan":
             "SELECT l_returnflag, "
             "CAST(count(*) AS BIGINT) AS cnt, "

@@ -108,17 +108,33 @@ class _StripePartition(InputPartition):
     meta: object = None  # driver-parsed OrcMeta (streaming partitions)
 
 
+def _plain_type(t) -> "pa.DataType":  # noqa: F821
+    """large_* arrow types -> the plain widths Spark expects, recursively
+    through list/map/struct."""
+    import pyarrow as pa
+
+    if pa.types.is_large_string(t):
+        return pa.string()
+    if pa.types.is_large_binary(t):
+        return pa.binary()
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return pa.list_(_plain_type(t.value_type))
+    if pa.types.is_map(t):
+        return pa.map_(_plain_type(t.key_type), _plain_type(t.item_type))
+    if pa.types.is_struct(t):
+        return pa.struct([(f.name, _plain_type(f.type)) for f in t])
+    return t
+
+
 def _normalize_table(tbl) -> "pa.Table":  # noqa: F821
-    """large_* arrow types -> the plain widths Spark expects."""
     import pyarrow as pa
 
     cols = []
     for c in tbl.columns:
         c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-        if pa.types.is_large_string(c.type):
-            c = c.cast(pa.string())
-        elif pa.types.is_large_binary(c.type):
-            c = c.cast(pa.binary())
+        target = _plain_type(c.type)
+        if target != c.type:
+            c = c.cast(target)
         cols.append(c)
     return pa.Table.from_arrays(cols, tbl.column_names)
 
@@ -398,22 +414,34 @@ class OrcRustWriter(DataSourceArrowWriter):
         import os
         import uuid
 
-        import pyarrow as pa
         from pyspark import TaskContext
 
-        batches = [b for b in iterator if b.num_rows]
-        if not batches:
+        # STREAMED: batches feed the open OrcWriter, which appends each
+        # stripe to the file as it fills — peak task memory is one
+        # stripe's rows + its encoded bytes, not the whole partition
+        # (reference flush model, src/writer/stripe.rs:109-165)
+        writer = None
+        tmp = final = None
+        rows = 0
+        for b in iterator:
+            if not b.num_rows:
+                continue
+            if writer is None:
+                pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+                name = f"part-{pid:05d}-{uuid.uuid4().hex}.orc"
+                tmp = os.path.join(self.path, name + ".inprogress")
+                final = os.path.join(self.path, name)
+                writer = of.OrcWriter(
+                    tmp, b.schema, compression=self.compression,
+                    stripe_rows=self.stripe_rows,
+                    row_index_stride=self.stride,
+                    bloom_columns=self.bloom_cols or None)
+            writer.write_batch(b)
+            rows += b.num_rows
+        if writer is None:
             return _OrcCommit(None, None, 0, 0)
-        tbl = pa.Table.from_batches(batches)
-        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        name = f"part-{pid:05d}-{uuid.uuid4().hex}.orc"
-        tmp = os.path.join(self.path, name + ".inprogress")
-        of.write_orc(tbl, tmp, compression=self.compression,
-                     stripe_rows=self.stripe_rows,
-                     row_index_stride=self.stride,
-                     bloom_columns=self.bloom_cols or None)
-        return _OrcCommit(tmp, os.path.join(self.path, name),
-                          tbl.num_rows, os.path.getsize(tmp))
+        writer.close()
+        return _OrcCommit(tmp, final, rows, os.path.getsize(tmp))
 
     def commit(self, messages):
         import glob as _glob

@@ -113,6 +113,7 @@ class OrcType:
     field_names: list[str] = field(default_factory=list)
     precision: int = 0
     scale: int = 0
+    max_length: int = 0  # varchar/char declared maximumLength
 
 
 @dataclass
@@ -294,6 +295,8 @@ def read_metadata(path: str) -> OrcMeta:
                     t.subtypes.extend(_packed_u32(v2))
                 elif f2 == 3:
                     t.field_names.append(v2.decode())
+                elif f2 == 4:
+                    t.max_length = v2
                 elif f2 == 5:
                     t.precision = v2
                 elif f2 == 6:
@@ -1236,7 +1239,7 @@ def _stats_proto(n_values: int, has_null: bool, kind: int, mn, mx) -> bytes:
             sub = (_pb_varint((1 << 3) | 1) + _struct.pack("<d", float(mn))
                    + _pb_varint((2 << 3) | 1) + _struct.pack("<d", float(mx)))
             out += _pb_field(3, 2, sub)  # doubleStatistics (fixed64)
-        elif kind == K_STRING:
+        elif kind in (K_STRING, K_VARCHAR, K_CHAR):
             sub = (_pb_field(1, 2, mn.encode()) + _pb_field(2, 2, mx.encode()))
             out += _pb_field(4, 2, sub)  # stringStatistics
         elif kind == K_DECIMAL:
@@ -1285,7 +1288,7 @@ def _group_min_max(kind: int, g_dense: pa.Array):
         if mn is None or mx is None or _math.isnan(mn) or _math.isnan(mx):
             return None, None
         return float(mn), float(mx)
-    if kind == K_STRING:
+    if kind in (K_STRING, K_VARCHAR, K_CHAR):
         mm = pc.min_max(g_dense.cast(pa.large_string()))
         return mm["min"].as_py(), mm["max"].as_py()
     if kind == K_DECIMAL:
@@ -1316,22 +1319,86 @@ def _agg_stats(kind: int, group_stats: list[tuple]) -> tuple:
     return n_values, has_null, None, None
 
 
-def _encode_indexed_column(
-    name: str, arr: pa.Array, kind: int, compression: str, stride: int,
-    rle_version: int, bloom: bool, ts_stats: bool = True,
-):
-    """Encode one flat column per ``stride``-row group with recorded seek
-    positions (the write-side ROW_INDEX analog of src/row_index.rs):
-    every encoder RESTARTS at each group boundary and — for compressed
-    files — each group's bytes form their own block run, so a group's
-    position is simply (chunk_offset[, 0]) with every RLE/bit extra ZERO.
-    Spec-legal (positions just say where to seek) and exactly what the
-    read side's _decode_column_group consumes.
+def _merge_group_streams(layout, group_parts, continuous, compression):
+    """Merge per-group sub-stream pieces per stream kind into the final
+    (compressed) stream bytes, tracking each group's start offset.
+    Streams in ``continuous`` are emitted ONCE at offset 0 — their
+    per-group seek state lives in recorded position extras instead."""
 
-    Exception: a NULLABLE boolean column's dense bit count per group is
-    arbitrary, so its DATA stream cannot restart byte-aligned without
-    desynchronizing continuous readers — it is encoded as ONE continuous
-    stream with real (byte-RLE bytes, bits) position extras per group.
+    def maybe_comp(b: bytes) -> bytes:
+        return b if compression == "none" else blockc.compress_stream(b, compression)
+
+    merged: dict[int, bytes] = {}
+    offsets: dict[int, list[int]] = {}
+    for kind_ in (k for k, _ in layout):
+        if kind_ in continuous:
+            c = continuous[kind_]
+            merged[kind_] = maybe_comp(c) if c else b""
+            offsets[kind_] = [0] * len(group_parts)
+            continue
+        buf = bytearray()
+        offs = []
+        for parts in group_parts:
+            offs.append(len(buf))
+            piece = parts.get(kind_, b"")
+            if piece:
+                buf.extend(maybe_comp(piece))
+        merged[kind_] = bytes(buf)
+        offsets[kind_] = offs
+    return merged, offsets
+
+
+def _index_entries(layout, offsets, extra_vals, compression, group_stats,
+                   kind: int) -> bytes:
+    """RowIndex proto for one column: per-group positions (real extras
+    for continuous streams, zeros for per-group-restart ones) + typed
+    statistics."""
+    entries = bytearray()
+    for g in range(len(group_stats)):
+        positions = b""
+        for kind_, extras in layout:
+            positions += _pb_field(1, 0, offsets[kind_][g])
+            if compression != "none":
+                positions += _pb_field(1, 0, 0)  # in-block offset
+            ev = extra_vals.get(kind_)
+            if ev is not None:
+                positions += b"".join(_pb_field(1, 0, x) for x in ev[g])
+            else:
+                positions += b"".join(_pb_field(1, 0, 0) for _ in range(extras))
+        nd, gnull, mn, mx = group_stats[g]
+        entry = positions + _pb_field(2, 2, _stats_proto(nd, gnull, kind, mn, mx))
+        entries += _pb_field(1, 2, entry)
+    return bytes(entries)
+
+
+def _encode_indexed_column(
+    name: str, arr: pa.Array, kind: int, compression: str,
+    group_counts: list[int], rle_version: int, bloom: bool,
+    stats_arr: pa.Array | None = None, regular: bool = True,
+):
+    """Encode one flat column per row group with recorded seek positions
+    (the write-side ROW_INDEX analog of src/row_index.rs). ``group_counts``
+    gives this column's VALUE count per group — top-level rows for root
+    children (all but the last a multiple of 8), element counts for
+    nested children (arbitrary; pass ``regular=False``).
+
+    Every RLE/raw encoder RESTARTS at each group boundary — for
+    compressed files each group's bytes form their own block run, so a
+    group's position is simply (chunk_offset[, 0]) with every RLE/bit
+    extra ZERO; concatenated RLE segments stay a valid continuous stream.
+
+    Exception — BIT-PACKED streams (boolean DATA with nulls, any
+    boolean/PRESENT stream under irregular counts): their per-group bit
+    count is arbitrary, so byte-aligned restarts would desynchronize
+    continuous readers (liborc, our full decoder). These are encoded as
+    ONE continuous stream with real (byte-RLE bytes, bits) position
+    extras per group — the spec's native boolean seek model, which
+    _decode_column_group already consumes (exs[k][0]*8 + exs[k][1]).
+
+    ``stats_arr`` (default ``arr``) supplies the values the statistics
+    are computed from — used by the non-UTC timestamp path, where the
+    STORED seconds are wall-shifted but stats must describe the DECODED
+    values our pruner compares probes against.
 
     -> (data_streams [(orc_kind, final_bytes)] in file order,
         row_index_proto (uncompressed), bloom_proto | None,
@@ -1351,8 +1418,12 @@ def _encode_indexed_column(
     n = len(arr)
     has_nulls = arr.null_count > 0
     valid = np.asarray(arr.is_valid()) if has_nulls else None
-    group_starts = list(range(0, n, stride)) if n else [0]
+    group_starts = np.zeros(len(group_counts) + 1, dtype=np.int64)
+    np.cumsum(group_counts, out=group_starts[1:])
+    if stats_arr is None:
+        stats_arr = arr
     plan = {"block_codec": "none", "rle_version": rle_version}
+    is_stringy = kind in (K_STRING, K_VARCHAR, K_CHAR, K_BINARY)
 
     # string columns pick ONE stripe-wide codec (the per-group selector is
     # data-dependent and ORC allows one ColumnEncoding per column)
@@ -1360,7 +1431,7 @@ def _encode_indexed_column(
     dict_streams: list[tuple[int, bytes]] = []
     dict_size = 0
     dense_ranks = None
-    if kind in (K_STRING, K_BINARY):
+    if is_stringy and n:
         from ..codecs.selector import choose_string_codec, string_chunk_stats
 
         dense_all = arr.drop_null().cast(pa.large_binary())
@@ -1382,45 +1453,47 @@ def _encode_indexed_column(
             ]
             dict_size = len(sorted_dict)
 
-    # Nullable boolean: the per-group restart model is UNSOUND for the
-    # DATA stream — each group's dense (non-null) bit count is arbitrary,
-    # so byte-aligned restarts would desynchronize any continuous reader
-    # (liborc, our full decoder). Encode ONE continuous stream across the
-    # stripe and record REAL position extras (byte-RLE bytes consumed,
-    # bits consumed) per group — the spec's native boolean seek model,
-    # which _decode_column_group already consumes (exs[S_DATA][0]*8+[1]).
     continuous: dict[int, bytes] = {}
     extra_vals: dict[int, list[tuple[int, ...]]] = {}
-    bool_nullable = kind == K_BOOLEAN and has_nulls
-    if bool_nullable:
+    bool_cont = kind == K_BOOLEAN and (has_nulls or not regular)
+    if bool_cont and n:
         dense_bits = arr.drop_null().to_numpy(zero_copy_only=False).astype(bool)
         continuous[S_DATA] = encode_boolean_rle(dense_bits)
         extra_vals[S_DATA] = []
+    elif bool_cont:
+        continuous[S_DATA] = b""
+        extra_vals[S_DATA] = []
+    present_cont = has_nulls and not regular
+    if present_cont:
+        continuous[S_PRESENT] = encode_boolean_rle(valid)
+        extra_vals[S_PRESENT] = [
+            (int(s) // 8, int(s) % 8) for s in group_starts[:-1]]
 
     group_parts: list[dict[int, bytes]] = []
     group_stats: list[tuple] = []
     data_codec = None
     dense_prefix = 0
-    for g_start in group_starts:
-        g_n = min(stride, n - g_start) if n else 0
+    for g, g_start in enumerate(group_starts[:-1]):
+        g_start = int(g_start)
+        g_n = int(group_counts[g])
         sl = arr.slice(g_start, g_n)
         g_dense = sl.drop_null()
         parts: dict[int, bytes] = {}
-        if has_nulls:
+        if has_nulls and not present_cont:
             parts[S_PRESENT] = encode_boolean_rle(valid[g_start: g_start + g_n])
-        if bool_nullable:
+        if bool_cont:
             extra_vals[S_DATA].append((dense_prefix // 8, dense_prefix % 8))
             data_codec = "boolean_rle"
-        elif kind in (K_STRING, K_BINARY) and use_dict:
+        elif is_stringy and use_dict:
             idxs = dense_ranks[dense_prefix: dense_prefix + len(g_dense)]
             parts[S_DATA] = encode_rlev2(idxs, signed=False)
             data_codec = "dict"
-        elif kind in (K_STRING, K_BINARY):
+        elif is_stringy:
             bdata, boffs = _flatten_large_binary(g_dense.cast(pa.large_binary()))
             parts[S_DATA] = bdata
             parts[S_LENGTH] = encode_rlev2(np.diff(boffs), signed=False)
             data_codec = "direct"
-        else:
+        elif g_n:
             captured: list[tuple[str, str, bytes]] = []
 
             def cap(_col, k_, codec, data_bytes, **kw):
@@ -1434,12 +1507,7 @@ def _encode_indexed_column(
                 if k_ == ct.DATA:
                     data_codec = codec
         dense_prefix += len(g_dense)
-        mn, mx = _group_min_max(kind, g_dense)
-        if kind in (K_TIMESTAMP, K_TIMESTAMP_INSTANT) and not ts_stats:
-            # non-UTC writer tz: the STORED seconds are wall-shifted, so
-            # stats over them would not describe the decoded values —
-            # omit rather than misprune
-            mn = mx = None
+        mn, mx = _group_min_max(kind, stats_arr.slice(g_start, g_n).drop_null())
         group_stats.append((len(g_dense), sl.null_count > 0, mn, mx))
         group_parts.append(parts)
 
@@ -1448,55 +1516,25 @@ def _encode_indexed_column(
                                    "rle_v1") else E_DIRECT_V2)
     layout = _position_layout(OrcType(kind=kind), enc_kind, has_nulls)
 
+    merged, offsets = _merge_group_streams(
+        layout, group_parts, continuous, compression)
+
     def maybe_comp(b: bytes) -> bytes:
         return b if compression == "none" else blockc.compress_stream(b, compression)
 
-    # merge per-group sub-streams per kind, tracking each group's start
-    # offset in the FINAL (compressed) stream bytes
-    merged: dict[int, bytes] = {}
-    offsets: dict[int, list[int]] = {}
-    for kind_ in (k for k, _ in layout):
-        if kind_ in continuous:
-            # one whole-stripe stream; every group seeks to offset 0 and
-            # skips via its recorded extras
-            merged[kind_] = maybe_comp(continuous[kind_])
-            offsets[kind_] = [0] * len(group_parts)
-            continue
-        buf = bytearray()
-        offs = []
-        for parts in group_parts:
-            offs.append(len(buf))
-            piece = parts.get(kind_, b"")
-            if piece:
-                buf.extend(maybe_comp(piece))
-        merged[kind_] = bytes(buf)
-        offsets[kind_] = offs
     for kind_, raw in dict_streams:  # whole-stripe streams: no positions
         merged[kind_] = maybe_comp(raw)
 
-    entries = bytearray()
-    for g in range(len(group_parts)):
-        positions = b""
-        for kind_, extras in layout:
-            positions += _pb_field(1, 0, offsets[kind_][g])
-            if compression != "none":
-                positions += _pb_field(1, 0, 0)  # in-block offset
-            ev = extra_vals.get(kind_)
-            if ev is not None:
-                positions += b"".join(_pb_field(1, 0, x) for x in ev[g])
-            else:
-                positions += b"".join(_pb_field(1, 0, 0) for _ in range(extras))
-        nd, gnull, mn, mx = group_stats[g]
-        entry = positions + _pb_field(2, 2, _stats_proto(nd, gnull, kind, mn, mx))
-        entries += _pb_field(1, 2, entry)
+    entries = _index_entries(layout, offsets, extra_vals, compression,
+                             group_stats, kind)
 
     bloom_proto = None
     if bloom and _bloomable(arr.type):
         from ..codecs.bloom import BloomFilter
 
         protos = bytearray()
-        for g_start in group_starts:
-            g_dense = arr.slice(g_start, min(stride, n - g_start)).drop_null()
+        for g, g_start in enumerate(group_starts[:-1]):
+            g_dense = arr.slice(int(g_start), int(group_counts[g])).drop_null()
             bf = BloomFilter.for_expected(len(g_dense))
             if pa.types.is_integer(arr.type):
                 bf.add_i64(g_dense.to_numpy(zero_copy_only=False).astype(np.int64))
@@ -1516,72 +1554,350 @@ def _encode_indexed_column(
         for k in (S_PRESENT, S_DATA, S_LENGTH, S_DICTIONARY_DATA, S_SECONDARY)
         if k in merged
     ]
-    return (data_streams, bytes(entries), bloom_proto, enc_proto,
+    return (data_streams, entries, bloom_proto, enc_proto,
             _agg_stats(kind, group_stats))
 
 
-def write_orc(table: pa.Table, path: str, compression: str = "zlib",
-              stripe_rows: int = 100_000, writer_timezone: str = "UTC",
-              rle_version: int = 2, row_index_stride: int = 10_000,
-              bloom_columns: list[str] | None = None) -> None:
-    """Write a flat-schema Arrow table as a REAL Apache ORC v1 file using
-    this engine's encoders — the reference ArrowWriter analog
-    (src/arrow_writer.rs:71-259, stripe flush src/writer/stripe.rs:109-165).
-    The output is independently readable by pyarrow.orc (asserted in
-    tests): magic, stripes with PRESENT/DATA/LENGTH/DICTIONARY_DATA/
-    SECONDARY streams from our RLEv2/byte-RLE/boolean/float/decimal/
-    timestamp codecs, protobuf StripeFooter/Footer/PostScript, optional
-    zlib block compression on every stream and on the tail.
+def _build_write_types(
+    schema: pa.Schema,
+    varchar: dict[str, int] | None = None,
+    char: dict[str, int] | None = None,
+) -> tuple[list[OrcType], list[pa.DataType | None]]:
+    """Pre-order ORC type tree for an Arrow schema — root struct id 0,
+    each column's subtree ids assigned depth-first (the reference's
+    RootDataType/column-id model, src/schema.rs). ``varchar``/``char``
+    declare maximumLength for top-level string columns (emitted as
+    K_VARCHAR/K_CHAR type protos). Returns (types, arrow type per id)."""
+    types: list[OrcType] = [OrcType(kind=K_STRUCT)]
+    atypes: list[pa.DataType | None] = [None]
 
-    With ``row_index_stride`` > 0 (default 10,000) every stripe carries a
-    ROW_INDEX stream per column (per-group seek positions + statistics),
-    optional per-group BLOOM_FILTER_UTF8 streams for ``bloom_columns``,
-    per-stripe statistics in the Metadata section, and file statistics in
-    the Footer — so files WE write are prunable by our own reader (and by
-    any ORC reader), beyond the reference writer which emits no indexes.
-    ``row_index_stride=0`` writes the legacy index-less layout.
+    def build(t: pa.DataType) -> int:
+        tid = len(types)
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            node = OrcType(kind=K_LIST)
+            types.append(node)
+            atypes.append(t)
+            node.subtypes.append(build(t.value_type))
+        elif pa.types.is_map(t):
+            node = OrcType(kind=K_MAP)
+            types.append(node)
+            atypes.append(t)
+            node.subtypes.append(build(t.key_type))
+            node.subtypes.append(build(t.item_type))
+        elif pa.types.is_struct(t):
+            node = OrcType(kind=K_STRUCT)
+            types.append(node)
+            atypes.append(t)
+            for f in t:
+                node.field_names.append(f.name)
+                node.subtypes.append(build(f.type))
+        else:
+            node = OrcType(kind=_orc_kind_of(t))
+            if pa.types.is_decimal(t):
+                node.precision, node.scale = t.precision, t.scale
+            types.append(node)
+            atypes.append(t)
+        return tid
+
+    root = types[0]
+    for fld in schema:
+        root.field_names.append(fld.name)
+        tid = build(fld.type)
+        root.subtypes.append(tid)
+        declared = (varchar or {}).get(fld.name), (char or {}).get(fld.name)
+        if declared[0] is not None or declared[1] is not None:
+            if types[tid].kind != K_STRING:
+                raise ValueError(
+                    f"varchar/char declared for non-string column {fld.name!r}")
+            types[tid].kind = K_VARCHAR if declared[0] is not None else K_CHAR
+            types[tid].max_length = int(declared[0] if declared[0] is not None
+                                        else declared[1])
+    return types, atypes
+
+
+def _type_protos(types: list[OrcType]) -> list[bytes]:
+    """Footer Type messages, pre-order (kind, subtypes, fieldNames,
+    maximumLength for varchar/char, precision/scale for decimal)."""
+    out = []
+    for t in types:
+        tp = _pb_field(1, 0, t.kind)
+        for s in t.subtypes:
+            tp += _pb_field(2, 0, s)  # subtypes (unpacked varints)
+        for fn in t.field_names:
+            tp += _pb_field(3, 2, fn.encode())
+        if t.kind in (K_VARCHAR, K_CHAR):
+            tp += _pb_field(4, 0, t.max_length)
+        if t.kind == K_DECIMAL:
+            tp += _pb_field(5, 0, t.precision) + _pb_field(6, 0, t.scale)
+        out.append(tp)
+    return out
+
+
+def _valid_list_parts(arr):
+    """(dense element lengths per NON-NULL slot, flat dense child
+    array(s)) for a list/large_list/map array — offset-safe, null slots
+    skipped (the ORC LENGTH-stream model: lengths and children cover
+    present parents only, src/array_decoder/list.rs:36-104)."""
+    import pyarrow.compute as pc
+
+    if pa.types.is_map(arr.type):
+        # view the map as list<struct<key,value>> — offset- and
+        # null-safe — then split the flat struct into the two children
+        as_list = arr.cast(pa.list_(pa.struct([
+            ("key", arr.type.key_type), ("value", arr.type.item_type)])))
+        lens = pc.list_value_length(as_list).drop_null()
+        flat = pc.list_flatten(as_list)
+        children = [flat.field(0), flat.field(1)]
+    else:
+        lens = pc.list_value_length(arr).drop_null()
+        children = [pc.list_flatten(arr)]
+    lengths = (lens.to_numpy(zero_copy_only=False).astype(np.int64)
+               if len(lens) else np.zeros(0, dtype=np.int64))
+    return lengths, children
+
+
+def _encode_indexed_tree(
+    name: str, arr: pa.Array, tid: int, types: list[OrcType],
+    compression: str, rle_version: int, bloom: bool,
+    group_counts: list[int], out: dict[int, tuple],
+    stats_arr: pa.Array | None = None, regular: bool = True,
+) -> None:
+    """Encode column id ``tid`` AND its whole subtree per row group with
+    recorded seek positions — the nested analog of _encode_indexed_column
+    (reference write contract: one stream set + row index per type-tree
+    node, src/writer/stripe.rs + src/array_decoder/{list,map,struct}.rs).
+
+    Container nodes emit PRESENT (+ LENGTH for list/map) and recurse:
+    each child's per-group VALUE counts are derived from the parent
+    (element sums for list/map, dense row counts for struct), exactly
+    what the seek reader re-derives group-locally on decode
+    (_decode_column_group). Child groups are irregular, so children use
+    continuous PRESENT/boolean streams with real position extras.
+
+    Results land in ``out[tid]`` for every id in the subtree, each a
+    (data_streams, row_index_proto, bloom_proto, enc_proto, agg_stats)
+    tuple."""
+    from ..codecs.boolean_rle import encode_boolean_rle
+    from ..codecs.rle_v2 import encode_rlev2
+
+    t = types[tid]
+    k = t.kind
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if stats_arr is not None and isinstance(stats_arr, pa.ChunkedArray):
+        stats_arr = stats_arr.combine_chunks()
+    if k not in (K_LIST, K_MAP, K_STRUCT):
+        out[tid] = _encode_indexed_column(
+            name, arr, k, compression, group_counts, rle_version,
+            bloom=bloom, stats_arr=stats_arr, regular=regular)
+        return
+
+    has_nulls = arr.null_count > 0
+    valid = np.asarray(arr.is_valid()) if has_nulls else None
+    group_starts = np.zeros(len(group_counts) + 1, dtype=np.int64)
+    np.cumsum(group_counts, out=group_starts[1:])
+
+    continuous: dict[int, bytes] = {}
+    extra_vals: dict[int, list[tuple[int, ...]]] = {}
+    present_cont = has_nulls and not regular
+    if present_cont:
+        continuous[S_PRESENT] = encode_boolean_rle(valid)
+        extra_vals[S_PRESENT] = [
+            (int(s) // 8, int(s) % 8) for s in group_starts[:-1]]
+
+    if k in (K_LIST, K_MAP):
+        lengths_all, flat_children = _valid_list_parts(arr)
+    else:
+        flat_children = None
+
+    group_parts: list[dict[int, bytes]] = []
+    group_stats: list[tuple] = []
+    child_counts: list[int] = []
+    dense_prefix = 0
+    for g, g_start in enumerate(group_starts[:-1]):
+        g_start = int(g_start)
+        g_n = int(group_counts[g])
+        g_dense = g_n if valid is None else int(valid[g_start: g_start + g_n].sum())
+        g_null = g_n - g_dense > 0
+        parts: dict[int, bytes] = {}
+        if has_nulls and not present_cont:
+            parts[S_PRESENT] = encode_boolean_rle(valid[g_start: g_start + g_n])
+        if k in (K_LIST, K_MAP):
+            g_lens = lengths_all[dense_prefix: dense_prefix + g_dense]
+            if g_dense:
+                parts[S_LENGTH] = encode_rlev2(g_lens, signed=False)
+            child_counts.append(int(g_lens.sum()))
+        else:
+            child_counts.append(g_dense)
+        dense_prefix += g_dense
+        group_stats.append((g_dense, g_null, None, None))
+        group_parts.append(parts)
+
+    layout = _position_layout(t, E_DIRECT, has_nulls)
+    merged, offsets = _merge_group_streams(
+        layout, group_parts, continuous, compression)
+    entries = _index_entries(layout, offsets, extra_vals, compression,
+                             group_stats, k)
+    data_streams = [(kk, merged[kk]) for kk in (S_PRESENT, S_DATA, S_LENGTH)
+                    if kk in merged]
+    # list/map LENGTH is RLEv2 -> declare DIRECT_V2 so readers pick the
+    # v2 decoder; struct has no RLE stream (DIRECT)
+    enc = E_DIRECT if k == K_STRUCT else E_DIRECT_V2
+    out[tid] = (data_streams, entries, None, _pb_field(1, 0, enc),
+                _agg_stats(k, group_stats))
+
+    # element counts per group vary with the data: children are irregular
+    if k == K_LIST:
+        _encode_indexed_tree(
+            f"{name}.item", flat_children[0], t.subtypes[0], types,
+            compression, rle_version, False, child_counts, out, regular=False)
+    elif k == K_MAP:
+        for cid, child, suffix in zip(t.subtypes, flat_children,
+                                      (".key", ".value")):
+            _encode_indexed_tree(
+                f"{name}{suffix}", child, cid, types, compression,
+                rle_version, False, child_counts, out, regular=False)
+    else:  # struct: children carry one value per PRESENT parent row
+        dense = arr.drop_null() if has_nulls else arr
+        for cid, fname in zip(t.subtypes, t.field_names):
+            _encode_indexed_tree(
+                f"{name}.{fname}", dense.field(fname), cid, types,
+                compression, rle_version, False, child_counts, out,
+                regular=False)
+
+
+class OrcWriter:
+    """STREAMING writer of REAL Apache ORC v1 files using this engine's
+    encoders — the reference ArrowWriter analog (src/arrow_writer.rs:
+    71-259). Stripes are encoded and APPENDED to the open file as the
+    input reaches ``stripe_rows`` (the reference's flush-on-threshold
+    model, src/writer/stripe.rs:109-165), so peak memory is
+    O(stripe_rows of input + one encoded stripe) — never O(file): a task
+    writing gigabytes of ORC holds one stripe, not the output.
+    ``peak_buffered_rows`` instruments the bound (<= stripe_rows).
+
+    Output is independently readable by pyarrow.orc (asserted in tests):
+    magic, stripes with PRESENT/DATA/LENGTH/DICTIONARY_DATA/SECONDARY
+    streams from our RLEv2/byte-RLE/boolean/float/decimal/timestamp
+    codecs, protobuf StripeFooter/Footer/PostScript, optional block
+    compression on every stream and the tail. Nested list/map/struct
+    columns write the full type subtree (LENGTH-stream model,
+    src/array_decoder/{list,map}.rs read contract) — beyond the
+    reference writer, which rejects nested datatypes
+    (src/writer/stripe.rs:187 ``unimplemented!``).
+
+    With ``row_index_stride`` > 0 (default 10,000) every stripe carries
+    a ROW_INDEX stream per column (per-group seek positions +
+    statistics), optional per-group BLOOM_FILTER_UTF8 streams for
+    ``bloom_columns``, per-stripe statistics in the Metadata section and
+    file statistics in the Footer — so files WE write are prunable by
+    our own reader (and any ORC reader). ``row_index_stride=0`` writes
+    the legacy index-less layout (flat schemas only).
+
+    ``varchar``/``char`` map top-level string column names to a declared
+    maximumLength, emitted as K_VARCHAR/K_CHAR type protos.
     """
-    from ..operators.encode import encode_chunk
 
-    if row_index_stride and row_index_stride % 8 != 0:
-        # boolean/PRESENT sub-streams pad each group to a byte boundary
-        # (np.packbits); a non-multiple-of-8 stride would misalign every
-        # row after group 0 for any CONTINUOUS reader (liborc, our full
-        # decode) — corrupt output, so reject rather than emit
-        raise ValueError(
-            f"row_index_stride must be a multiple of 8, got {row_index_stride}")
-    comp_enum = {"none": 0, "zlib": 1, "snappy": 2, "lz4": 4, "zstd": 5}[compression]
-    bloom_cols = set(bloom_columns or [])
+    def __init__(self, path: str, schema: pa.Schema, compression: str = "zlib",
+                 stripe_rows: int = 100_000, writer_timezone: str = "UTC",
+                 rle_version: int = 2, row_index_stride: int = 10_000,
+                 bloom_columns: list[str] | None = None,
+                 varchar: dict[str, int] | None = None,
+                 char: dict[str, int] | None = None):
+        if row_index_stride and row_index_stride % 8 != 0:
+            # boolean/PRESENT sub-streams pad each group to a byte
+            # boundary (np.packbits); a non-multiple-of-8 stride would
+            # misalign every row after group 0 for any CONTINUOUS reader
+            # (liborc, our full decode) — corrupt output, so reject
+            raise ValueError(
+                f"row_index_stride must be a multiple of 8, got {row_index_stride}")
+        self.compression = compression
+        self.stripe_rows = stripe_rows
+        self.writer_timezone = writer_timezone
+        self.rle_version = rle_version
+        self.row_index_stride = row_index_stride
+        self.bloom_cols = set(bloom_columns or [])
+        self.schema = schema
+        self.types, self.atypes = _build_write_types(schema, varchar, char)
+        root = self.types[0]
+        self._top_ids = dict(zip(root.field_names, root.subtypes))
+        if not row_index_stride:
+            nested = [n for n, tid in self._top_ids.items()
+                      if self.types[tid].subtypes]
+            if nested:
+                raise NotImplementedError(
+                    f"nested columns {nested} require the indexed layout "
+                    "(row_index_stride > 0)")
+        if writer_timezone not in ("UTC", "GMT"):
+            # only TOP-LEVEL timestamps are pre-shifted to writer-tz
+            # wall-clock; a nested timestamp would be silently written as
+            # the wrong instant — reject instead
+            deep_ts = [
+                n for n, tid in self._top_ids.items()
+                if any(self.types[c].kind in (K_TIMESTAMP, K_TIMESTAMP_INSTANT)
+                       for c in _subtree_ids(self.types, tid)[1:])
+            ]
+            if deep_ts:
+                raise NotImplementedError(
+                    f"nested timestamps {deep_ts} unsupported with a "
+                    "non-UTC writer_timezone")
+        self._fh = open(path, "wb")
+        self._fh.write(MAGIC)
+        self._pos = len(MAGIC)
+        self._buf: list[pa.RecordBatch] = []
+        self._buf_rows = 0
+        self.peak_buffered_rows = 0
+        self._stripe_infos: list[bytes] = []
+        self._stripe_stats_protos: list[bytes] = []
+        self._file_stats: list[tuple | None] = [None] * len(self.types)
+        self._total_rows = 0
+        self._closed = False
 
-    def maybe_compress(b: bytes) -> bytes:
-        return b if compression == "none" else blockc.compress_stream(b, compression)
+    def _maybe_compress(self, b: bytes) -> bytes:
+        return (b if self.compression == "none"
+                else blockc.compress_stream(b, self.compression))
 
-    # column ids: root struct = 0, children 1..n (flat schema)
-    names = table.column_names
-    kinds = [_orc_kind_of(table.schema.field(n).type) for n in names]
+    def write_batch(self, batch: pa.RecordBatch) -> None:
+        """Buffer input, flushing a stripe whenever exactly
+        ``stripe_rows`` have accumulated — incoming batches are SPLIT at
+        the stripe boundary so the buffer never exceeds stripe_rows."""
+        while batch.num_rows:
+            room = self.stripe_rows - self._buf_rows
+            take = min(room, batch.num_rows)
+            self._buf.append(batch.slice(0, take))
+            self._buf_rows += take
+            self.peak_buffered_rows = max(self.peak_buffered_rows, self._buf_rows)
+            batch = batch.slice(take)
+            if self._buf_rows == self.stripe_rows:
+                self._flush_stripe()
 
-    if writer_timezone not in ("UTC", "GMT"):
-        # Java-writer semantics (the reference's read contract,
-        # src/array_decoder/timestamp.rs:131-141): input timestamps are
-        # WALL-CLOCK in the writer tz; stored seconds are relative to the
-        # ORC epoch in that tz. Our encoder uses the fixed UTC epoch, so
-        # pre-shift: wall -> instant -> minus the epoch delta.
+    def write_table(self, table: pa.Table) -> None:
+        for b in table.to_batches():
+            self.write_batch(b)
+
+    def _shift_tz(self, table: pa.Table) -> pa.Table:
+        """Java-writer semantics (the reference's read contract,
+        src/array_decoder/timestamp.rs:131-141): input timestamps are
+        WALL-CLOCK in the writer tz; stored seconds are relative to the
+        ORC epoch in that tz. Our encoder uses the fixed UTC epoch, so
+        pre-shift: wall -> instant -> minus the epoch delta."""
         import pandas as pd
 
-        delta = _writer_epoch_delta_ns(writer_timezone)
+        delta = _writer_epoch_delta_ns(self.writer_timezone)
         cols = []
-        for n_, k_ in zip(names, kinds):
-            arr = table.column(n_).combine_chunks()
-            if k_ == K_TIMESTAMP:
-                # int64 end-to-end (a to_numpy of a nullable array silently
-                # becomes float64: NaN nulls -> garbage values, lost mask,
-                # and >2^53 ns values perturbed)
+        for name in table.column_names:
+            arr = table.column(name).combine_chunks()
+            if self.types[self._top_ids[name]].kind == K_TIMESTAMP:
+                # int64 end-to-end (a to_numpy of a nullable array
+                # silently becomes float64: NaN nulls -> garbage values,
+                # lost mask, and >2^53 ns values perturbed)
                 mask = (np.asarray(arr.is_valid()) if arr.null_count else None)
                 us = (arr.cast(pa.int64()).fill_null(0)
                       .to_numpy(zero_copy_only=False).astype(np.int64))
                 idx = pd.DatetimeIndex((us * 1000).astype("datetime64[ns]"))
                 inst = idx.tz_localize(
-                    writer_timezone, ambiguous=True, nonexistent="shift_forward"
+                    self.writer_timezone, ambiguous=True,
+                    nonexistent="shift_forward"
                 ).tz_convert("UTC").tz_localize(None).asi8
                 shifted = (inst - delta) // 1000
                 arr = pa.array(
@@ -1589,89 +1905,102 @@ def write_orc(table: pa.Table, path: str, compression: str = "zlib",
                     mask=None if mask is None else ~mask,
                 ).cast(arr.type)
             cols.append(arr)
-        table = pa.table(dict(zip(names, cols)))
+        return pa.table(dict(zip(table.column_names, cols)))
 
-    out = bytearray(MAGIC)
-    stripe_infos = []
-    stripe_stats_protos: list[bytes] = []  # Metadata section, one per stripe
-    file_stats: list[tuple | None] = [None] * len(names)  # per column
-    plan = {n: {"block_codec": "none", "rle_version": rle_version} for n in names}
-    for start in range(0, max(table.num_rows, 1), stripe_rows):
-        sl = table.slice(start, stripe_rows)
+    def _flush_stripe(self) -> None:
+        sl = pa.Table.from_batches(self._buf, schema=self.schema)
+        self._buf = []
+        self._buf_rows = 0
         if sl.num_rows == 0:
-            break
-        offset = len(out)
+            return
+        orig = sl
+        if self.writer_timezone not in ("UTC", "GMT"):
+            sl = self._shift_tz(sl)
+        stride = self.row_index_stride
+        out = bytearray()  # THIS stripe only — appended to the file at the end
+        offset = self._pos
         stream_protos = []
-        enc_protos = [_pb_field(1, 0, E_DIRECT)]  # root struct encoding
+        enc_protos = {0: _pb_field(1, 0, E_DIRECT)}  # root struct encoding
         index_len = data_len = 0
-        if row_index_stride:
+        if stride:
             # --- indexed layout: per-group encode with recorded positions
-            per_col = [
-                _encode_indexed_column(
-                    name, sl.column(name).combine_chunks(), kinds[i],
-                    compression, row_index_stride, rle_version,
-                    bloom=name in bloom_cols,
-                    ts_stats=writer_timezone in ("UTC", "GMT"))
-                for i, name in enumerate(names)
-            ]
-            n_groups = (sl.num_rows + row_index_stride - 1) // row_index_stride
+            counts = [min(stride, sl.num_rows - s)
+                      for s in range(0, sl.num_rows, stride)]
+            results: dict[int, tuple] = {}
+            for name in sl.column_names:
+                tid = self._top_ids[name]
+                _encode_indexed_tree(
+                    name, sl.column(name).combine_chunks(), tid, self.types,
+                    self.compression, self.rle_version,
+                    bloom=name in self.bloom_cols, group_counts=counts,
+                    out=results,
+                    stats_arr=(orig.column(name).combine_chunks()
+                               if orig is not sl else None))
             # index region first: root ROW_INDEX (stats only), then each
-            # column's ROW_INDEX (+ bloom)
+            # column id's ROW_INDEX (+ bloom), ascending = pre-order
             root_entries = bytearray()
-            for g in range(n_groups):
-                g_n = min(row_index_stride, sl.num_rows - g * row_index_stride)
+            for g_n in counts:
                 root_entries += _pb_field(
                     1, 2, _pb_field(2, 2, _stats_proto(g_n, False, K_STRUCT,
                                                        None, None)))
-            index_streams = [(0, S_ROW_INDEX, maybe_compress(bytes(root_entries)))]
-            for col_idx, (_, ri, bloom_b, _, _) in enumerate(per_col, start=1):
-                index_streams.append((col_idx, S_ROW_INDEX, maybe_compress(ri)))
+            index_streams = [(0, S_ROW_INDEX,
+                              self._maybe_compress(bytes(root_entries)))]
+            for tid in sorted(results):
+                _, ri, bloom_b, _, _ = results[tid]
+                index_streams.append(
+                    (tid, S_ROW_INDEX, self._maybe_compress(ri)))
                 if bloom_b is not None:
                     index_streams.append(
-                        (col_idx, S_BLOOM_FILTER_UTF8, maybe_compress(bloom_b)))
-            for col_idx, kind_, payload in index_streams:
+                        (tid, S_BLOOM_FILTER_UTF8,
+                         self._maybe_compress(bloom_b)))
+            for tid, kind_, payload in index_streams:
                 out.extend(payload)
                 stream_protos.append(
-                    _pb_field(1, 0, kind_) + _pb_field(2, 0, col_idx)
+                    _pb_field(1, 0, kind_) + _pb_field(2, 0, tid)
                     + _pb_field(3, 0, len(payload)))
                 index_len += len(payload)
             # data region (streams arrive final/compressed from the encoder)
-            stripe_col_stats = [(sl.num_rows, False, None, None)]  # root
-            for col_idx, (streams, _, _, enc, agg) in enumerate(per_col, start=1):
+            stripe_col_stats = {0: (sl.num_rows, False, None, None)}  # root
+            for tid in sorted(results):
+                streams, _, _, enc, agg = results[tid]
                 for kind_, payload in streams:
                     out.extend(payload)
                     stream_protos.append(
-                        _pb_field(1, 0, kind_) + _pb_field(2, 0, col_idx)
+                        _pb_field(1, 0, kind_) + _pb_field(2, 0, tid)
                         + _pb_field(3, 0, len(payload)))
                     data_len += len(payload)
-                enc_protos.append(enc)
-                stripe_col_stats.append(agg)
-                prev = file_stats[col_idx - 1]
-                file_stats[col_idx - 1] = agg if prev is None else _agg_stats(
-                    kinds[col_idx - 1], [prev, agg])
-            stripe_stats_protos.append(b"".join(
+                enc_protos[tid] = enc
+                stripe_col_stats[tid] = agg
+                prev = self._file_stats[tid]
+                self._file_stats[tid] = agg if prev is None else _agg_stats(
+                    self.types[tid].kind, [prev, agg])
+            self._stripe_stats_protos.append(b"".join(
                 _pb_field(1, 2, _stats_proto(
-                    s[0], s[1], K_STRUCT if i == 0 else kinds[i - 1],
-                    s[2], s[3]))
-                for i, s in enumerate(stripe_col_stats)))
+                    s[0], s[1], self.types[i].kind, s[2], s[3]))
+                for i, s in sorted(stripe_col_stats.items())))
         else:
-            # --- legacy index-less layout (pre-round-4 behavior)
+            # --- legacy index-less layout (flat schemas, pre-round-4)
+            from ..operators.encode import encode_chunk
+
+            plan = {n: {"block_codec": "none", "rle_version": self.rle_version}
+                    for n in sl.column_names}
             batch = encode_chunk(sl, 0, 0, plan)
             rows = batch.to_pylist()
             by_col: dict[str, dict[str, dict]] = {}
             for r in rows:
                 by_col.setdefault(r["column"], {})[r["stream_kind"]] = r
-            for col_idx, name in enumerate(names, start=1):
+            for name in sl.column_names:
+                tid = self._top_ids[name]
                 col = by_col[name]
                 codec = col["DATA"]["codec"]
                 for sk in _STREAM_ORDER:
                     if sk not in col:
                         continue
-                    payload = maybe_compress(bytes(col[sk]["data"]))
+                    payload = self._maybe_compress(bytes(col[sk]["data"]))
                     out.extend(payload)
                     stream_protos.append(
                         _pb_field(1, 0, _KIND_TO_ORC[sk])
-                        + _pb_field(2, 0, col_idx)
+                        + _pb_field(2, 0, tid)
                         + _pb_field(3, 0, len(payload))
                     )
                     data_len += len(payload)
@@ -1679,79 +2008,99 @@ def write_orc(table: pa.Table, path: str, compression: str = "zlib",
                     enc = _pb_field(1, 0, E_DICTIONARY_V2) + _pb_field(
                         2, 0, int(col["DATA"]["dict_size"])
                     )
-                elif codec in ("boolean_rle", "byte_rle", "float_plain", "rle_v1"):
+                elif codec in ("boolean_rle", "byte_rle", "float_plain",
+                               "rle_v1"):
                     # rle_v1 int streams declare the legacy DIRECT encoding
                     # so independent readers pick the RLEv1 decoder
                     enc = _pb_field(1, 0, E_DIRECT)
                 else:  # rle_v2-based codecs
                     enc = _pb_field(1, 0, E_DIRECT_V2)
-                enc_protos.append(enc)
+                enc_protos[tid] = enc
         sf = b"".join(_pb_field(1, 2, s) for s in stream_protos)
-        sf += b"".join(_pb_field(2, 2, e) for e in enc_protos)
-        sf += _pb_field(3, 2, writer_timezone.encode())  # writerTimezone
-        sf_bytes = maybe_compress(sf)
+        sf += b"".join(_pb_field(2, 2, e) for _, e in sorted(enc_protos.items()))
+        sf += _pb_field(3, 2, self.writer_timezone.encode())  # writerTimezone
+        sf_bytes = self._maybe_compress(sf)
         out.extend(sf_bytes)
-        stripe_infos.append(
+        self._stripe_infos.append(
             _pb_field(1, 0, offset)          # offset
             + _pb_field(2, 0, index_len)     # indexLength
             + _pb_field(3, 0, data_len)      # dataLength
             + _pb_field(4, 0, len(sf_bytes))  # footerLength
             + _pb_field(5, 0, sl.num_rows)   # numberOfRows
         )
+        self._total_rows += sl.num_rows
+        self._fh.write(bytes(out))
+        self._pos += len(out)
 
-    content_len = len(out) - len(MAGIC)  # stripes region only
+    def close(self) -> None:
+        """Flush the remainder stripe, then append Metadata + Footer +
+        PostScript and close the file."""
+        if self._closed:
+            return
+        if self._buf_rows:
+            self._flush_stripe()
+        content_len = self._pos - len(MAGIC)  # stripes region only
+        tail = bytearray()
 
-    # Metadata section: per-stripe StripeStatistics (read back into
-    # OrcMeta.stripe_stats and used by prune_stripes)
-    meta_bytes = b""
-    if stripe_stats_protos:
-        meta_bytes = maybe_compress(b"".join(
-            _pb_field(1, 2, s) for s in stripe_stats_protos))
-        out.extend(meta_bytes)
+        # Metadata section: per-stripe StripeStatistics (read back into
+        # OrcMeta.stripe_stats and used by prune_stripes)
+        meta_bytes = b""
+        if self._stripe_stats_protos:
+            meta_bytes = self._maybe_compress(b"".join(
+                _pb_field(1, 2, s) for s in self._stripe_stats_protos))
+            tail.extend(meta_bytes)
 
-    # footer: types (pre-order: root struct + children), stripes, row count
-    root_type = _pb_field(1, 0, K_STRUCT)
-    for i, name in enumerate(names, start=1):
-        root_type += _pb_field(2, 0, i)  # subtypes (unpacked varints)
-    for name in names:
-        root_type += _pb_field(3, 2, name.encode())
-    type_protos = [root_type]
-    for name, k in zip(names, kinds):
-        tp = _pb_field(1, 0, k)
-        t = table.schema.field(name).type
-        if pa.types.is_decimal(t):
-            tp += _pb_field(5, 0, t.precision) + _pb_field(6, 0, t.scale)
-        type_protos.append(tp)
-    footer = _pb_field(1, 0, len(MAGIC))           # headerLength
-    footer += _pb_field(2, 0, content_len)         # contentLength
-    footer += b"".join(_pb_field(3, 2, s) for s in stripe_infos)
-    footer += b"".join(_pb_field(4, 2, t) for t in type_protos)
-    footer += _pb_field(6, 0, table.num_rows)
-    if row_index_stride and stripe_stats_protos:
-        # file statistics (repeated ColumnStatistics, type-tree order)
-        footer += _pb_field(7, 2, _stats_proto(
-            table.num_rows, False, K_STRUCT, None, None))
-        for i, agg in enumerate(file_stats):
-            s = agg or (0, False, None, None)
+        footer = _pb_field(1, 0, len(MAGIC))           # headerLength
+        footer += _pb_field(2, 0, content_len)         # contentLength
+        footer += b"".join(_pb_field(3, 2, s) for s in self._stripe_infos)
+        footer += b"".join(_pb_field(4, 2, t) for t in _type_protos(self.types))
+        footer += _pb_field(6, 0, self._total_rows)
+        if self.row_index_stride and self._stripe_stats_protos:
+            # file statistics (repeated ColumnStatistics, type-tree order)
             footer += _pb_field(7, 2, _stats_proto(
-                s[0], s[1], kinds[i], s[2], s[3]))
-    footer += _pb_field(8, 0, row_index_stride)    # rowIndexStride
-    footer_bytes = maybe_compress(footer)
-    out.extend(footer_bytes)
+                self._total_rows, False, K_STRUCT, None, None))
+            for tid in range(1, len(self.types)):
+                s = self._file_stats[tid] or (0, False, None, None)
+                footer += _pb_field(7, 2, _stats_proto(
+                    s[0], s[1], self.types[tid].kind, s[2], s[3]))
+        footer += _pb_field(8, 0, self.row_index_stride)    # rowIndexStride
+        footer_bytes = self._maybe_compress(footer)
+        tail.extend(footer_bytes)
 
-    ps = _pb_field(1, 0, len(footer_bytes))        # footerLength
-    ps += _pb_field(2, 0, comp_enum)               # compression
-    if compression != "none":
-        ps += _pb_field(3, 0, blockc.DEFAULT_BLOCK_SIZE)
-    ps += _pb_field(4, 0, 0)                       # version major 0
-    ps += _pb_field(4, 0, 12)                      # version minor 12
-    ps += _pb_field(5, 0, len(meta_bytes))         # metadataLength
-    ps += _pb_field(6, 0, 1)                       # writerVersion
-    ps += _pb_field(8000, 2, MAGIC)                # magic
-    out.extend(ps)
-    out.append(len(ps))
-    with open(path, "wb") as fh:
-        fh.write(bytes(out))
+        comp_enum = {"none": 0, "zlib": 1, "snappy": 2, "lz4": 4,
+                     "zstd": 5}[self.compression]
+        ps = _pb_field(1, 0, len(footer_bytes))        # footerLength
+        ps += _pb_field(2, 0, comp_enum)               # compression
+        if self.compression != "none":
+            ps += _pb_field(3, 0, blockc.DEFAULT_BLOCK_SIZE)
+        ps += _pb_field(4, 0, 0)                       # version major 0
+        ps += _pb_field(4, 0, 12)                      # version minor 12
+        ps += _pb_field(5, 0, len(meta_bytes))         # metadataLength
+        ps += _pb_field(6, 0, 1)                       # writerVersion
+        ps += _pb_field(8000, 2, MAGIC)                # magic
+        tail.extend(ps)
+        tail.append(len(ps))
+        self._fh.write(bytes(tail))
+        self._fh.close()
+        self._closed = True
+
+
+def write_orc(table: pa.Table, path: str, compression: str = "zlib",
+              stripe_rows: int = 100_000, writer_timezone: str = "UTC",
+              rle_version: int = 2, row_index_stride: int = 10_000,
+              bloom_columns: list[str] | None = None,
+              varchar: dict[str, int] | None = None,
+              char: dict[str, int] | None = None) -> None:
+    """Write an Arrow table as a REAL Apache ORC v1 file — whole-table
+    convenience over the streaming :class:`OrcWriter` (which see for the
+    format/layout contract). Nested list/map/struct columns are
+    supported with the (default) indexed layout."""
+    w = OrcWriter(path, table.schema, compression=compression,
+                  stripe_rows=stripe_rows, writer_timezone=writer_timezone,
+                  rle_version=rle_version, row_index_stride=row_index_stride,
+                  bloom_columns=bloom_columns, varchar=varchar, char=char)
+    w.write_table(table)
+    w.close()
 
 
 def prune_stripes(meta: OrcMeta, column: str, lo=None, hi=None,
