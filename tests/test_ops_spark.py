@@ -140,6 +140,35 @@ def test_blocked_broadcast_exact_ann(spark, vectors):
     assert pairs == {(1, 5)}
 
 
+def test_exact_ann_destroys_blocks_and_guards_scale(spark, vectors):
+    """VERDICT r4 next #7: the corpus broadcast blocks are destroyed as
+    soon as the candidate stage is materialized (executor storage returns
+    to baseline), and exact search REFUSES a corpus beyond max_blocks,
+    pointing at the bucketed scale path."""
+    import pytest
+
+    from orc_rust_spark.operators import similarity as sim
+
+    before = sim.BLOCKS_DESTROYED
+    got = sim.cosine_topk(vectors, k=2, block_rows=7).collect()
+    assert len(got) > 0
+    assert sim.BLOCKS_DESTROYED - before >= 5  # 30 vectors / <=7-row blocks
+
+    before = sim.BLOCKS_DESTROYED
+    pairs = {(r.id_a, r.id_b)
+             for r in sim.embedding_neardup_pairs(
+                 vectors, tau=0.95, block_rows=7).collect()}
+    assert pairs == {(1, 5)}
+    assert sim.BLOCKS_DESTROYED - before >= 5
+
+    # guard: a corpus needing more than max_blocks blocks is refused with
+    # a pointer to lsh/ivf, and the partial blocks are released
+    before = sim.BLOCKS_DESTROYED
+    with pytest.raises(ValueError, match="lsh_topk or ivf_topk"):
+        sim.cosine_topk(vectors, k=2, block_rows=7, max_blocks=2)
+    assert sim.BLOCKS_DESTROYED - before >= 2
+
+
 def _broadcast_subtrees(plan: str) -> list[str]:
     """Each BroadcastExchange node's subtree text from an explain() tree."""
     import re
@@ -189,7 +218,11 @@ def test_exact_ann_never_broadcasts_corpus(spark, vectors):
             subs = _broadcast_subtrees(plan)
             assert subs, "expected the candidate set to be broadcast"
             for sub in subs:
-                assert "MapInPandas" in sub, (
+                # the candidate set is the checkpointed output of the
+                # mapInPandas stage: it appears as a Scan ExistingRDD
+                # (post-r5 block-release checkpoint) — a LocalTableScan /
+                # file scan here would mean a corpus relation is broadcast
+                assert "MapInPandas" in sub or "ExistingRDD" in sub, (
                     "BroadcastExchange over a non-candidate relation:\n" + sub
                 )
     finally:
