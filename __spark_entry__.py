@@ -543,7 +543,14 @@ def q_streaming_orcx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_roundtrip_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-RLE roundtrip (E11, reference src/encoding/byte.rs): int8
     columns derived from lineitem encode through the byte-RLE state
-    machine and decode bit-identically."""
+    machine and decode bit-identically.
+
+    The gate aggregates the DECODED rows per l_linenumber — counts plus
+    key-mixed checksums over every decoded value — instead of collecting
+    600k rows to the driver (VERDICT r4 next #5: the 11 s committed line
+    was ~90% driver collect + single-row-group repartition, ~1.1 s
+    engine). Any single wrong byte shifts a checksum: per-row coverage is
+    preserved at a 7-row driver result."""
     from orc_rust_spark.operators.decode import decode_table_arrow
     from orc_rust_spark.operators.encode import encode_table
 
@@ -557,10 +564,16 @@ def q_roundtrip_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chunks = encode_table(src, plan={})
     decoded = decode_table_arrow(chunks, src.schema, co_locate=False)
-    return decoded.select(
-        "l_orderkey", "l_linenumber",
-        F.col("ln8").cast("int").alias("ln8_i"),
-        F.col("q8").cast("int").alias("q8_i"),
+    mix = (F.col("l_orderkey") % F.lit(9973)).cast("long")
+    return (
+        decoded.groupBy(F.col("l_linenumber").cast("int").alias("linenum"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("ln8").cast("long")).alias("sum_ln8"),
+            F.sum(F.col("q8").cast("long")).alias("sum_q8"),
+            F.sum(F.col("q8").cast("long") * mix).alias("chk_q8"),
+            F.sum(F.col("ln8").cast("long") * mix).alias("chk_ln8"),
+        )
     )
 
 
@@ -1271,10 +1284,17 @@ def oracle_sql() -> dict[str, str]:
             f"AND ts < TIMESTAMP '{b[2]}'"
         ))(_events_ts_orc("/root/testdata/sf0.01")),
         "roundtrip_int8":
-            "SELECT l_orderkey, l_linenumber, "
-            "CAST(CAST(l_linenumber AS TINYINT) AS INT) AS ln8_i, "
-            "CAST(CAST((CAST(l_quantity AS INT) % 50) - 25 AS TINYINT) AS INT) AS q8_i "
-            "FROM lineitem",
+            "WITH t AS (SELECT l_orderkey, l_linenumber, "
+            "  CAST(CAST(l_linenumber AS TINYINT) AS BIGINT) AS ln8, "
+            "  CAST(CAST((CAST(l_quantity AS INT) % 50) - 25 AS TINYINT) AS BIGINT) AS q8, "
+            "  CAST(l_orderkey % 9973 AS BIGINT) AS mix FROM lineitem) "
+            "SELECT CAST(l_linenumber AS INT) AS linenum, "
+            "CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(sum(ln8) AS BIGINT) AS sum_ln8, "
+            "CAST(sum(q8) AS BIGINT) AS sum_q8, "
+            "CAST(sum(q8 * mix) AS BIGINT) AS chk_q8, "
+            "CAST(sum(ln8 * mix) AS BIGINT) AS chk_ln8 "
+            "FROM t GROUP BY l_linenumber",
         "roundtrip_fsst_urls":
             "SELECT doc_id, 'https://crawl.example.org/archive/' || source "
             "|| '/page-' || CAST(doc_id AS VARCHAR) || '.html?lang=' || lang "
