@@ -229,7 +229,7 @@ def _encode_column_row_groups(name: str, arr: pa.Array, col_plan: dict, emit) ->
     total_nulls = int(sum(rg["nulls"]))
     for k in kinds:
         data_bytes = bytes(merged[k])
-        bc = (col_plan.get("block_codec", "zlib")
+        bc = (col_plan.get("block_codec", blockc.default_codec())
               if len(data_bytes) >= BLOCK_MIN_BYTES and k != ct.SYMBOL_TABLE else "none")
         is_data = k == ct.DATA  # the rg index + chunk stats ride on DATA
         emit(name, k, rg["codec"], data_bytes,
@@ -261,7 +261,7 @@ def _encode_column(name: str, arr: pa.Array, col_plan: dict, emit) -> None:
     ):
         _encode_column_row_groups(name, arr, col_plan, emit)
         return
-    block_codec_pref = col_plan.get("block_codec", "zlib")
+    block_codec_pref = col_plan.get("block_codec", blockc.default_codec())
     t0 = time.perf_counter()
     null_count = arr.null_count
     if null_count:

@@ -26,6 +26,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..codecs import block as blockc
 from ..codecs.fsst import train_fsst
 from ..operators.decode import decode_table_arrow as decode_table
 from ..operators.encode import STRIPE_BYTES, encode_table
@@ -37,7 +38,9 @@ FSST_MAX_TRAIN_AVG_LEN = 4096
 def plan_codecs(df: DataFrame, sample_rows: int = 2000) -> dict:
     """Pass 1: train FSST tables / set block codecs from a driver sample."""
     string_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "string"]
-    plan: dict[str, dict] = {f.name: {"block_codec": "zlib"} for f in df.schema.fields}
+    plan: dict[str, dict] = {
+        f.name: {"block_codec": blockc.default_codec()} for f in df.schema.fields
+    }
     if not string_cols:
         return plan
     sample = df.select(*string_cols).limit(sample_rows).collect()
