@@ -380,6 +380,64 @@ def test_orcx_stream_offset_ages_by_mtime(orcx, tmp_path):
     assert orcx.read.parquet(out).count() == 1500
 
 
+def test_orcx_stream_offset_semantics_unit(tmp_path):
+    """Driver-side offset algebra of the stream reader, no Spark job:
+    legacy seen-list checkpoints still resume, and a file whose mtime
+    predates the start watermark is assumed processed (the documented
+    FileStreamSource maxFileAge trade)."""
+    import os
+    import time
+
+    import pyarrow as pa
+
+    from orc_rust_spark.sources.datasource import OrcRustStreamReader
+    from orc_rust_spark.sources.orc_file import write_orc
+
+    d = str(tmp_path / "landing")
+    os.makedirs(d)
+
+    def land(name, mtime=None):
+        tbl = pa.table({"id": pa.array(np.arange(10))})
+        p = os.path.join(d, name)
+        write_orc(tbl, p, compression="zlib")
+        if mtime is not None:
+            os.utime(p, (mtime, mtime))
+        return p
+
+    now = time.time()
+    f_old = land("old.orc", mtime=now - 5000)
+    f_seen = land("seen.orc")
+    f_new = land("new.orc")
+
+    r = OrcRustStreamReader({"path": d, "max_file_age_sec": "100"})
+
+    # fresh offset: recent lists only files inside the aging window
+    off = r.latestOffset()
+    recent = {p for p, _ in off["recent"]}
+    assert recent == {f_seen, f_new}
+    assert off["watermark"] > now - 5000
+
+    # legacy seen-list checkpoint: its files are excluded by NAME; the
+    # aged file is excluded by the watermark; only the new file runs
+    parts = r.partitions({"seen": [f_seen], "watermark": off["watermark"]},
+                         off)
+    assert {p.path for p in parts} == {f_new}
+
+    # current-format start offset behaves identically
+    parts2 = r.partitions(
+        {"watermark": off["watermark"], "recent": [[f_seen, now]]}, off)
+    assert {p.path for p in parts2} == {f_new}
+
+    # partitions ship the task-slim meta (no per-stripe lists)
+    assert parts[0].meta is not None and parts[0].meta.stripes == []
+
+    # option validation
+    import pytest
+
+    with pytest.raises(ValueError, match="max_file_age_sec"):
+        OrcRustStreamReader({"path": d, "max_file_age_sec": "0"})
+
+
 def test_orcx_overwrite_survives_failed_job(orcx, tmp_path):
     """Overwrite must not destroy the previous generation before commit:
     a job that fails mid-write leaves the old files intact."""
