@@ -536,7 +536,7 @@ class OrcRustDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> OrcRustWriter:
         w = OrcRustWriter(dict(self.options), schema, overwrite)
-        w._prepare()  # driver-side: mkdir + clear on overwrite
+        w._prepare()  # driver-side mkdir (overwrite deletes inside commit)
         return w
 
     def streamReader(self, schema) -> OrcRustStreamReader:

@@ -87,6 +87,27 @@ def measure(cpus: int, reps: int = int(os.environ.get("SCALING_REPS", "3"))) -> 
             "noop").mode("overwrite").save()
         dec_times.append(time.time() - t0)
     dec_best = min(dec_times)
+
+    # --- orcx sink direction (VERDICT r4 next #10): the same webtext rows
+    # written as REAL indexed ORC through df.write.format("orcx") — the
+    # full writer path (stream encode, ROW_INDEX + stats, zlib block
+    # compression, streamed stripe append, two-phase commit). Same fixed
+    # 64-split input at every cluster size.
+    import shutil
+
+    from orc_rust_spark.sources.datasource import OrcRustDataSource
+
+    spark.dataSource.register(OrcRustDataSource)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+    sink = os.path.join(cache, f"orcx_scaling_sink_{cpus}")
+    wr_times = []
+    for i in range(reps + 1):  # first run is warm-up
+        t0 = time.time()
+        src.write.format("orcx").mode("overwrite").save(sink)
+        if i:
+            wr_times.append(time.time() - t0)
+    wr_best = min(wr_times)
+    shutil.rmtree(sink, ignore_errors=True)
     spark.stop()
     return {
         "cpus": cpus,
@@ -97,6 +118,9 @@ def measure(cpus: int, reps: int = int(os.environ.get("SCALING_REPS", "3"))) -> 
         "decode_wall_sec": round(dec_best, 3),
         "decode_all_times": [round(t, 3) for t in dec_times],
         "decode_gb_per_sec": round(raw / 1e9 / dec_best, 4),
+        "orcx_write_wall_sec": round(wr_best, 3),
+        "orcx_write_all_times": [round(t, 3) for t in wr_times],
+        "orcx_write_gb_per_sec": round(raw / 1e9 / wr_best, 4),
     }
 
 
@@ -116,6 +140,10 @@ def main() -> None:
     eff_8_32 = (results[8]["wall_sec"] / results[32]["wall_sec"]) / 4
     dec_eff_2_8 = (results[2]["decode_wall_sec"] / results[8]["decode_wall_sec"]) / 4
     dec_eff_8_32 = (results[8]["decode_wall_sec"] / results[32]["decode_wall_sec"]) / 4
+    wr_eff_2_8 = (results[2]["orcx_write_wall_sec"]
+                  / results[8]["orcx_write_wall_sec"]) / 4
+    wr_eff_8_32 = (results[8]["orcx_write_wall_sec"]
+                   / results[32]["orcx_write_wall_sec"]) / 4
     summary = {
         "raw_gb": results[8]["raw_gb"],
         "wall_sec": {c: results[c]["wall_sec"] for c in CORES},
@@ -126,6 +154,10 @@ def main() -> None:
         "decode_gb_per_sec": {c: results[c]["decode_gb_per_sec"] for c in CORES},
         "decode_efficiency_n2_to_4n8": round(dec_eff_2_8, 3),
         "decode_efficiency_n8_to_4n32": round(dec_eff_8_32, 3),
+        "orcx_write_wall_sec": {c: results[c]["orcx_write_wall_sec"] for c in CORES},
+        "orcx_write_gb_per_sec": {c: results[c]["orcx_write_gb_per_sec"] for c in CORES},
+        "orcx_write_efficiency_n2_to_4n8": round(wr_eff_2_8, 3),
+        "orcx_write_efficiency_n8_to_4n32": round(wr_eff_8_32, 3),
         "detail": results,
     }
     print(json.dumps(summary))
