@@ -581,8 +581,13 @@ def q_roundtrip_fsst_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FSST roundtrip on URL-shaped strings (north-rule addition; FSST
     paper, Boncz/Neumann/Leis VLDB 2020 — no reference counterpart): a
     synthetic url column with heavy shared prefixes trains a symbol table
-    and encodes through FSST (pytest asserts the selector actually picks
-    fsst on this shape), decoding bit-identically."""
+    and encodes through FSST via ``force_codec`` — a codec-coverage gate.
+    (Since round 5 the selector runs a measured sample trial THROUGH the
+    downstream block codec, and on this shape direct+zlib/zstd beats
+    fsst+zlib/zstd on final bytes, so the unforced choice is correctly
+    'direct' — asserted in tests/test_fsst.py. FSST stays the winner when
+    no block codec runs, e.g. plan {'block_codec': 'none'}.) Decode is
+    bit-identical either way."""
     from orc_rust_spark.codecs.fsst import train_fsst
     from orc_rust_spark.operators.decode import decode_table_arrow
     from orc_rust_spark.operators.encode import encode_table
@@ -599,7 +604,8 @@ def q_roundtrip_fsst_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sample = [r["url"] for r in src.select("url").limit(256).collect()]
     table = train_fsst("".join(sample).encode())
-    plan = {"url": {"fsst_table": table.serialize(), "block_codec": "zlib"}}
+    plan = {"url": {"fsst_table": table.serialize(), "block_codec": "zlib",
+                    "force_codec": "fsst"}}
     chunks = encode_table(src, plan=plan)
     return decode_table_arrow(chunks, src.schema, co_locate=False)
 

@@ -42,13 +42,23 @@ def _flatten_large_binary(arr: pa.Array) -> tuple[bytes, np.ndarray]:
 
 
 def _encode_string_column(
-    dense: pa.Array, fsst_table_bytes: bytes | None
+    dense: pa.Array, fsst_table_bytes: bytes | None, block_codec: str = "none",
+    force_codec: str | None = None,
 ) -> tuple[str, dict, list[tuple[str, bytes]], int]:
-    """-> (codec, stats, [(stream_kind, bytes)], dict_size)."""
+    """-> (codec, stats, [(stream_kind, bytes)], dict_size).
+
+    ``force_codec`` pins the string strategy ('dict'/'fsst'/'direct'),
+    bypassing the selector trial — coverage gates and corpora where the
+    caller knows better than the bounded sample."""
     dense = dense.cast(pa.large_binary()) if not pa.types.is_large_binary(dense.type) else dense
     stats = string_chunk_stats(dense)
     table = FsstTable.deserialize(fsst_table_bytes) if fsst_table_bytes else None
-    codec, detail = choose_string_codec(dense, stats, table)
+    if force_codec is not None:
+        if force_codec == "fsst" and table is None:
+            raise ValueError("force_codec='fsst' requires a trained fsst_table")
+        codec, detail = force_codec, dict(stats, forced=True)
+    else:
+        codec, detail = choose_string_codec(dense, stats, table, block_codec)
     data, offsets = _flatten_large_binary(dense)
     lengths = np.diff(offsets)
     if codec == "dict":
@@ -400,7 +410,10 @@ def _encode_column(name: str, arr: pa.Array, col_plan: dict, emit) -> None:
           or pa.types.is_binary(typ) or pa.types.is_large_binary(typ)):
         is_str = pa.types.is_string(typ) or pa.types.is_large_string(typ)
         fsst_bytes = col_plan.get("fsst_table")
-        codec, stats, streams, dict_size = _encode_string_column(dense, fsst_bytes)
+        codec, stats, streams, dict_size = _encode_string_column(
+            dense, fsst_bytes,
+            col_plan.get("block_codec", blockc.default_codec()),
+            col_plan.get("force_codec"))
         raw = stats["total_bytes"]
         if is_str and len(dense):
             mm = pa.compute.min_max(dense.cast(pa.large_string()))

@@ -107,10 +107,13 @@ def test_roundtrip_texty(strings):
     _roundtrip(bs, table)
 
 
-def test_selector_picks_fsst_for_urls():
-    """The q_roundtrip_fsst_urls oracle query is only meaningful if the
-    selector actually routes URL-shaped strings through FSST — assert the
-    chunk codec, not just the roundtrip."""
+def test_selector_trial_routes_urls_by_block_codec():
+    """Round 5: the FSST decision is a measured trial through the
+    downstream block codec. On URL shapes, direct+zlib/zstd is SMALLER
+    than fsst+zlib/zstd (the block codec re-finds FSST's symbol
+    redundancy), so the unforced choice under a block codec is 'direct';
+    with no block codec FSST wins outright; force_codec='fsst' pins it
+    for the coverage-gate query."""
     import pyarrow as pa
 
     from orc_rust_spark.codecs.fsst import train_fsst
@@ -121,8 +124,32 @@ def test_selector_picks_fsst_for_urls():
         for i in range(5000)
     ])
     table = train_fsst("".join(urls.to_pylist()[:256]).encode())
-    batch = encode_chunk(pa.table({"url": urls}), 0, 0,
-                         {"url": {"fsst_table": table.serialize()}})
-    codecs = {r["codec"] for r in batch.to_pylist()
-              if r["column"] == "url" and r["stream_kind"] == "DATA"}
-    assert codecs == {"fsst"}, codecs
+
+    def data_codec(plan):
+        batch = encode_chunk(pa.table({"url": urls}), 0, 0, {"url": plan})
+        return {r["codec"] for r in batch.to_pylist()
+                if r["column"] == "url" and r["stream_kind"] == "DATA"}
+
+    tser = table.serialize()
+    # no block codec: FSST's 2.4x standalone gain wins the trial
+    assert data_codec({"fsst_table": tser, "block_codec": "none"}) == {"fsst"}
+    # with zstd, the trial measures direct+zstd as smaller on the sample
+    assert data_codec({"fsst_table": tser, "block_codec": "zstd"}) == {"direct"}
+    # whatever a block codec's trial decides, it must AGREE with its own
+    # recorded sample measurements (mechanism, not boundary noise)
+    from orc_rust_spark.codecs.selector import (
+        FSST_FINAL_ADVANTAGE, choose_string_codec, string_chunk_stats)
+    from orc_rust_spark.codecs.fsst import FsstTable
+
+    arr = urls.cast(pa.large_binary())
+    for bc in ("zlib", "zstd"):
+        codec, detail = choose_string_codec(
+            arr, string_chunk_stats(arr), FsstTable.deserialize(tser),
+            block_codec=bc)
+        expected = ("fsst" if detail["fsst_final_bytes"]
+                    <= detail["direct_final_bytes"] * FSST_FINAL_ADVANTAGE
+                    else "direct")
+        assert codec == expected, (bc, detail)
+    # the coverage gate pins fsst explicitly
+    assert data_codec({"fsst_table": tser, "block_codec": "zlib",
+                       "force_codec": "fsst"}) == {"fsst"}

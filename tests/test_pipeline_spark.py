@@ -66,8 +66,11 @@ def test_selector_choices(spark, source):
         codec_by_col.setdefault(col, set()).add(codec)
     # lang: 25 distinct values -> dictionary
     assert codec_by_col["lang"] == {"dict"}
-    # url: unique + short -> FSST must win
-    assert codec_by_col["url"] == {"fsst"}
+    # url: unique + short; since round 5 the selector's sample trial runs
+    # THROUGH the block codec and direct+zstd beats fsst+zstd on final
+    # bytes, so the measured winner is direct (fsst still wins when the
+    # plan sets block_codec='none' — tests/test_fsst.py)
+    assert codec_by_col["url"] == {"direct"}
     # timestamps split, ints RLEv2
     assert codec_by_col["warc_ts"] == {"timestamp_split"}
     # html: big binary -> direct (+ zlib blocks checked below)
@@ -185,8 +188,8 @@ def test_per_codec_metrics(spark, source, tmp_path):
     summary = encode_dataset(spark, source, out, snapshot_id="m1")
     m = per_codec_metrics(spark, summary["chunks_dir"]).collect()
     by_col = {r["column"]: r for r in m}
-    assert by_col["url"]["codec"] == "fsst"
-    assert by_col["url"]["ratio"] > 1.5
+    # r5 trial selector: direct+block beats fsst+block on url final bytes
+    assert by_col["url"]["codec"] == "direct"
     assert all(r["mb_per_sec"] > 0 for r in m if r["raw_bytes"])
 
 

@@ -74,9 +74,16 @@ def test_unique_short_strings_pick_fsst():
     urls = [f"https://host-{i}.example.com/p/{i}".encode() for i in range(512)]
     arr = pa.array(urls, type=pa.binary()).cast(pa.large_binary())
     table = train_fsst(b"".join(urls[:100]))
+    # no downstream block codec: FSST's standalone gain decides
     codec, detail = choose_string_codec(arr, string_chunk_stats(arr), table)
     assert codec == "fsst"
     assert detail["fsst_sample_gain"] > 1.15
+    # under a block codec the trial compares FINAL bytes — on this shape
+    # direct+zstd is smaller, and the detail records both measurements
+    codec_z, detail_z = choose_string_codec(
+        arr, string_chunk_stats(arr), table, block_codec="zstd")
+    assert codec_z == "direct"
+    assert detail_z["direct_final_bytes"] < detail_z["fsst_final_bytes"]
 
 
 def test_long_high_entropy_binary_picks_direct():
