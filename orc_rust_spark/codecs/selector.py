@@ -30,18 +30,45 @@ FSST_MIN_GAIN = 1.15
 FSST_SAMPLE_STRINGS = 256
 
 
+# full dictionary_encode is only worth its cost when a dictionary is a
+# plausible winner: short strings, or a sample that LOOKS low-cardinality
+STATS_FULL_MAX_AVG_LEN = 64
+STATS_SAMPLE_STRINGS = 1024
+
+
 def string_chunk_stats(arr: pa.Array) -> dict:
-    """cardinality / run / entropy / length profile of a string chunk."""
+    """cardinality / run / entropy / length profile of a string chunk.
+
+    For long-string columns (avg_len > 64) the cardinality is first
+    ESTIMATED on a bounded sample — dictionary-encoding megabytes of
+    unique html/text blobs was ~17% of the whole encode pass for a
+    decision that is almost always 'not dict'. The full exact pass still
+    runs whenever the sample looks dictionary-plausible (repeated long
+    boilerplate stays correctly dict-encoded); estimated stats carry
+    ``"estimated": True``."""
     n = len(arr)
     if n == 0:
         return {"n": 0, "distinct": 0, "distinct_ratio": 1.0, "avg_len": 0.0,
                 "run_density": 1.0, "byte_entropy": 0.0, "total_bytes": 0}
-    denc = arr.dictionary_encode()
-    distinct = len(denc.dictionary)
-    indices = denc.indices.to_numpy(zero_copy_only=False)
-    runs = 1 + int(np.count_nonzero(np.diff(indices))) if n > 1 else 1
     bufs = arr.buffers()
     total = int(pa.compute.binary_length(arr).cast(pa.int64()).sum().as_py() or 0)
+    estimated = False
+    if total / n > STATS_FULL_MAX_AVG_LEN and n > STATS_SAMPLE_STRINGS:
+        k = STATS_SAMPLE_STRINGS
+        sample_denc = arr.slice(0, k).dictionary_encode()
+        if len(sample_denc.dictionary) / k > DICT_DISTINCT_RATIO * 0.9:
+            # clearly not dictionary material: estimate from the sample
+            # (scaling the sample ratio up is conservative — it can only
+            # keep us further from the dict branch)
+            distinct = int(len(sample_denc.dictionary) / k * n)
+            indices = sample_denc.indices.to_numpy(zero_copy_only=False)
+            runs = (1 + int(np.count_nonzero(np.diff(indices)))) * n // k
+            estimated = True
+    if not estimated:
+        denc = arr.dictionary_encode()
+        distinct = len(denc.dictionary)
+        indices = denc.indices.to_numpy(zero_copy_only=False)
+        runs = 1 + int(np.count_nonzero(np.diff(indices))) if n > 1 else 1
     # byte entropy over a bounded sample of the raw data buffer
     data_buf = bufs[2] if len(bufs) > 2 and bufs[2] is not None else None
     if data_buf is not None and len(data_buf) > 0:
@@ -51,15 +78,18 @@ def string_chunk_stats(arr: pa.Array) -> dict:
         entropy = float(-(p * np.log2(p)).sum())
     else:
         entropy = 0.0
-    return {
+    out = {
         "n": n,
         "distinct": distinct,
-        "distinct_ratio": distinct / n,
+        "distinct_ratio": min(1.0, distinct / n),
         "avg_len": total / n,
-        "run_density": runs / n,
+        "run_density": min(1.0, runs / n),
         "byte_entropy": entropy,
         "total_bytes": total,
     }
+    if estimated:
+        out["estimated"] = True
+    return out
 
 
 # FSST must beat direct by this factor on FINAL (post-block-codec) bytes
