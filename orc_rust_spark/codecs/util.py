@@ -128,17 +128,22 @@ def decode_bit_width(code: int) -> int:
 def bits_required(values: np.ndarray) -> np.ndarray:
     """Per-element minimal bit width of uint64 values (0 -> 1), exact.
 
-    Uses byte decomposition + unpackbits so it is correct above 2**53
-    (float log2 would not be).
+    Vectorized binary-search on the high bit (6 shift/compare passes) —
+    exact for the full 64-bit range (float log2 would not be above
+    2**53), and ~10x less work than the earlier unpackbits matrix.
     """
     u = np.ascontiguousarray(values, dtype=np.uint64)
     if u.size == 0:
         return np.zeros(0, dtype=np.int64)
-    bits = np.unpackbits(u.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1)
-    first = np.argmax(bits, axis=1)  # index of highest set bit (0 if none)
-    width = np.int64(64) - first
-    any_set = bits.max(axis=1) > 0
-    return np.where(any_set, width, np.int64(1)).astype(np.int64)
+    v = u.copy()
+    w = np.zeros(u.shape, dtype=np.uint64)
+    for s in (32, 16, 8, 4, 2, 1):
+        # branchless: shift by s exactly where the high half is set
+        sh = (v >= (np.uint64(1) << np.uint64(s))).astype(np.uint64) * np.uint64(s)
+        w += sh
+        v >>= sh
+    w += (v > 0).astype(np.uint64)  # remaining bit (v in {0, 1})
+    return np.maximum(w, 1).astype(np.int64)
 
 
 def bits_required_scalar(v: int) -> int:
