@@ -34,6 +34,7 @@ from __future__ import annotations
 import numpy as np
 
 from .util import (
+    percentile_bits_pair,
     bitpack,
     bits_required,
     bits_required_scalar,
@@ -91,6 +92,12 @@ def encode_rlev2(values: np.ndarray, signed: bool = True) -> bytes:
     fixed_threshold = MIN_REPEAT if mean_run >= MIN_REPEAT else 12
     is_fixed = lengths >= fixed_threshold
 
+    # zigzag + per-element bit widths ONCE for the whole array — the
+    # per-run selector then slices instead of recomputing (the small
+    # per-run numpy calls dominated encode time on churny data)
+    zz_all = zigzag_encode(v) if signed else v.view(np.uint64)
+    w_all = bits_required(zz_all)
+
     # group consecutive non-fixed runs into variable spans
     i = 0
     n_runs = starts.size
@@ -106,7 +113,8 @@ def encode_rlev2(values: np.ndarray, signed: bool = True) -> bytes:
             span_end = int(starts[j - 1] + lengths[j - 1])
             for cs in range(span_start, span_end, MAX_RUN_LENGTH):
                 ce = min(cs + MAX_RUN_LENGTH, span_end)
-                _write_variable_run(out, v[cs:ce], signed)
+                _write_variable_run(out, v[cs:ce], signed,
+                                    zz_all[cs:ce], w_all[cs:ce])
             i = j
     return bytes(out)
 
@@ -139,13 +147,18 @@ def _write_fixed_delta(out: bytearray, value: int, length: int, signed: bool) ->
     out.extend(write_signed_varint(0))
 
 
-def _write_variable_run(out: bytearray, literals: np.ndarray, signed: bool) -> None:
-    """The sub-encoding selector over one chunk of <= 512 literals."""
+def _write_variable_run(out: bytearray, literals: np.ndarray, signed: bool,
+                        zz: np.ndarray | None = None,
+                        zz_widths: np.ndarray | None = None) -> None:
+    """The sub-encoding selector over one chunk of <= 512 literals.
+    ``zz``/``zz_widths`` carry the precomputed zigzag view and per-element
+    bit widths when the caller already computed them array-wide."""
     n = literals.size
-    zz = zigzag_encode(literals) if signed else literals.view(np.uint64)
+    if zz is None:
+        zz = zigzag_encode(literals) if signed else literals.view(np.uint64)
 
     if n <= MIN_REPEAT:
-        _write_direct(out, zz, percentile_bits(zz, 1.0))
+        _write_direct(out, zz, percentile_bits(zz, 1.0, zz_widths))
         return
 
     deltas = np.diff(literals)
@@ -162,8 +175,7 @@ def _write_variable_run(out: bytearray, literals: np.ndarray, signed: bool) -> N
         _write_delta(out, literals, max_bits, signed, fixed=False)
         return
 
-    zz100 = percentile_bits(zz, 1.0)
-    zz90 = percentile_bits(zz, 0.9)
+    zz100, zz90 = percentile_bits_pair(zz, 1.0, 0.9, zz_widths)
     if zz100 - zz90 <= 1:
         _write_direct(out, zz, zz100)
         return
@@ -177,8 +189,7 @@ def _write_variable_run(out: bytearray, literals: np.ndarray, signed: bool) -> N
     reduced = (literals.astype(object) - lo).astype(np.uint64) if hi - lo >= 1 << 62 else (
         literals - lo
     ).view(np.uint64)
-    br100 = percentile_bits(reduced, 1.0)
-    br95 = percentile_bits(reduced, 0.95)
+    br100, br95 = percentile_bits_pair(reduced, 1.0, 0.95)
     if br100 != br95:
         if not _write_patched_base(out, literals, reduced, lo, br95, br100):
             _write_direct(out, zz, zz100)
