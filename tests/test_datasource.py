@@ -380,6 +380,32 @@ def test_orcx_stream_offset_ages_by_mtime(orcx, tmp_path):
     assert orcx.read.parquet(out).count() == 1500
 
 
+def test_orcx_sink_defaults_to_zstd(orcx, tmp_path):
+    """The sink's default compression is zstd (ORC kind 5): files carry
+    the zstd PostScript kind, pyarrow reads them back exactly, and the
+    legacy option still writes zlib."""
+    import glob as _glob
+
+    from orc_rust_spark.sources.orc_file import read_metadata
+
+    df = orcx.range(2000).select(
+        F.col("id"), (F.col("id") % 7).alias("v"),
+        F.concat(F.lit("row-"), F.col("id")).alias("s"))
+    out = str(tmp_path / "zs")
+    df.write.format("orcx").mode("overwrite").save(out)
+    files = _glob.glob(out + "/*.orc")
+    assert files and all(read_metadata(p).compression == "zstd" for p in files)
+    back = paorc.read_table(files[0])  # pyarrow cross-reads zstd ORC
+    assert orcx.read.format("orcx").load(out).count() == 2000
+    assert (orcx.read.format("orcx").load(out).agg(F.sum("id")).collect()[0][0]
+            == sum(range(2000)))
+
+    out2 = str(tmp_path / "zl")
+    df.write.format("orcx").option("compression", "zlib").mode("overwrite").save(out2)
+    files2 = _glob.glob(out2 + "/*.orc")
+    assert all(read_metadata(p).compression == "zlib" for p in files2)
+
+
 def test_orcx_stream_offset_semantics_unit(tmp_path):
     """Driver-side offset algebra of the stream reader, no Spark job:
     legacy seen-list checkpoints still resume, and a file whose mtime
