@@ -314,7 +314,7 @@ def compress_stream(
 def decompress_stream(buf: bytes, codec: str = "zlib") -> bytes:
     if codec == "none":
         return buf
-    out = bytearray()
+    parts = []  # one join at the end — no quadratic-ish bytearray growth
     pos = 0
     n = len(buf)
     while pos < n:
@@ -323,5 +323,7 @@ def decompress_stream(buf: bytes, codec: str = "zlib") -> bytes:
         length = header >> 1
         chunk = buf[pos : pos + length]
         pos += length
-        out.extend(chunk if header & 1 else _decompress_one(codec, chunk))
-    return bytes(out)
+        parts.append(chunk if header & 1 else _decompress_one(codec, chunk))
+    if len(parts) == 1:
+        return parts[0] if isinstance(parts[0], bytes) else bytes(parts[0])
+    return b"".join(parts)
