@@ -296,19 +296,17 @@ def compress_stream(
     ``level=None`` uses the codec's default (zlib-3 / zstd-1 / lzma-6)."""
     if codec == "none":
         return raw
-    out = bytearray()
+    parts = []  # (header, payload) pairs; one join at the end
     for i in range(0, len(raw), block_size):
         block = raw[i : i + block_size]
         comp = _compress_one(codec, block, level)
         if len(comp) < len(block):
-            header = len(comp) << 1
-            out.extend(header.to_bytes(3, "little"))
-            out.extend(comp)
+            parts.append((len(comp) << 1).to_bytes(3, "little"))
+            parts.append(comp)
         else:
-            header = (len(block) << 1) | 1
-            out.extend(header.to_bytes(3, "little"))
-            out.extend(block)
-    return bytes(out)
+            parts.append(((len(block) << 1) | 1).to_bytes(3, "little"))
+            parts.append(block)
+    return b"".join(parts)
 
 
 def decompress_stream(buf: bytes, codec: str = "zlib") -> bytes:
