@@ -383,8 +383,9 @@ class OrcRustStreamReader(DataSourceStreamReader):
         new = [p for p, mt in end.get("recent", [])
                if p not in seen and mt >= start_wm]
         parts = []
+        metas = of.read_metadatas(new)  # driver-side, thread-pooled
         for p in new:
-            meta = of.read_metadata(p)  # driver-side, once per new file
+            meta = metas[p]
             if self.columns is not None:
                 have = set(meta.types[0].field_names)
                 missing = [c for c in self.columns if c not in have]
