@@ -464,6 +464,51 @@ def test_orcx_stream_offset_semantics_unit(tmp_path):
         OrcRustStreamReader({"path": d, "max_file_age_sec": "0"})
 
 
+def test_orcx_stream_offset_exactly_once_randomized(tmp_path):
+    """Model check of the offset algebra over randomized landing
+    schedules: across many drain cycles with files landing fresh and
+    aging out between drains, every fresh-landed file is processed
+    EXACTLY once and nothing is ever processed twice."""
+    import os
+    import random
+    import time
+
+    import pyarrow as pa
+
+    from orc_rust_spark.sources.datasource import OrcRustStreamReader
+    from orc_rust_spark.sources.orc_file import write_orc
+
+    rng = random.Random(11)
+    d = str(tmp_path / "landing")
+    os.makedirs(d)
+    r = OrcRustStreamReader({"path": d, "max_file_age_sec": "50"})
+
+    now = time.time()
+    processed: list[str] = []
+    start = r.initialOffset()
+    landed_fresh: list[str] = []
+    n_landed = 0
+    for cycle in range(12):
+        # land 0-3 fresh files
+        for _ in range(rng.randrange(4)):
+            p = os.path.join(d, f"f{n_landed}.orc")
+            write_orc(pa.table({"x": pa.array([n_landed])}), p,
+                      compression="zlib")
+            n_landed += 1
+            landed_fresh.append(p)
+        # age a random already-processed file far past the window
+        if processed and rng.random() < 0.5:
+            victim = rng.choice(processed)
+            os.utime(victim, (now - 10_000, now - 10_000))
+        end = r.latestOffset()
+        parts = r.partitions(start, end)
+        batch = sorted({p.path for p in parts})
+        assert not set(batch) & set(processed), "double-processing"
+        processed.extend(batch)
+        start = end
+    assert sorted(processed) == sorted(landed_fresh)
+
+
 def test_orcx_overwrite_survives_failed_job(orcx, tmp_path):
     """Overwrite must not destroy the previous generation before commit:
     a job that fails mid-write leaves the old files intact."""
