@@ -99,20 +99,29 @@ _WIDTH_TO_CODE = {w: i for i, w in enumerate(_FIXED_BITS)}
 _ALIGNED = np.array([1, 2, 4, 8, 16, 24, 32, 40, 48, 56, 64], dtype=np.int64)
 
 
+# 0..64 -> rounded-up size, as plain-int lookup tables (these sit inside
+# the per-run RLEv2 selector; a numpy searchsorted per scalar was ~25% of
+# churny-int encode time in aggregate)
+_FIXED_LUT = [1] + [
+    next(w for w in _FIXED_BITS if w >= n) for n in range(1, 65)
+]
+_ALIGNED_LUT = [1] + [
+    next(int(w) for w in _ALIGNED.tolist() if w >= n) for n in range(1, 65)
+]
+
+
 def closest_fixed_bits(n: int) -> int:
     """Round a bit width up to the nearest ORC fixed-bit size (min 1)."""
     if n <= 1:
         return 1
-    i = int(np.searchsorted(_FIXED_BITS_ARR, n, side="left"))
-    return int(_FIXED_BITS_ARR[i])
+    return _FIXED_LUT[n]
 
 
 def closest_aligned_bits(n: int) -> int:
     """Round a bit width up to the nearest byte-aligned-friendly size."""
     if n <= 1:
         return 1
-    i = int(np.searchsorted(_ALIGNED, n, side="left"))
-    return int(_ALIGNED[i])
+    return _ALIGNED_LUT[n]
 
 
 def encode_bit_width(width: int) -> int:
@@ -184,19 +193,20 @@ def percentile_bits_pair(
     return _hist_walk(hist, n, p_hi), _hist_walk(hist, n, p_lo)
 
 
-def _width_hist(widths: np.ndarray) -> np.ndarray:
+def _width_hist(widths: np.ndarray) -> list[int]:
     idx = np.searchsorted(_FIXED_BITS_ARR, widths, side="left")
-    return np.bincount(idx, minlength=32)
+    return np.bincount(idx, minlength=32).tolist()  # plain ints: the walk
+    # below runs twice per selector probe and np scalars cost 3x
 
 
-def _hist_walk(hist: np.ndarray, n: int, p: float) -> int:
+def _hist_walk(hist: list[int], n: int, p: float) -> int:
     # scan from the widest fixed-bit bucket down, subtracting counts
     # from the allowance n * (1 - p); the first overdraw is the answer
     per_len = int(n * (1.0 - p))
     for i in range(31, -1, -1):
-        per_len -= int(hist[i])
+        per_len -= hist[i]
         if per_len < 0:
-            return int(_FIXED_BITS_ARR[i])
+            return _FIXED_BITS[i]
     return 1
 
 
