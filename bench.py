@@ -52,7 +52,40 @@ def main() -> None:
     queries: dict[str, float] = {}
     extra: dict[str, object] = {}
 
-    # --- headline: webtext encode ------------------------------------------
+    # --- headline: steady-state webtext encode (north-rule number) --------
+    # VERDICT r5 wrong #1: min-of-N on a ~2 s encode cannot resolve a 2x
+    # code change under this box's documented +-3x per-query variance, so
+    # the committed headline fell two rounds straight while the code got
+    # faster. The headline now times the 4 GB scaling-harness shape (fixed
+    # 16 MiB splits, noop sink, warm pass + min of 3) where steady state
+    # dominates; the old 0.96 GB shape is kept below as
+    # encode_gb_per_sec_small for round-to-round continuity.
+    big_rows = int(os.environ.get("SPARK_GRAFT_BENCH_BIG_ROWS", "2000000"))
+    big_path = _webtext_parquet(spark, big_rows, 64)
+    prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+    big_src = spark.read.parquet(big_path)
+    big_plan = plan_codecs(big_src)
+    big_agg = encode_table(big_src, plan=big_plan).agg(
+        F.sum("raw_bytes").alias("raw"), F.sum("final_bytes").alias("fin")
+    ).collect()[0]  # warm pass doubles as raw/compressed capture
+    big_best = None
+    for _ in range(3):
+        t0 = time.time()
+        encode_table(big_src, plan=big_plan).write.format("noop").mode(
+            "overwrite").save()
+        dt = time.time() - t0
+        big_best = dt if big_best is None else min(big_best, dt)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+    big_raw_gb = (big_agg["raw"] or 0) / 1e9
+    extra["headline_raw_gb"] = round(big_raw_gb, 4)
+    extra["headline_compressed_gb"] = round((big_agg["fin"] or 0) / 1e9, 4)
+    extra["headline_encode_sec"] = round(big_best, 3)
+    extra["encode_gb_per_sec"] = round(big_raw_gb / big_best, 4)
+    extra["compression_ratio"] = round(
+        (big_agg["raw"] or 1) / max(1, big_agg["fin"] or 1), 3)
+
+    # --- small-shape webtext encode (continuity metric) --------------------
     wt_path = _webtext_parquet(spark, BENCH_ROWS, n_cpus * 2)
     src = spark.read.parquet(wt_path)
     plan = plan_codecs(src)
@@ -88,8 +121,7 @@ def main() -> None:
     raw_gb = (agg["raw"] or 0) / 1e9
     extra["raw_gb"] = round(raw_gb, 4)
     extra["compressed_gb"] = round((agg["fin"] or 0) / 1e9, 4)
-    extra["encode_gb_per_sec"] = round(raw_gb / encode_sec, 4)
-    extra["compression_ratio"] = round((agg["raw"] or 1) / max(1, agg["fin"] or 1), 3)
+    extra["encode_gb_per_sec_small"] = round(raw_gb / encode_sec, 4)
 
     # --- decode + verify (min of 2) -------------------------------------------
     # verification is an order-insensitive multiset checksum: count + sum of
@@ -160,6 +192,10 @@ def main() -> None:
     # +-50% (BASELINE.md scaling notes); the minimum measures the engine
     # in the steady state a real cluster's long-lived executors live in
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # build every cached interop fixture OUTSIDE the timed reps (r5's
+    # unattributed orc_file_write_pruned 7.2x was a fixture rebuild drawn
+    # inside the min-of-2 window)
+    entry_mod.warm_caches(spark, SF_DIR)
     all_queries = entry_mod.queries()
     for name, fn in all_queries.items():
         best = None

@@ -57,9 +57,11 @@ def string_chunk_stats(arr: pa.Array) -> dict:
         k = STATS_SAMPLE_STRINGS
         sample_denc = arr.slice(0, k).dictionary_encode()
         if len(sample_denc.dictionary) / k > DICT_DISTINCT_RATIO * 0.9:
-            # clearly not dictionary material: estimate from the sample
-            # (scaling the sample ratio up is conservative — it can only
-            # keep us further from the dict branch)
+            # clearly not dictionary material: estimate from the sample.
+            # choose_string_codec never takes the dict branch on estimated
+            # stats (see the gate there), so an estimate in the
+            # (0.9*ratio, ratio] band cannot trigger the full
+            # dictionary_encode this fast path exists to skip
             distinct = int(len(sample_denc.dictionary) / k * n)
             indices = sample_denc.indices.to_numpy(zero_copy_only=False)
             runs = (1 + int(np.count_nonzero(np.diff(indices)))) * n // k
@@ -117,6 +119,12 @@ def choose_string_codec(
     if (
         stats["distinct_ratio"] <= DICT_DISTINCT_RATIO
         and stats["distinct"] <= DICT_MAX_SIZE
+        # estimated stats exist only because the sample already ruled the
+        # dictionary out (ratio above the gate); taking the dict branch on
+        # them would run the full dictionary_encode the estimate was
+        # skipping (driver-advice r5) — an unrepresentative prefix falls
+        # through to direct/fsst instead, a size-only trade
+        and not stats.get("estimated")
     ):
         return "dict", detail
     if fsst_table is not None and 0 < stats["avg_len"] <= FSST_MAX_AVG_LEN:

@@ -181,6 +181,17 @@ def cosine_topk(
     expression so the reported cosine is bit-identical to a pure SQL
     evaluation (BLAS sum order differs in the last ulp; the pad absorbs
     any rank flips at that magnitude). Ties broken by neighbor id.
+
+    Durability trade (documented per driver-advice r5): the candidate
+    stage is materialized with ``localCheckpoint(eager=True)`` and the
+    corpus broadcasts are then destroyed, which makes this call EAGER and
+    the truncated lineage non-recoverable — on a real cluster, losing an
+    executor that held checkpoint blocks fails the downstream action
+    permanently (the broadcasts needed to recompute are gone). The
+    alternative trade (keep broadcasts until session end) pins the packed
+    corpus in executor storage; for an exact-scoring operator whose scale
+    ceiling is ~16M vectors anyway, bounded-memory-per-call wins. Use
+    ``lsh_topk`` / ``ivf_topk`` where fault-tolerant lineage matters.
     """
     import pandas as pd
 
@@ -514,6 +525,12 @@ def embedding_neardup_pairs(
     re-scores exactly and applies the precise >= tau cut — output
     identical to the all-pairs SQL, at matmul cost instead of an O(n^2)
     nested-loop join.
+
+    Same durability trade as cosine_topk (see its docstring): eager
+    localCheckpoint + broadcast destroy bounds executor storage per call
+    but makes the truncated lineage non-recoverable after executor loss;
+    prefer minhash/simhash or the LSH family where lineage-level fault
+    tolerance matters at scale.
     """
     import pandas as pd
 

@@ -331,7 +331,16 @@ class OrcRustStreamReader(DataSourceStreamReader):
     window), not O(all files ever). The documented trade (identical to
     FileStreamSource): a file landing with an mtime OLDER than the
     current watermark is skipped. Legacy ``{"seen": [...]}`` checkpoints
-    are still honored as the start offset."""
+    are still honored as the start offset.
+
+    First-batch semantics (driver-advice r5): a FRESHLY STARTED stream
+    (no checkpoint) processes every pre-existing file regardless of age —
+    its first end offset lists them all, so the batch is replay-
+    deterministic and one-time O(existing files); the aging rule applies
+    from the second batch on. This matches FileStreamSource, which also
+    exempts existing files from maxFileAge on start. A restart from a
+    checkpoint never re-expands: the watermark then encodes what was
+    already processed."""
 
     def __init__(self, options: dict, columns: list[str] | None = None):
         self.path = options.get("path")
@@ -345,6 +354,10 @@ class OrcRustStreamReader(DataSourceStreamReader):
         # serving file order against a reordered schema would silently
         # swap column values)
         self.columns = columns
+        # set only by initialOffset(), which Spark calls exactly when no
+        # checkpoint exists — the signal that the NEXT latestOffset is a
+        # fresh stream's first batch and must include all existing files
+        self._fresh_start = False
 
     def _files(self) -> list[tuple[str, float]]:
         import glob as _glob
@@ -363,6 +376,7 @@ class OrcRustStreamReader(DataSourceStreamReader):
         return out
 
     def initialOffset(self) -> dict:
+        self._fresh_start = True
         return {"watermark": 0.0, "recent": []}
 
     def latestOffset(self) -> dict:
@@ -370,6 +384,13 @@ class OrcRustStreamReader(DataSourceStreamReader):
         if not files:
             return {"watermark": 0.0, "recent": []}
         wm = max(mt for _, mt in files) - self.max_age
+        if self._fresh_start:
+            # first batch of a fresh stream: list EVERY existing file so
+            # none is silently aged out (class docstring, driver-advice
+            # r5); entries below wm drop out of the next offset after
+            # being processed here
+            self._fresh_start = False
+            return {"watermark": wm, "recent": [[p, mt] for p, mt in files]}
         return {"watermark": wm,
                 "recent": [[p, mt] for p, mt in files if mt >= wm]}
 
