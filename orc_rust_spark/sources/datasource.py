@@ -19,6 +19,12 @@ ORC statistics, and:
 
 All pushed filters are also RETURNED to Spark, so the exact residual is
 always applied — our pruning is advisory (three-valued), never final.
+
+r6: ``.option("row_ranges", "a-b,c-d")`` adds the caller-supplied
+row-range selection (half-open [start, stop) file row coordinates,
+single file; the reference's RowSelection/from_consecutive_ranges API) —
+unlike stats pruning this is EXACT: non-intersecting stripes are never
+scheduled, only intersecting index groups decode, rows slice precisely.
 """
 
 from __future__ import annotations
@@ -106,6 +112,7 @@ class _StripePartition(InputPartition):
     footer_length: int
     rows: int
     meta: object = None  # driver-parsed OrcMeta (streaming partitions)
+    ranges: object = None  # stripe-local [start, stop) row ranges (r6)
 
 
 def _plain_type(t) -> "pa.DataType":  # noqa: F821
@@ -147,6 +154,18 @@ class OrcRustReader(DataSourceReader):
         # projection from the (possibly user-specified) scan schema: read()
         # must return exactly these columns in this order
         self.columns = columns
+        # r6: caller-supplied row-range selection (the reference's
+        # RowSelection/from_consecutive_ranges API, src/row_selection.rs:
+        # 32-260) as a read option: .option("row_ranges", "0-100,5000-5100")
+        # — half-open [start, stop) FILE row coordinates, single file only
+        rr = options.get("row_ranges")
+        self.row_ranges = None
+        if rr:
+            parsed = []
+            for part in str(rr).split(","):
+                a, _, b = part.strip().partition("-")
+                parsed.append((int(a), int(b)))
+            self.row_ranges = of.normalize_row_ranges(parsed)
         # metadata parsed ONCE on the driver per file (thread-pooled across
         # files); each InputPartition then carries its OWN file's task-slim
         # meta and __getstate__ drops this dict, so the reader pickled into
@@ -265,6 +284,10 @@ class OrcRustReader(DataSourceReader):
 
     def partitions(self):
         preds = self._predicates()
+        if self.row_ranges is not None and len(self.metas) != 1:
+            raise ValueError(
+                f"orcx row_ranges requires a single ORC file (got "
+                f"{len(self.metas)}): file row coordinates are per-file")
         parts = []
         for path, meta in self.metas.items():
             idx = set(range(len(meta.stripes)))
@@ -276,12 +299,31 @@ class OrcRustReader(DataSourceReader):
                     idx &= set(of.prune_stripes(meta, p["column"],
                                                 p.get("lo"), p.get("hi")))
             idx = sorted(idx)
+            # row ranges: clip to each stripe's span; non-intersecting
+            # stripes are never scheduled (same algebra as orc_scan)
+            local_ranges: dict[int, list] = {}
+            if self.row_ranges is not None:
+                base = 0
+                bases = []
+                for s in meta.stripes:
+                    bases.append(base)
+                    base += s.number_of_rows
+                kept = []
+                for i in idx:
+                    s_rows = meta.stripes[i].number_of_rows
+                    lr = [(max(lo - bases[i], 0), min(hi - bases[i], s_rows))
+                          for lo, hi in self.row_ranges
+                          if lo < bases[i] + s_rows and hi > bases[i]]
+                    if lr:
+                        local_ranges[i] = lr
+                        kept.append(i)
+                idx = kept
             slim = of.task_meta(meta)  # O(schema), shared by this file's parts
             parts.extend(
                 _StripePartition(path, s.offset, s.index_length,
                                  s.data_length, s.footer_length,
-                                 s.number_of_rows, slim)
-                for s in (meta.stripes[i] for i in idx)
+                                 s.number_of_rows, slim, local_ranges.get(i))
+                for i, s in ((i, meta.stripes[i]) for i in idx)
             )
         return parts or [_StripePartition(self.path, -1, 0, 0, 0, 0)]  # empty
 
@@ -296,13 +338,14 @@ class OrcRustReader(DataSourceReader):
             body = fh.read(part.index_length + part.data_length)
             footer_raw = fh.read(part.footer_length)
         preds = self._predicates()
-        if preds:
+        if preds or part.ranges is not None:
             # the projection reaches the pruned decode path too: unprojected
             # columns of kept groups are never seek-decoded (VERDICT r3
-            # missing #1); per-column keeps INTERSECT across the AND-list
+            # missing #1); per-column keeps INTERSECT across the AND-list,
+            # and caller row ranges AND in through the same algebra
             tbl, _, _ = of.decode_stripe_pruned(
                 body, footer_raw, meta, part.rows, columns=self.columns,
-                predicates=preds)
+                predicates=preds, row_ranges=part.ranges)
         else:
             tbl = of.decode_stripe(body, footer_raw, meta, part.rows,
                                    columns=self.columns)

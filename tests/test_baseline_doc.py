@@ -65,3 +65,41 @@ def test_round4_prose_quotes_the_committed_headline():
     assert f"{p['value']:.1f} s" in r4          # 102.3 s total
     assert str(p["encode_gb_per_sec"]) in r4    # 0.3831 GB/s headline
     assert f"over {len(p['queries'])} queries" in r4
+
+
+def test_round_sections_quote_committed_headlines():
+    """VERDICT r5 next #9: any `Committed-headline rN:` marker line in
+    BASELINE.md must quote EXACTLY the committed BENCH_r0N.json headline
+    (encode_gb_per_sec + compression_ratio). Markers for rounds whose
+    artifact hasn't landed yet (the driver writes BENCH_rNN.json at round
+    end) say 'pending' instead of numbers. From round 5 on, every round
+    section must carry the marker."""
+    import json
+
+    with open(os.path.join(REPO, "BASELINE.md")) as fh:
+        text = fh.read()
+
+    rounds_with_sections = [
+        int(m) for m in re.findall(r"## Round-(\d+) measured results", text)]
+    markers = dict(re.findall(
+        r"Committed-headline r(\d+): (pending|\*\*[\d.]+ GB/s\*\* at "
+        r"\*\*[\d.]+x\*\*)", text))
+    for n in rounds_with_sections:
+        if n >= 5:
+            assert str(n) in markers, (
+                f"Round-{n} section lacks a 'Committed-headline r{n}:' "
+                "marker line")
+    for n_str, quoted in markers.items():
+        artifact = os.path.join(REPO, f"BENCH_r{int(n_str):02d}.json")
+        if not os.path.exists(artifact):
+            assert quoted == "pending", (
+                f"marker r{n_str} quotes numbers but {artifact} does not "
+                "exist yet")
+            continue
+        with open(artifact) as fh:
+            p = json.load(fh)["parsed"]
+        want = (f"**{p['encode_gb_per_sec']} GB/s** at "
+                f"**{p['compression_ratio']}x**")
+        assert quoted == want, (
+            f"marker r{n_str} quotes {quoted!r} but the committed artifact "
+            f"says {want!r} — fix the BASELINE.md marker")

@@ -132,3 +132,33 @@ def test_orc_scan_row_ranges_rejects_multi_file(spark, tmp_path, ranged_orc):
     with pytest.raises(ValueError, match="single ORC file"):
         orc_scan(spark, str(d), "id long, name string, val double",
                  row_ranges=[(0, 10)])
+
+
+def test_orcx_datasource_row_ranges_option(spark, tmp_path, ranged_orc):
+    """The row-range selection is also exposed on the registered orcx
+    DataSource as .option("row_ranges", "a-b,c-d") — same clipping,
+    stripe skip, AND-composition, and exact slice as orc_scan."""
+    from pyspark.sql import functions as F
+
+    from orc_rust_spark.sources.datasource import OrcRustDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(OrcRustDataSource)
+    path, tbl = ranged_orc
+    df = (spark.read.format("orcx")
+          .option("row_ranges", "19990-20020, 45000-45100")
+          .load(path))
+    got = sorted(r["id"] for r in df.collect())
+    assert got == list(range(19_990, 20_020)) + list(range(45_000, 45_100))
+    # residual Spark filters still apply exactly on top of the selection
+    assert df.where(F.col("id") % 2 == 0).count() == 65
+    # multi-file loads are rejected up front
+    import shutil
+
+    d = tmp_path / "many_ds"
+    d.mkdir()
+    shutil.copy(path, d / "a.orc")
+    shutil.copy(path, d / "b.orc")
+    with pytest.raises(Exception, match="single ORC file"):
+        (spark.read.format("orcx").option("row_ranges", "0-10")
+         .load(str(d))).collect()
