@@ -1658,14 +1658,35 @@ def _build_write_types(
     schema: pa.Schema,
     varchar: dict[str, int] | None = None,
     char: dict[str, int] | None = None,
+    union: set[str] | None = None,
 ) -> tuple[list[OrcType], list[pa.DataType | None]]:
     """Pre-order ORC type tree for an Arrow schema — root struct id 0,
     each column's subtree ids assigned depth-first (the reference's
     RootDataType/column-id model, src/schema.rs). ``varchar``/``char``
     declare maximumLength for top-level string columns (emitted as
-    K_VARCHAR/K_CHAR type protos). Returns (types, arrow type per id)."""
+    K_VARCHAR/K_CHAR type protos). ``union`` names top-level TAGGED-STRUCT
+    columns — ``struct<tag:int8, v0, v1, ...>``, the exact shape this
+    reader's union decode produces — to emit as real ORC UNION types
+    (r6; the reference reads unions, src/array_decoder/union.rs, and its
+    writer supports no nested types at all). Returns
+    (types, arrow type per id)."""
     types: list[OrcType] = [OrcType(kind=K_STRUCT)]
     atypes: list[pa.DataType | None] = [None]
+
+    def build_union(t: pa.DataType) -> int:
+        if (not pa.types.is_struct(t) or t.num_fields < 2
+                or t.field(0).name != "tag"
+                or t.field(0).type != pa.int8()):
+            raise ValueError(
+                "union columns must be tagged structs "
+                f"struct<tag:int8, v0, ...>; got {t}")
+        tid = len(types)
+        node = OrcType(kind=K_UNION)
+        types.append(node)
+        atypes.append(t)
+        for f in list(t)[1:]:
+            node.subtypes.append(build(f.type))
+        return tid
 
     def build(t: pa.DataType) -> int:
         tid = len(types)
@@ -1698,7 +1719,8 @@ def _build_write_types(
     root = types[0]
     for fld in schema:
         root.field_names.append(fld.name)
-        tid = build(fld.type)
+        tid = (build_union(fld.type) if fld.name in (union or set())
+               else build(fld.type))
         root.subtypes.append(tid)
         declared = (varchar or {}).get(fld.name), (char or {}).get(fld.name)
         if declared[0] is not None or declared[1] is not None:
@@ -1782,7 +1804,7 @@ def _encode_indexed_tree(
         arr = arr.combine_chunks()
     if stats_arr is not None and isinstance(stats_arr, pa.ChunkedArray):
         stats_arr = stats_arr.combine_chunks()
-    if k not in (K_LIST, K_MAP, K_STRUCT):
+    if k not in (K_LIST, K_MAP, K_STRUCT, K_UNION):
         out[tid] = _encode_indexed_column(
             name, arr, k, compression, group_counts, rle_version,
             bloom=bloom, stats_arr=stats_arr, regular=regular)
@@ -1805,6 +1827,19 @@ def _encode_indexed_tree(
         lengths_all, flat_children = _valid_list_parts(arr)
     else:
         flat_children = None
+    tags_all = None
+    variant_counts: list[list[int]] = []
+    if k == K_UNION:
+        from ..codecs.byte_rle import encode_byte_rle
+
+        dense_u = arr.drop_null() if has_nulls else arr
+        tags_all = (dense_u.field(0).to_numpy(zero_copy_only=False)
+                    .astype(np.uint8))
+        if tags_all.size and int(tags_all.max()) >= len(t.subtypes):
+            raise ValueError(
+                f"union column {name!r}: tag {int(tags_all.max())} out of "
+                f"range for {len(t.subtypes)} variants")
+        variant_counts = [[] for _ in t.subtypes]
 
     group_parts: list[dict[int, bytes]] = []
     group_stats: list[tuple] = []
@@ -1823,6 +1858,12 @@ def _encode_indexed_tree(
             if g_dense:
                 parts[S_LENGTH] = encode_rlev2(g_lens, signed=False)
             child_counts.append(int(g_lens.sum()))
+        elif k == K_UNION:
+            g_tags = tags_all[dense_prefix: dense_prefix + g_dense]
+            if g_dense:
+                parts[S_DATA] = encode_byte_rle(g_tags)
+            for i in range(len(t.subtypes)):
+                variant_counts[i].append(int((g_tags == i).sum()))
         else:
             child_counts.append(g_dense)
         dense_prefix += g_dense
@@ -1837,8 +1878,9 @@ def _encode_indexed_tree(
     data_streams = [(kk, merged[kk]) for kk in (S_PRESENT, S_DATA, S_LENGTH)
                     if kk in merged]
     # list/map LENGTH is RLEv2 -> declare DIRECT_V2 so readers pick the
-    # v2 decoder; struct has no RLE stream (DIRECT)
-    enc = E_DIRECT if k == K_STRUCT else E_DIRECT_V2
+    # v2 decoder; struct has no RLE stream and union's tag stream is
+    # byte-RLE (both DIRECT)
+    enc = E_DIRECT if k in (K_STRUCT, K_UNION) else E_DIRECT_V2
     out[tid] = (data_streams, entries, None, _pb_field(1, 0, enc),
                 _agg_stats(k, group_stats))
 
@@ -1853,6 +1895,17 @@ def _encode_indexed_tree(
             _encode_indexed_tree(
                 f"{name}{suffix}", child, cid, types, compression,
                 rle_version, False, child_counts, out, regular=False)
+    elif k == K_UNION:
+        # each variant's values are stored DENSELY where its tag fires
+        # (reference read contract src/array_decoder/union.rs); per-group
+        # child counts are that group's tag counts for the variant
+        dense = arr.drop_null() if has_nulls else arr
+        for i, cid in enumerate(t.subtypes):
+            sel = pa.array(tags_all == i)
+            child = dense.field(i + 1).filter(sel)
+            _encode_indexed_tree(
+                f"{name}.{i}", child, cid, types, compression, rle_version,
+                False, variant_counts[i], out, regular=False)
     else:  # struct: children carry one value per PRESENT parent row
         dense = arr.drop_null() if has_nulls else arr
         for cid, fname in zip(t.subtypes, t.field_names):
@@ -1899,7 +1952,8 @@ class OrcWriter:
                  rle_version: int = 2, row_index_stride: int = 10_000,
                  bloom_columns: list[str] | None = None,
                  varchar: dict[str, int] | None = None,
-                 char: dict[str, int] | None = None):
+                 char: dict[str, int] | None = None,
+                 union_columns: list[str] | None = None):
         if row_index_stride and row_index_stride % 8 != 0:
             # boolean/PRESENT sub-streams pad each group to a byte
             # boundary (np.packbits); a non-multiple-of-8 stride would
@@ -1914,7 +1968,8 @@ class OrcWriter:
         self.row_index_stride = row_index_stride
         self.bloom_cols = set(bloom_columns or [])
         self.schema = schema
-        self.types, self.atypes = _build_write_types(schema, varchar, char)
+        self.types, self.atypes = _build_write_types(
+            schema, varchar, char, union=set(union_columns or []))
         root = self.types[0]
         self._top_ids = dict(zip(root.field_names, root.subtypes))
         if not row_index_stride:
@@ -2186,15 +2241,20 @@ def write_orc(table: pa.Table, path: str, compression: str = "zlib",
               rle_version: int = 2, row_index_stride: int = 10_000,
               bloom_columns: list[str] | None = None,
               varchar: dict[str, int] | None = None,
-              char: dict[str, int] | None = None) -> None:
+              char: dict[str, int] | None = None,
+              union_columns: list[str] | None = None) -> None:
     """Write an Arrow table as a REAL Apache ORC v1 file — whole-table
     convenience over the streaming :class:`OrcWriter` (which see for the
     format/layout contract). Nested list/map/struct columns are
-    supported with the (default) indexed layout."""
+    supported with the (default) indexed layout; ``union_columns`` names
+    tagged-struct columns (struct<tag:int8, v0, ...>) to emit as real
+    ORC UNION types (r6 — write-side parity for the reader's union
+    expansion; the reference writer rejects all nested types)."""
     w = OrcWriter(path, table.schema, compression=compression,
                   stripe_rows=stripe_rows, writer_timezone=writer_timezone,
                   rle_version=rle_version, row_index_stride=row_index_stride,
-                  bloom_columns=bloom_columns, varchar=varchar, char=char)
+                  bloom_columns=bloom_columns, varchar=varchar, char=char,
+                  union_columns=union_columns)
     w.write_table(table)
     w.close()
 

@@ -162,3 +162,26 @@ def test_orcx_datasource_row_ranges_option(spark, tmp_path, ranged_orc):
     with pytest.raises(Exception, match="single ORC file"):
         (spark.read.format("orcx").option("row_ranges", "0-10")
          .load(str(d))).collect()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 19_990), st.integers(1, 2_000)),
+    min_size=1, max_size=6,
+))
+def test_ranges_property_equal_slice(ranged_orc, raw):
+    """Property: for ANY set of ranges, the range-selected decode of a
+    stripe equals the full decode sliced by the normalized ranges."""
+    path, tbl = ranged_orc
+    meta, parts = _stripe_parts(path)
+    body, footer, rows = parts[0]
+    ranges = normalize_row_ranges([(a, min(a + w, 20_000)) for a, w in raw])
+    out, decoded, total = decode_stripe_pruned(
+        body, footer, meta, rows, row_ranges=ranges)
+    expect = pa.concat_tables([tbl.slice(a, b - a) for a, b in ranges])
+    assert out.equals(expect.cast(out.schema))
+    assert decoded <= total
