@@ -120,3 +120,40 @@ def test_union_declaration_validated():
     bad = pa.table({"u": pa.array([{"a": 1}], type=pa.struct([("a", pa.int64())]))})
     with pytest.raises(ValueError, match="tagged structs"):
         write_orc(bad, "/tmp/nope.orc", union_columns=["u"])
+
+
+def test_union_written_file_seek_decodes_groups(tmp_path):
+    """Our OWN union files carry per-group ROW_INDEX positions for the
+    tag stream and every variant child: a point lookup seek-decodes only
+    the matching 10k group (groups_decoded < total) and reassembles the
+    tagged struct correctly across irregular per-group variant counts."""
+    from orc_rust_spark.sources.orc_file import decode_stripe_pruned
+
+    n = 25_000
+    rng = np.random.default_rng(3)
+    tags = rng.integers(0, 2, n).astype(np.int8)
+    typ = pa.struct([("tag", pa.int8()), ("f0", pa.int64()),
+                     ("f1", pa.string())])
+    rows = [{"tag": int(t), "f0": int(i) if t == 0 else None,
+             "f1": f"s{i}" if t == 1 else None}
+            for i, t in enumerate(tags)]
+    tbl = pa.table({"id": pa.array(np.arange(n, dtype=np.int64)),
+                    "u": pa.array(rows, type=typ)})
+    path = str(tmp_path / "u_seek.orc")
+    write_orc(tbl, path, compression="zlib", union_columns=["u"])
+    meta = read_metadata(path)
+    s = meta.stripes[0]
+    with open(path, "rb") as fh:
+        fh.seek(s.offset)
+        body = fh.read(s.index_length + s.data_length)
+        footer = fh.read(s.footer_length)
+    for probe in (23_456, 7, 10_000):
+        out, dec, tot = decode_stripe_pruned(
+            body, footer, meta, s.number_of_rows, column="id", eq=probe)
+        assert dec == 1 and tot == 3
+        i = out.column("id").to_pylist().index(probe)
+        u = out.column("u").combine_chunks()
+        exp = rows[probe]
+        assert u.field("tag")[i].as_py() == exp["tag"]
+        assert u.field("f0")[i].as_py() == exp["f0"]
+        assert u.field("f1")[i].as_py() == exp["f1"]
