@@ -274,8 +274,29 @@ def read_metadatas(paths: list[str], max_workers: int = 16) -> dict[str, "OrcMet
 
 
 def read_metadata(path: str) -> OrcMeta:
+    """Parse the file tail (PostScript/Footer/Metadata) into an OrcMeta.
+
+    Corruption-hardened (r6 fuzz pass): any low-level failure inside the
+    wire parse — a zlib/lzma error from a flipped bit in the compressed
+    tail, a type confusion from a mutated protobuf wire type, a short
+    buffer — surfaces as ``ValueError("corrupt or non-ORC file ...")``
+    instead of leaking codec/TypeError internals; 300-mutation fuzz in
+    tests/test_orc_interop.py asserts no other exception type escapes."""
+    try:
+        return _read_metadata_impl(path)
+    except (NotImplementedError, ValueError):
+        raise
+    except Exception as ex:
+        raise ValueError(
+            f"corrupt or non-ORC file {path!r}: "
+            f"{type(ex).__name__}: {ex}") from ex
+
+
+def _read_metadata_impl(path: str) -> OrcMeta:
     size = os.path.getsize(path)
     with open(path, "rb") as fh:
+        if size < len(MAGIC) + 1 or fh.read(len(MAGIC)) != MAGIC:
+            raise ValueError(f"not an ORC file (bad magic): {path!r}")
         tail_len = min(size, 16 * 1024)
         fh.seek(size - tail_len)
         tail = fh.read(tail_len)

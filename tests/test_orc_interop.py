@@ -1361,3 +1361,41 @@ def test_overwrite_commit_renames_before_deleting(tmp_path, monkeypatch):
     # the new generation is visible even though the delete phase died
     assert os.path.exists(os.path.join(d, "part-new.orc"))
     assert not os.path.exists(tmp)
+
+
+def test_metadata_parse_corruption_hardened(tmp_path):
+    """r6 fuzz pass: random tail mutations of a valid ORC file must
+    either still parse or raise ValueError/NotImplementedError — never a
+    raw zlib error, TypeError, or hang — and a non-ORC file fails fast
+    on the magic check."""
+    import random
+
+    from orc_rust_spark.sources.orc_file import read_metadata, write_orc
+
+    tbl = pa.table({"id": pa.array(np.arange(1000, dtype=np.int64)),
+                    "s": pa.array([f"v{i % 7}" for i in range(1000)])})
+    base = str(tmp_path / "fuzz_base.orc")
+    write_orc(tbl, base, compression="zlib")
+    data = open(base, "rb").read()
+
+    not_orc = str(tmp_path / "not_orc.bin")
+    open(not_orc, "wb").write(b"PK\x03\x04 definitely a zip" * 10)
+    with pytest.raises(ValueError, match="bad magic"):
+        read_metadata(not_orc)
+
+    rng = random.Random(1)
+    mut = str(tmp_path / "fuzz_mut.orc")
+    outcomes = {"ok": 0, "clean": 0}
+    for _ in range(300):
+        b = bytearray(data)
+        for _ in range(rng.randrange(1, 4)):
+            pos = rng.randrange(max(0, len(b) - 256), len(b))
+            b[pos] = rng.randrange(256)
+        open(mut, "wb").write(bytes(b))
+        try:
+            read_metadata(mut)
+            outcomes["ok"] += 1
+        except (ValueError, NotImplementedError):
+            outcomes["clean"] += 1
+        # any other exception type propagates and fails the test
+    assert outcomes["clean"] > 0  # mutations really did corrupt tails
