@@ -658,3 +658,28 @@ def test_orcx_instant_timestamp_cross_tz(orcx, tmp_path):
             assert v == expect, tz
     finally:
         orcx.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_nested_instant_timestamp_write(tmp_path):
+    """Instant mapping recurses: a tz-aware timestamp INSIDE a struct
+    writes as a nested TIMESTAMP_INSTANT node, roundtrips through our
+    reader, and liborc reads it tz-aware with identical instants."""
+    from orc_rust_spark.sources.orc_file import (
+        K_TIMESTAMP_INSTANT, read_metadata, write_orc)
+    from tests.test_orc_interop import orc_to_table
+
+    n = 500
+    ts = pa.array([1_700_000_000_000_000 + i for i in range(n)],
+                  pa.timestamp("us", tz="UTC"))
+    inner = pa.StructArray.from_arrays(
+        [ts, pa.array(np.arange(n))], ["when", "v"])
+    tbl = pa.table({"id": pa.array(np.arange(n)), "s": inner})
+    path = str(tmp_path / "nested_instant.orc")
+    write_orc(tbl, path, compression="zlib")
+    meta = read_metadata(path)
+    assert K_TIMESTAMP_INSTANT in [t.kind for t in meta.types]
+    back = orc_to_table(path).column("s").combine_chunks().field("when")
+    assert back.cast(pa.timestamp("us", tz="UTC")).equals(ts)
+    lw = paorc.read_table(path).column("s").combine_chunks().field("when")
+    assert lw.type.tz is not None
+    assert lw.cast(pa.timestamp("us", tz="UTC")).equals(ts)
