@@ -2409,31 +2409,53 @@ def orc_scan(spark, path: str, schema, predicate=None,
     ).repartition(min(len(stripes), spark.sparkContext.defaultParallelism))
 
     def scan(batches):
+        # async-reader analog (reference src/async_arrow_reader.rs:75-190
+        # overlaps stripe fetch with decode on a tokio runtime; here
+        # cross-STRIPE overlap is Spark task parallelism, and WITHIN a
+        # task a one-ahead fetch thread reads the next stripe's byte
+        # range while the current one decodes — the same pipeline, one
+        # stage deep, bounded to one prefetched stripe of memory)
+        import concurrent.futures as _cf
+
         meta_cache: dict[str, OrcMeta] = {}  # unpickle once per file per task
-        for b in batches:
-            for row in b.to_pylist():
-                m = meta_cache.get(row["path"])
+
+        def fetch(row):
+            with open(row["path"], "rb") as fh:
+                fh.seek(row["offset"])
+                body = fh.read(row["index_length"] + row["data_length"])
+                footer_raw = fh.read(row["footer_length"])
+            return body, footer_raw
+
+        rows = (row for b in batches for row in b.to_pylist())
+        cur = next(rows, None)
+        if cur is None:
+            return
+        with _cf.ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(fetch, cur)
+            while cur is not None:
+                body, footer_raw = fut.result()
+                nxt = next(rows, None)
+                if nxt is not None:
+                    fut = pool.submit(fetch, nxt)
+                m = meta_cache.get(cur["path"])
                 if m is None:
-                    m = meta_cache[row["path"]] = _pickle.loads(row["meta"])
-                with open(row["path"], "rb") as fh:
-                    fh.seek(row["offset"])
-                    body = fh.read(row["index_length"] + row["data_length"])
-                    footer_raw = fh.read(row["footer_length"])
-                ranges = (_pickle.loads(row["ranges"])
-                          if row["ranges"] is not None else None)
+                    m = meta_cache[cur["path"]] = _pickle.loads(cur["meta"])
+                ranges = (_pickle.loads(cur["ranges"])
+                          if cur["ranges"] is not None else None)
                 if predicate is not None or ranges is not None:
                     col, lo, hi = predicate or (None, None, None)
                     eq = lo if (lo is not None and lo == hi) else None
                     tbl, _, _ = decode_stripe_pruned(
-                        body, footer_raw, m, row["rows"], col,
+                        body, footer_raw, m, cur["rows"], col,
                         eq=eq, lo=None if eq is not None else lo,
                         hi=None if eq is not None else hi, columns=columns,
                         row_ranges=ranges)
                 else:
-                    tbl = decode_stripe(body, footer_raw, m, row["rows"],
+                    tbl = decode_stripe(body, footer_raw, m, cur["rows"],
                                         columns=columns)
                 for rb in tbl.to_batches():
                     yield rb
+                cur = nxt
 
     return sdf.mapInArrow(scan, schema=schema)
 

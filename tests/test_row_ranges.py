@@ -185,3 +185,34 @@ def test_ranges_property_equal_slice(ranged_orc, raw):
     expect = pa.concat_tables([tbl.slice(a, b - a) for a, b in ranges])
     assert out.equals(expect.cast(out.schema))
     assert decoded <= total
+
+
+def test_orc_scan_readahead_many_stripes_per_task(spark, tmp_path):
+    """The in-task one-ahead stripe prefetch (async-reader analog) must
+    be value-transparent when a task processes several stripes: a
+    12-stripe file on a 4-core session puts ~3 stripes per task, and the
+    scan still returns exactly the source rows."""
+    from pyspark.sql import functions as F
+
+    from orc_rust_spark.sources.orc_file import OrcWriter, orc_scan
+
+    n = 48_000  # 12 stripes of 4k rows
+    tbl = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "name": pa.array([f"r{i % 31}" for i in range(n)]),
+    })
+    path = str(tmp_path / "many_stripes.orc")
+    w = OrcWriter(path, tbl.schema, compression="zlib", stripe_rows=4_000,
+                  row_index_stride=10_000)
+    w.write_table(tbl)
+    w.close()
+    df = orc_scan(spark, path, "id long, name string")
+    agg = df.agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("id").alias("s")).collect()[0]
+    assert agg["n"] == n and agg["s"] == n * (n - 1) // 2
+    # with a predicate + ranges through the same path
+    df2 = orc_scan(spark, path, "id long, name string",
+                   predicate=("id", 100, 8_200),
+                   row_ranges=[(0, 8_201)])
+    got = df2.where((F.col("id") >= 100) & (F.col("id") <= 8_200))
+    assert got.count() == 8_101
