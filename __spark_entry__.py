@@ -1039,6 +1039,25 @@ def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, hash_family="md5", **MINHASH_PARAMS)
 
 
+def q_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-keep-one (r6): connected components over the MinHash
+    near-dup pair graph via hash-min label propagation (one shuffle per
+    iteration, O(diameter) iterations), summarized per cluster. The
+    oracle recomputes the ENTIRE chain in SQL — the md5 minhash pairs
+    plus a recursive-CTE transitive min — so the clustering algorithm
+    itself is equality-checked, not just row counts."""
+    from orc_rust_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        neardup_cluster_summary,
+    )
+
+    docs = _read_parallel(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    pairs = minhash_lsh_pairs(docs, hash_family="md5", **MINHASH_PARAMS)
+    return neardup_cluster_summary(pairs)
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orc_rust_spark.operators.dedup import simhash_neardup_pairs
 
@@ -1146,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "word_jaccard_pairs": q_word_jaccard_pairs,
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
+        "minhash_dedup_clusters": q_minhash_dedup_clusters,
         "simhash_neardup": q_simhash_neardup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1640,6 +1660,19 @@ def oracle_sql() -> dict[str, str]:
         # DuckDB can recompute EXACTLY — each oracle below independently
         # re-implements the full algorithm (signatures/bits/buckets) in SQL.
         "minhash_lsh_neardup": _minhash_oracle_sql(),
+        "minhash_dedup_clusters": (
+            "WITH RECURSIVE pairs AS (" + _minhash_oracle_sql() + "), "
+            "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+            "  UNION SELECT id_b, id_a FROM pairs), "
+            "r AS ("
+            "  SELECT a AS id, a AS lab FROM edges "
+            "  UNION "
+            "  SELECT e.b, r.lab FROM r JOIN edges e ON e.a = r.id"
+            "), "
+            "comp AS (SELECT id, min(lab) AS component FROM r GROUP BY id) "
+            "SELECT component AS cluster, CAST(count(*) AS BIGINT) AS n_members, "
+            "min(id) AS min_id, max(id) AS max_id "
+            "FROM comp GROUP BY component"),
         "simhash_neardup": _simhash_oracle_sql(),
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "ann_ivf_topk": _ann_ivf_oracle_sql(),

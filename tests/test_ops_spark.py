@@ -290,3 +290,36 @@ def test_ivf_topk_and_multiprobe(spark, vectors):
     full = {(r.vec_id, r.neighbor_id) for r in
             ivf_topk(vectors, cents, k=1, nprobe=4).collect()}
     assert (1, 5) in full and (5, 1) in full
+
+
+def test_neardup_components_chain_triangle_and_ceiling(spark):
+    """Hash-min connected components (r6): a 12-node chain (needs
+    several propagation rounds), a triangle, and a disjoint pair resolve
+    to min-id components; an impossible iteration ceiling raises instead
+    of returning wrong labels."""
+    from orc_rust_spark.operators.dedup import (
+        neardup_cluster_summary,
+        neardup_components,
+    )
+
+    chain = [(i, i + 1) for i in range(100, 111)]       # component 100, 12 ids
+    tri = [(7, 9), (9, 11), (7, 11)]                    # component 7
+    pair = [(500, 501)]                                 # component 500
+    pairs = spark.createDataFrame(chain + tri + pair, "id_a long, id_b long")
+
+    comp = {r["id"]: r["component"]
+            for r in neardup_components(pairs).collect()}
+    assert all(comp[i] == 100 for i in range(100, 112))
+    assert comp[7] == comp[9] == comp[11] == 7
+    assert comp[500] == comp[501] == 500
+    assert len(comp) == 12 + 3 + 2
+
+    summary = {r["cluster"]: r for r in
+               neardup_cluster_summary(pairs).collect()}
+    assert summary[100]["n_members"] == 12
+    assert summary[100]["min_id"] == 100 and summary[100]["max_id"] == 111
+    assert summary[7]["n_members"] == 3
+    assert summary[500]["n_members"] == 2
+
+    with pytest.raises(ValueError, match="did not converge"):
+        neardup_components(pairs, max_iters=1).collect()
