@@ -343,11 +343,14 @@ def neardup_components(
     generation (r6; no reference counterpart — orc-rust stops at file
     decode — but a first-class LLM-pipeline operator here).
 
-    Physical strategy: hash-min label propagation. Each iteration is ONE
-    shuffle of the (bidirected) edge list joined to current labels plus a
-    min-aggregate — no per-row Python, no driver-side graph. Converges in
-    O(component diameter) iterations (near-dup clusters are shallow; the
-    25-iteration ceiling raises rather than returning wrong labels).
+    Physical strategy: hash-min label propagation with pointer doubling.
+    Each iteration is one shuffle of the (bidirected) edge list joined to
+    current labels plus a min-aggregate, then one labels self-join that
+    follows ``lab -> label(lab)`` — no per-row Python, no driver-side
+    graph. The doubling step shrinks chains geometrically, so convergence
+    is O(log component-diameter) rounds (the 25-round ceiling raises
+    rather than returning wrong labels — at that depth a graph would
+    need diameter ~2^25).
     Driver state is one changed-row counter per iteration; at 100 TB the
     edge list is the only shuffled relation and labels shuffle with it on
     the same key. Each iteration's label frame is materialized with
@@ -372,10 +375,20 @@ def neardup_components(
             .groupBy(F.col("b").alias("id"))
             .agg(F.min("alab").alias("nlab"))
         )
-        new_labels = (
-            labels.join(prop, "id", "left")
-            .select("id", F.least(
+        stepped = labels.join(prop, "id", "left").select(
+            "id", F.least(
                 F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
+            ).alias("lab"))
+        # pointer doubling: follow lab -> label(lab) once per round, so
+        # chains shrink geometrically and convergence is O(log diameter)
+        # rather than O(diameter) edge-hops
+        new_labels = (
+            stepped.join(
+                stepped.select(F.col("id").alias("lab"),
+                               F.col("lab").alias("lab2")),
+                "lab", "left")
+            .select("id", F.least(
+                F.col("lab"), F.coalesce(F.col("lab2"), F.col("lab"))
             ).alias("lab"))
             .localCheckpoint(eager=True)
         )
