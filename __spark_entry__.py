@@ -171,10 +171,14 @@ def q_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ok": F.col("l_orderkey"),
             "pk": F.col("l_partkey"),
             "sk": F.col("l_suppkey"),
-            "qty": F.col("l_quantity"),
-            # NTZ -> timestamp -> epoch seconds (session tz is UTC, so this
-            # equals DuckDB's epoch() over the naive value)
-            "ship": F.col("l_shipdate").cast("timestamp").cast("long"),
+            # centi-units: catches >=0.01 perturbations a whole-unit
+            # truncation would hide (code-review r6); values are exact
+            # small-integer doubles so *100 has no float error
+            "qty": F.col("l_quantity") * 100,
+            # NTZ -> timestamp -> MICROsecond epoch (session tz is UTC, so
+            # this equals DuckDB's epoch_us over the naive value); second
+            # precision would mask sub-second corruption (code-review r6)
+            "ship": F.unix_micros(F.col("l_shipdate").cast("timestamp")),
         })
     )
 
@@ -506,9 +510,13 @@ def q_orcx_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.dataSource.register(OrcRustDataSource)
     # earlier reps' outputs are dead once a new one is written (the
     # returned DataFrame reads lazily, so THIS rep's dir must persist)
-    for old in glob.glob("/tmp/orc_rust_spark_interop/orcx_write_*"):
+    # cleanup is scoped to THIS process's sink dirs (pid in the name) so
+    # concurrent sessions on the same host never delete each other's
+    # freshly written output mid-scan (code-review r6)
+    pid = __import__("os").getpid()
+    for old in glob.glob(f"/tmp/orc_rust_spark_interop/orcx_write_{pid}_*"):
         shutil.rmtree(old, ignore_errors=True)
-    out = f"/tmp/orc_rust_spark_interop/orcx_write_{uuid.uuid4().hex}"
+    out = f"/tmp/orc_rust_spark_interop/orcx_write_{pid}_{uuid.uuid4().hex}"
     src = _read_parallel(spark, sf_dir, "lineitem",
                          ["l_orderkey", "l_partkey", "l_quantity", "l_returnflag"])
     src.write.format("orcx").mode("overwrite") \
@@ -539,9 +547,10 @@ def q_orcx_write_instant_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orc_rust_spark.sources.datasource import OrcRustDataSource
 
     spark.dataSource.register(OrcRustDataSource)
-    for old in glob.glob("/tmp/orc_rust_spark_interop/orcx_instant_*"):
+    pid = __import__("os").getpid()  # pid-scoped cleanup, code-review r6
+    for old in glob.glob(f"/tmp/orc_rust_spark_interop/orcx_instant_{pid}_*"):
         shutil.rmtree(old, ignore_errors=True)
-    out = f"/tmp/orc_rust_spark_interop/orcx_instant_{uuid.uuid4().hex}"
+    out = f"/tmp/orc_rust_spark_interop/orcx_instant_{pid}_{uuid.uuid4().hex}"
     ev = _read_parallel(spark, sf_dir, "events",
                         ["event_id", "ts", "user_id", "event_type"])
     # parquet ts is NTZ; session tz is UTC in this harness, so the cast
@@ -582,9 +591,10 @@ def q_orcx_write_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(OrcRustDataSource)
-    for old in glob.glob("/tmp/orc_rust_spark_interop/orcx_emb_*"):
+    pid = __import__("os").getpid()  # pid-scoped cleanup, code-review r6
+    for old in glob.glob(f"/tmp/orc_rust_spark_interop/orcx_emb_{pid}_*"):
         shutil.rmtree(old, ignore_errors=True)
-    out = f"/tmp/orc_rust_spark_interop/orcx_emb_{uuid.uuid4().hex}"
+    out = f"/tmp/orc_rust_spark_interop/orcx_emb_{pid}_{uuid.uuid4().hex}"
     src = _read_parallel(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
     src.write.format("orcx").mode("overwrite").save(out)
     df = spark.read.format("orcx").load(out)
@@ -1423,8 +1433,8 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_lineitem": _mix_sql(
             "l_returnflag, l_linestatus",
             {"ok": "l_orderkey", "pk": "l_partkey", "sk": "l_suppkey",
-             "qty": "CAST(l_quantity AS BIGINT)",
-             "ship": "CAST(epoch(l_shipdate) AS BIGINT)"},
+             "qty": "CAST(l_quantity * 100 AS BIGINT)",
+             "ship": "CAST(epoch_us(l_shipdate) AS BIGINT)"},
             "lineitem"),
         "roundtrip_decimal": _mix_sql(
             "linenum",

@@ -33,43 +33,55 @@ except Exception:  # pragma: no cover
     _PA_SNAPPY = _PA_LZ4 = _PA_ZSTD = False
 
 
-def _load_lz4_native():
-    """ctypes handle to a system liblz4's ``LZ4_decompress_safe`` when one
-    is installed (decode side only). ORC's block framing does not carry the
-    decompressed size, which rules out pyarrow's ``lz4_raw`` codec on the
-    read path (its decompress needs the exact size and silently pads on an
-    upper bound) — but safe-decode RETURNS the true decoded length, so the
-    native library needs no hint. Self-checked against a round-trip vector
-    before being trusted; any failure falls back to the pure-Python
+#: golden LZ4 block (lz4_raw compress of the probe below) so the native
+#: self-check never depends on pyarrow being present
+_LZ4_GOLDEN_RAW = b"orc lz4 native self-check " * 9
+_LZ4_GOLDEN_COMP = b"\xff\x0borc lz4 native self-check \x1a\x00\xb8Pheck "
+
+_LZ4_NATIVE = None
+_LZ4_NATIVE_TRIED = False
+
+
+def _lz4_native():
+    """Lazy ctypes handle to a system liblz4's ``LZ4_decompress_safe``
+    (decode side only), resolved on the FIRST lz4 chunk — not at import,
+    so workers that never touch lz4 data don't pay the find_library
+    subprocess probe (code-review r6). ORC's block framing does not carry
+    the decompressed size, which rules out pyarrow's ``lz4_raw`` codec on
+    the read path (its decompress needs the exact size and silently pads
+    on an upper bound) — but safe-decode RETURNS the true decoded length,
+    so the native library needs no hint. ALWAYS self-checked against an
+    embedded golden block before being trusted (previously skipped when
+    pyarrow lacked lz4); any failure falls back to the pure-Python
     decoder below."""
+    global _LZ4_NATIVE, _LZ4_NATIVE_TRIED
+    if _LZ4_NATIVE_TRIED:
+        return _LZ4_NATIVE
+    _LZ4_NATIVE_TRIED = True
     import ctypes
     import ctypes.util
 
-    name = ctypes.util.find_library("lz4")
-    if not name:
-        return None
     try:
+        name = ctypes.util.find_library("lz4")
+        if not name:
+            return None
         lib = ctypes.CDLL(name)
         fn = lib.LZ4_decompress_safe
         fn.restype = ctypes.c_int
         fn.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                        ctypes.c_int, ctypes.c_int]
-        if _PA_LZ4:  # round-trip self-check through an independent encoder
-            probe = b"orc lz4 native self-check " * 9
-            comp = _pa.Codec("lz4_raw").compress(probe).to_pybytes()
-            dst = ctypes.create_string_buffer(len(probe) + 64)
-            n = fn(comp, dst, len(comp), len(probe) + 64)
-            if n != len(probe) or dst.raw[:n] != probe:
-                return None
-        return fn
+        cap = len(_LZ4_GOLDEN_RAW) + 64
+        dst = ctypes.create_string_buffer(cap)
+        n = fn(_LZ4_GOLDEN_COMP, dst, len(_LZ4_GOLDEN_COMP), cap)
+        if n != len(_LZ4_GOLDEN_RAW) or dst.raw[:n] != _LZ4_GOLDEN_RAW:
+            return None
+        _LZ4_NATIVE = fn
     except Exception:  # pragma: no cover - missing/odd system lib
-        return None
+        _LZ4_NATIVE = None
+    return _LZ4_NATIVE
 
 
-_LZ4_NATIVE = _load_lz4_native()
-
-
-def _lz4_native_decompress(src: bytes):
+def _lz4_native_decompress(src: bytes, fn):
     """Decode an LZ4 block with liblz4, growing the output buffer until
     safe-decode succeeds (the framing carries no size; ORC chunks decode
     to <= the writer's compression block size, so the first try nearly
@@ -80,7 +92,7 @@ def _lz4_native_decompress(src: bytes):
     cap = max(4 * len(src), 1 << 20)
     while cap <= (1 << 29):
         dst = ctypes.create_string_buffer(cap)
-        n = _LZ4_NATIVE(src, dst, len(src), cap)
+        n = fn(src, dst, len(src), cap)
         if n >= 0:
             return dst.raw[:n]
         cap *= 4  # undersized buffer and corrupt input both return <0;
@@ -96,8 +108,9 @@ def lz4_block_decompress(src) -> bytes:
     Below: the pure-Python sequence-walk decoder, kept as the
     fixture-validated fallback when no native library exists."""
     src = bytes(src)
-    if _LZ4_NATIVE is not None:
-        out = _lz4_native_decompress(src)
+    fn = _lz4_native()
+    if fn is not None:
+        out = _lz4_native_decompress(src, fn)
         if out is not None:
             return out
     return _lz4_block_decompress_py(src)

@@ -368,6 +368,11 @@ def neardup_components(
         .withColumn("lab", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    # convergence probe: labels only ever DECREASE, so the fixpoint is
+    # reached exactly when sum(lab) stops falling — one scan of the new
+    # labels instead of a join against the old ones (code-review r6)
+    prev_sum = labels.agg(
+        F.sum(F.col("lab").cast("decimal(38,0)"))).collect()[0][0]
     for _ in range(max_iters):
         prop = (
             edges.join(labels.select(F.col("id").alias("a"),
@@ -392,14 +397,16 @@ def neardup_components(
             ).alias("lab"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(labels.select("id", F.col("lab").alias("old")),
-                            "id")
-            .where(F.col("lab") != F.col("old")).limit(1).count()
-        )
+        cur_sum = new_labels.agg(
+            F.sum(F.col("lab").cast("decimal(38,0)"))).collect()[0][0]
+        # release the superseded round's checkpoint blocks promptly
+        # instead of waiting for the ContextCleaner (code-review r6:
+        # up to max_iters O(nodes) frames would otherwise linger)
+        labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         raise ValueError(
             f"neardup_components did not converge in {max_iters} iterations "

@@ -300,24 +300,12 @@ class OrcRustReader(DataSourceReader):
                                                 p.get("lo"), p.get("hi")))
             idx = sorted(idx)
             # row ranges: clip to each stripe's span; non-intersecting
-            # stripes are never scheduled (same algebra as orc_scan)
+            # stripes are never scheduled (one shared algebra with
+            # orc_scan — of.clip_ranges_to_stripes)
             local_ranges: dict[int, list] = {}
             if self.row_ranges is not None:
-                base = 0
-                bases = []
-                for s in meta.stripes:
-                    bases.append(base)
-                    base += s.number_of_rows
-                kept = []
-                for i in idx:
-                    s_rows = meta.stripes[i].number_of_rows
-                    lr = [(max(lo - bases[i], 0), min(hi - bases[i], s_rows))
-                          for lo, hi in self.row_ranges
-                          if lo < bases[i] + s_rows and hi > bases[i]]
-                    if lr:
-                        local_ranges[i] = lr
-                        kept.append(i)
-                idx = kept
+                idx, local_ranges = of.clip_ranges_to_stripes(
+                    meta, idx, self.row_ranges)
             slim = of.task_meta(meta)  # O(schema), shared by this file's parts
             parts.extend(
                 _StripePartition(path, s.offset, s.index_length,

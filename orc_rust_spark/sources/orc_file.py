@@ -284,7 +284,12 @@ def read_metadata(path: str) -> OrcMeta:
     tests/test_orc_interop.py asserts no other exception type escapes."""
     try:
         return _read_metadata_impl(path)
-    except (NotImplementedError, ValueError):
+    except (NotImplementedError, ValueError, FileNotFoundError,
+            PermissionError, IsADirectoryError):
+        # filesystem errors pass through untouched so callers can still
+        # branch on FileNotFoundError vs corrupt-file (code-review r6);
+        # bare OSError stays wrapped — pyarrow raises it for corrupt
+        # compressed payloads too
         raise
     except Exception as ex:
         raise ValueError(
@@ -1042,7 +1047,12 @@ def normalize_row_ranges(ranges) -> list[tuple[int, int]]:
     """Caller-supplied half-open [start, stop) row ranges -> sorted,
     merged, validated (the reference's explicit row-selection constructor,
     src/row_selection.rs:32-120 ``from_consecutive_ranges`` analog).
-    Overlapping/adjacent ranges merge; empty or negative ranges raise."""
+    Overlapping/adjacent ranges merge; empty or negative ranges raise.
+    An EMPTY list is a valid empty selection (selects no rows), matching
+    ``from_consecutive_ranges`` on an empty iterator."""
+    ranges = list(ranges)
+    if not ranges:
+        return []
     norm = []
     for r in ranges:
         lo, hi = int(r[0]), int(r[1])
@@ -1057,6 +1067,29 @@ def normalize_row_ranges(ranges) -> list[tuple[int, int]]:
         else:
             merged.append((lo, hi))
     return merged
+
+
+def clip_ranges_to_stripes(meta: "OrcMeta", idx, ranges):
+    """Clip normalized FILE row ranges to each stripe in ``idx`` ->
+    (kept stripe indexes, {stripe index: stripe-local ranges}). Stripes
+    intersecting no range are dropped (never scheduled). Shared by
+    orc_scan and the orcx DataSource (code-review r6: the two copies of
+    this algebra must not drift)."""
+    base = 0
+    bases = []
+    for s in meta.stripes:
+        bases.append(base)
+        base += s.number_of_rows
+    kept, local = [], {}
+    for i in idx:
+        s_rows = meta.stripes[i].number_of_rows
+        lr = [(max(lo - bases[i], 0), min(hi - bases[i], s_rows))
+              for lo, hi in ranges
+              if lo < bases[i] + s_rows and hi > bases[i]]
+        if lr:
+            local[i] = lr
+            kept.append(i)
+    return kept, local
 
 
 def _range_mask(groups, stride: int, n_rows: int, ranges) -> np.ndarray:
@@ -1854,7 +1887,16 @@ def _encode_indexed_tree(
         from ..codecs.byte_rle import encode_byte_rle
 
         dense_u = arr.drop_null() if has_nulls else arr
-        tags_all = (dense_u.field(0).to_numpy(zero_copy_only=False)
+        tag_child = dense_u.field(0)
+        if tag_child.null_count:
+            # a null TAG under a present row has no variant to encode;
+            # to_numpy would turn it into NaN->uint8 garbage (a silently
+            # wrong file) — refuse instead (code-review r6)
+            raise ValueError(
+                f"union column {name!r}: {tag_child.null_count} present "
+                "row(s) have a NULL tag; make the row itself null or "
+                "assign a variant")
+        tags_all = (tag_child.to_numpy(zero_copy_only=False)
                     .astype(np.uint8))
         if tags_all.size and int(tags_all.max()) >= len(t.subtypes):
             raise ValueError(
@@ -2376,21 +2418,7 @@ def orc_scan(spark, path: str, schema, predicate=None,
         # stripe's [base, base+rows) span; stripes with none are skipped
         local_ranges: dict[int, list] = {}
         if row_ranges is not None:
-            base = 0
-            bases = []
-            for s in meta.stripes:
-                bases.append(base)
-                base += s.number_of_rows
-            kept = []
-            for i in idx:
-                s_rows = meta.stripes[i].number_of_rows
-                lr = [(max(lo - bases[i], 0), min(hi - bases[i], s_rows))
-                      for lo, hi in row_ranges
-                      if lo < bases[i] + s_rows and hi > bases[i]]
-                if lr:
-                    local_ranges[i] = lr
-                    kept.append(i)
-            idx = kept
+            idx, local_ranges = clip_ranges_to_stripes(meta, idx, row_ranges)
         # one slim pickled meta PER SPLIT ROW (types + codec + stride only,
         # O(schema) bytes) so the mapInArrow closure stays metadata-free
         mpk = _pickle.dumps(task_meta(meta)) if idx else None

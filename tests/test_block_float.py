@@ -121,24 +121,36 @@ class TestLz4Native:
     def test_native_matches_pure_python(self):
         from orc_rust_spark.codecs import block as blockc
 
-        if blockc._LZ4_NATIVE is None:
+        fn = blockc._lz4_native()
+        if fn is None:
             pytest.skip("no system liblz4")
         for raw, comp in self._vectors():
-            assert blockc._lz4_native_decompress(comp) == raw
+            assert blockc._lz4_native_decompress(comp, fn) == raw
             assert blockc._lz4_block_decompress_py(comp) == raw
 
     def test_native_available_in_this_container(self):
         # this sandbox ships liblz4.so.1; if the loader ever regresses the
-        # lz4 scan silently drops to 26.7 MB/s — fail loudly instead
+        # lz4 scan silently drops to 26.7 MB/s — fail loudly instead.
+        # (lazy since code-review r6: resolved on first use, not import)
         from orc_rust_spark.codecs import block as blockc
 
-        assert blockc._LZ4_NATIVE is not None
+        assert blockc._lz4_native() is not None
+
+    def test_golden_block_matches_embedded_vector(self):
+        # the embedded self-check golden must itself be a valid block the
+        # pure-Python decoder agrees on (guards against a stale literal)
+        from orc_rust_spark.codecs import block as blockc
+
+        assert blockc._lz4_block_decompress_py(
+            blockc._LZ4_GOLDEN_COMP) == blockc._LZ4_GOLDEN_RAW
 
     def test_corrupt_input_falls_back_not_hangs(self):
         from orc_rust_spark.codecs import block as blockc
 
-        if blockc._LZ4_NATIVE is None:
+        fn = blockc._lz4_native()
+        if fn is None:
             pytest.skip("no system liblz4")
         # corrupt stream: native safe-decode keeps failing while the cap
         # grows, returns None, and the caller's pure-Python path raises
-        assert blockc._lz4_native_decompress(b"\xff\xff\xff\xff\xff") is None
+        assert blockc._lz4_native_decompress(
+            b"\xff\xff\xff\xff\xff", fn) is None
