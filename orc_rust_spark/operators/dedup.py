@@ -351,7 +351,8 @@ def neardup_components(
     is O(log component-diameter) rounds (the 25-round ceiling raises
     rather than returning wrong labels — at that depth a graph would
     need diameter ~2^25).
-    Driver state is one changed-row counter per iteration; at 100 TB the
+    Driver state is one label-sum scalar per iteration (labels only ever
+    decrease, so an unchanged sum IS the fixpoint); at 100 TB the
     edge list is the only shuffled relation and labels shuffle with it on
     the same key. Each iteration's label frame is materialized with
     ``localCheckpoint(eager=True)`` — iterative plans otherwise nest one
@@ -373,7 +374,9 @@ def neardup_components(
     # labels instead of a join against the old ones (code-review r6)
     prev_sum = labels.agg(
         F.sum(F.col("lab").cast("decimal(38,0)"))).collect()[0][0]
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         prop = (
             edges.join(labels.select(F.col("id").alias("a"),
                                      F.col("lab").alias("alab")), "a")
@@ -405,6 +408,10 @@ def neardup_components(
         labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:
+            # diagnostic: rounds-to-converge, read by bench attribution
+            # (each round is a fixed number of Spark jobs, so small-SF
+            # wall time is rounds x job floor, not data volume)
+            neardup_components.last_rounds = rounds
             break
         prev_sum = cur_sum
     else:
