@@ -56,6 +56,39 @@ def _interop_cache_path(sf_dir: str, name: str, ext: str) -> str:
             f"_{st.st_size}_{int(st.st_mtime)}{ext}")
 
 
+def _clean_interop_sink_dirs(prefix: str) -> str:
+    """Remove superseded orcx sink output dirs under the interop scratch
+    root and return a fresh pid+uuid-scoped path for this rep. Deletes:
+    this process's own earlier reps, dirs whose embedded pid is DEAD
+    (crashed/finished runs — pid-only scoping leaked these until /tmp
+    filled, code-review r6), and legacy un-scoped dirs with no parseable
+    pid. Dirs owned by a LIVE other process are left alone so concurrent
+    sessions never delete each other's freshly written output mid-scan."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    pid = os.getpid()
+    for old in glob.glob(f"/tmp/orc_rust_spark_interop/{prefix}_*"):
+        tail = os.path.basename(old)[len(prefix) + 1:]
+        owner = None
+        head = tail.split("_", 1)[0]
+        if head.isdigit():
+            owner = int(head)
+        if owner is not None and owner != pid:
+            try:
+                os.kill(owner, 0)  # 0 = existence probe, sends no signal
+                continue  # live owner: leave its output alone
+            except ProcessLookupError:
+                pass  # dead owner: reclaim
+            except PermissionError:
+                continue  # alive under another uid: leave it
+        shutil.rmtree(old, ignore_errors=True)
+    os.makedirs("/tmp/orc_rust_spark_interop", exist_ok=True)
+    return f"/tmp/orc_rust_spark_interop/{prefix}_{pid}_{uuid.uuid4().hex}"
+
+
 def warm_caches(spark: SparkSession, sf_dir: str) -> None:
     """Build every cached interop artifact (ORC files, probes, chunk
     tables) OUTSIDE any timed region. bench.py calls this once before the
@@ -500,23 +533,13 @@ def q_orcx_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     .inprogress files renamed by the driver), read straight back through
     the orcx reader and aggregated. The write happens INSIDE the timed
     query — this measures the sink, not a cached artifact."""
-    import glob
-    import shutil
-    import uuid
-
     from orc_rust_spark.sources.datasource import OrcRustDataSource
 
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(OrcRustDataSource)
     # earlier reps' outputs are dead once a new one is written (the
     # returned DataFrame reads lazily, so THIS rep's dir must persist)
-    # cleanup is scoped to THIS process's sink dirs (pid in the name) so
-    # concurrent sessions on the same host never delete each other's
-    # freshly written output mid-scan (code-review r6)
-    pid = __import__("os").getpid()
-    for old in glob.glob(f"/tmp/orc_rust_spark_interop/orcx_write_{pid}_*"):
-        shutil.rmtree(old, ignore_errors=True)
-    out = f"/tmp/orc_rust_spark_interop/orcx_write_{pid}_{uuid.uuid4().hex}"
+    out = _clean_interop_sink_dirs("orcx_write")
     src = _read_parallel(spark, sf_dir, "lineitem",
                          ["l_orderkey", "l_partkey", "l_quantity", "l_returnflag"])
     src.write.format("orcx").mode("overwrite") \
@@ -540,17 +563,10 @@ def q_orcx_write_instant_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tz-independent: the oracle recomputes them with epoch_us over the
     source events table. pytest (test_orcx_instant_timestamp_cross_tz)
     additionally cycles reader session timezones and liborc."""
-    import glob
-    import shutil
-    import uuid
-
     from orc_rust_spark.sources.datasource import OrcRustDataSource
 
     spark.dataSource.register(OrcRustDataSource)
-    pid = __import__("os").getpid()  # pid-scoped cleanup, code-review r6
-    for old in glob.glob(f"/tmp/orc_rust_spark_interop/orcx_instant_{pid}_*"):
-        shutil.rmtree(old, ignore_errors=True)
-    out = f"/tmp/orc_rust_spark_interop/orcx_instant_{pid}_{uuid.uuid4().hex}"
+    out = _clean_interop_sink_dirs("orcx_instant")
     ev = _read_parallel(spark, sf_dir, "events",
                         ["event_id", "ts", "user_id", "event_type"])
     # parquet ts is NTZ; session tz is UTC in this harness, so the cast
@@ -583,18 +599,11 @@ def q_orcx_write_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     rejects nested types, src/writer/stripe.rs:187 unimplemented!), read
     back through the orcx reader and verified ELEMENT-BY-ELEMENT against
     the source parquet via the DuckDB oracle."""
-    import glob
-    import shutil
-    import uuid
-
     from orc_rust_spark.sources.datasource import OrcRustDataSource
 
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(OrcRustDataSource)
-    pid = __import__("os").getpid()  # pid-scoped cleanup, code-review r6
-    for old in glob.glob(f"/tmp/orc_rust_spark_interop/orcx_emb_{pid}_*"):
-        shutil.rmtree(old, ignore_errors=True)
-    out = f"/tmp/orc_rust_spark_interop/orcx_emb_{pid}_{uuid.uuid4().hex}"
+    out = _clean_interop_sink_dirs("orcx_emb")
     src = _read_parallel(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
     src.write.format("orcx").mode("overwrite").save(out)
     df = spark.read.format("orcx").load(out)

@@ -25,6 +25,21 @@ from .text_analysis import fingerprint_col
 MERSENNE61 = (1 << 61) - 1
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of a ``localCheckpoint(eager=True)`` frame's
+    storage blocks. ``Dataset.unpersist`` is a no-op here — checkpoint
+    RDDs are cached directly, never registered with the CacheManager —
+    so this reaches the materialized RDD through the analyzed
+    ``LogicalRDD`` (verified on pyspark 4.1.2: storage info drops to
+    zero). Falls back silently to ContextCleaner reclamation if the
+    internal shape ever changes. Only call on frames no LIVE DataFrame
+    still depends on lazily (the blocks are the truncated lineage)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _tokens(text: Column) -> Column:
     return F.split(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+")
 
@@ -374,6 +389,10 @@ def neardup_components(
     # labels instead of a join against the old ones (code-review r6)
     prev_sum = labels.agg(
         F.sum(F.col("lab").cast("decimal(38,0)"))).collect()[0][0]
+    # diagnostic only (asserted in pytest, reported in BASELINE bench
+    # attribution by hand); set unconditionally so a prior call's value
+    # can never be mistaken for this one's
+    neardup_components.last_rounds = None
     rounds = 0
     for _ in range(max_iters):
         rounds += 1
@@ -383,10 +402,14 @@ def neardup_components(
             .groupBy(F.col("b").alias("id"))
             .agg(F.min("alab").alias("nlab"))
         )
+        # materialized so the self-join below reads these blocks instead
+        # of recomputing the edge join + min-aggregate on BOTH sides
+        # (code-review r6: the un-checkpointed plan ran the dominant
+        # edge-list shuffle twice per round)
         stepped = labels.join(prop, "id", "left").select(
             "id", F.least(
                 F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
-            ).alias("lab"))
+            ).alias("lab")).localCheckpoint(eager=True)
         # pointer doubling: follow lab -> label(lab) once per round, so
         # chains shrink geometrically and convergence is O(log diameter)
         # rather than O(diameter) edge-hops
@@ -402,15 +425,14 @@ def neardup_components(
         )
         cur_sum = new_labels.agg(
             F.sum(F.col("lab").cast("decimal(38,0)"))).collect()[0][0]
-        # release the superseded round's checkpoint blocks promptly
-        # instead of waiting for the ContextCleaner (code-review r6:
-        # up to max_iters O(nodes) frames would otherwise linger)
-        labels.unpersist()
+        # new_labels is eagerly materialized, so the superseded round's
+        # blocks (old labels + this round's intermediate) can be freed
+        # now rather than at ContextCleaner GC time — up to max_iters
+        # O(nodes) frames would otherwise linger
+        _release_local_checkpoint(stepped)
+        _release_local_checkpoint(labels)
         labels = new_labels
         if cur_sum == prev_sum:
-            # diagnostic: rounds-to-converge, read by bench attribution
-            # (each round is a fixed number of Spark jobs, so small-SF
-            # wall time is rounds x job floor, not data volume)
             neardup_components.last_rounds = rounds
             break
         prev_sum = cur_sum
@@ -418,6 +440,8 @@ def neardup_components(
         raise ValueError(
             f"neardup_components did not converge in {max_iters} iterations "
             "(component diameter exceeds the ceiling; raise max_iters)")
+    # the returned frame depends only on the final labels checkpoint
+    _release_local_checkpoint(edges)
     return labels.select("id", F.col("lab").alias("component"))
 
 

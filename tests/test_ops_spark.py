@@ -292,6 +292,21 @@ def test_ivf_topk_and_multiprobe(spark, vectors):
     assert (1, 5) in full and (5, 1) in full
 
 
+def test_release_local_checkpoint_frees_blocks(spark):
+    """Dataset.unpersist is a no-op for localCheckpoint blocks (they are
+    cached directly, never via the CacheManager); the helper reaches the
+    materialized LogicalRDD and actually frees them — otherwise every
+    connected-components round leaks an O(nodes) frame until driver GC."""
+    from orc_rust_spark.operators.dedup import _release_local_checkpoint
+
+    sc = spark.sparkContext
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+    df = spark.range(10000).localCheckpoint(eager=True)
+    assert len(sc._jsc.sc().getRDDStorageInfo()) == before + 1
+    _release_local_checkpoint(df)
+    assert len(sc._jsc.sc().getRDDStorageInfo()) == before
+
+
 def test_neardup_components_chain_triangle_and_ceiling(spark):
     """Hash-min connected components (r6): a 12-node chain (needs
     several propagation rounds), a triangle, and a disjoint pair resolve
@@ -309,6 +324,9 @@ def test_neardup_components_chain_triangle_and_ceiling(spark):
 
     comp = {r["id"]: r["component"]
             for r in neardup_components(pairs).collect()}
+    # rounds diagnostic is set by a converged run; pointer doubling keeps
+    # an 11-edge chain to O(log diameter) rounds (would be ~11 without)
+    assert 1 <= neardup_components.last_rounds <= 6
     assert all(comp[i] == 100 for i in range(100, 112))
     assert comp[7] == comp[9] == comp[11] == 7
     assert comp[500] == comp[501] == 500
@@ -323,3 +341,5 @@ def test_neardup_components_chain_triangle_and_ceiling(spark):
 
     with pytest.raises(ValueError, match="did not converge"):
         neardup_components(pairs, max_iters=1).collect()
+    # a non-converged run must not leave the previous run's value behind
+    assert neardup_components.last_rounds is None
