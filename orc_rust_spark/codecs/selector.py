@@ -145,8 +145,12 @@ def choose_string_codec(
             return "fsst", detail
         from . import block as blockc
 
-        fsst_final = len(blockc.compress_stream(bytes(enc), block_codec))
-        direct_final = len(blockc.compress_stream(data, block_codec))
+        # trial-size with the chunk-table block size so the measured
+        # advantage matches what the real encode path will produce
+        fsst_final = len(blockc.compress_stream(
+            bytes(enc), block_codec, block_size=blockc.CHUNK_BLOCK_SIZE))
+        direct_final = len(blockc.compress_stream(
+            data, block_codec, block_size=blockc.CHUNK_BLOCK_SIZE))
         detail["fsst_final_bytes"] = fsst_final
         detail["direct_final_bytes"] = direct_final
         if fsst_final <= direct_final * FSST_FINAL_ADVANTAGE:

@@ -112,7 +112,9 @@ def encode_chunk(
         final = data_bytes
         enc_len = len(data_bytes)
         if block_codec != "none":
-            final = blockc.compress_stream(data_bytes, block_codec)
+            final = blockc.compress_stream(
+                data_bytes, block_codec,
+                block_size=blockc.CHUNK_BLOCK_SIZE)
         rows["part_id"].append(part_id)
         rows["chunk_ord"].append(chunk_ord)
         rows["column"].append(column)
