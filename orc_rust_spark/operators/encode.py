@@ -37,7 +37,10 @@ def _flatten_large_binary(arr: pa.Array) -> tuple[bytes, np.ndarray]:
     arr = arr.cast(pa.large_binary()) if not pa.types.is_large_binary(arr.type) else arr
     offs = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=len(arr) + 1,
                          offset=arr.offset * 8)
-    data = arr.buffers()[2].to_pybytes()[offs[0]: offs[-1]] if len(arr) else b""
+    # slice the buffer through a memoryview so the payload is copied ONCE
+    # (to_pybytes() + a bytes slice copied sliced arrays twice)
+    data = (bytes(memoryview(arr.buffers()[2])[offs[0]: offs[-1]])
+            if len(arr) else b"")
     return data, (offs - offs[0]).astype(np.int64)
 
 
