@@ -8,7 +8,12 @@
 
 Re-running with the same --snapshot-id resumes from the per-partition
 manifest: completed partitions are skipped (checkpoint lineage carries
-snapshot id, partition range, codec plan, checksum).
+snapshot id, partition range, codec plan, checksum). Without
+--snapshot-id, parquet inputs derive one from a content fingerprint of
+the file listing (unchanged input -> automatic resume; changed input ->
+fresh encode), and Iceberg inputs (--input-format iceberg) resolve and
+pin the table's current snapshot so the manifest always names an
+immutable snapshot even if the table receives commits mid-job.
 """
 
 from __future__ import annotations
@@ -20,7 +25,14 @@ import sys
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", help="input parquet directory (input_hint schema)")
+    ap.add_argument("--input", help="input table: parquet directory, or an "
+                    "Iceberg catalog table name with --input-format iceberg")
+    ap.add_argument("--input-format", choices=("parquet", "iceberg"),
+                    default="parquet",
+                    help="'iceberg' reads via the Iceberg DSv2 source, "
+                    "pinned to --snapshot-id (or the table's current "
+                    "snapshot, resolved then pinned); needs the "
+                    "iceberg-spark-runtime jar + a configured catalog")
     ap.add_argument("--generate", type=int, default=0,
                     help="generate N synthetic webtext rows instead of --input")
     ap.add_argument("--output", required=True)
@@ -35,13 +47,21 @@ def main() -> int:
 
     from orc_rust_spark.plans.pipeline import encode_dataset, per_codec_metrics, verify_roundtrip
     from orc_rust_spark.session import get_spark
+    from orc_rust_spark.sources.table_source import load_source
     from orc_rust_spark.sources.webtext import webtext_df
 
     spark = get_spark("orc_rust_spark-encode-job")
+    snapshot_id = args.snapshot_id
     if args.generate:
         source = webtext_df(spark, args.generate)
     elif args.input:
-        source = spark.read.parquet(args.input)
+        # parquet inputs default to a content-fingerprint snapshot id, so
+        # a re-run over unchanged bytes resumes automatically and a
+        # changed input never resumes a stale manifest; iceberg inputs
+        # pin to a real table snapshot (time travel)
+        source, snapshot_id = load_source(
+            spark, args.input, fmt=args.input_format,
+            snapshot_id=args.snapshot_id)
     else:
         ap.error("one of --input / --generate is required")
         return 2
@@ -50,7 +70,7 @@ def main() -> int:
         spark,
         source,
         args.output,
-        snapshot_id=args.snapshot_id,
+        snapshot_id=snapshot_id,
         stripe_bytes=args.stripe_mb * 1024 * 1024,
         repartition_on=args.repartition_on,
         num_partitions=args.num_partitions,
