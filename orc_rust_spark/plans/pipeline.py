@@ -250,10 +250,26 @@ def verify_roundtrip(
 
 
 def per_codec_metrics(spark: SparkSession, chunks_dir: str) -> DataFrame:
-    """Per-codec compression-ratio + throughput metrics (north-rule output)."""
+    """Per-codec compression-ratio + throughput metrics (north-rule output).
+
+    A column's auxiliary streams (PRESENT, LENGTH, SYMBOL_TABLE, ...)
+    ride under the codec its DATA stream chose for that chunk — grouping
+    them by their own stream codec used to surface phantom rows like
+    ``(text, boolean_rle)`` with raw_bytes 0 and a NULL throughput
+    (raw/encode_ms are recorded on DATA only). Ratios therefore charge
+    every stream's bytes against the codec that elected them."""
     chunks = spark.read.parquet(chunks_dir)
+    from ..sources import chunk_table as ct
+
+    data_codec = (
+        chunks.where(F.col("stream_kind") == ct.DATA)
+        .select("part_id", "chunk_ord", "column",
+                F.col("codec").alias("col_codec"))
+    )
     return (
-        chunks.groupBy("column", "codec")
+        chunks.join(data_codec, ["part_id", "chunk_ord", "column"], "left")
+        .withColumn("codec", F.coalesce("col_codec", "codec"))
+        .groupBy("column", "codec")
         .agg(
             F.sum("raw_bytes").alias("raw_bytes"),
             F.sum("final_bytes").alias("compressed_bytes"),

@@ -188,9 +188,13 @@ def test_per_codec_metrics(spark, source, tmp_path):
     summary = encode_dataset(spark, source, out, snapshot_id="m1")
     m = per_codec_metrics(spark, summary["chunks_dir"]).collect()
     by_col = {r["column"]: r for r in m}
+    # one row per column: auxiliary streams (PRESENT/LENGTH/...) ride
+    # under the DATA stream's codec, never surface as phantom
+    # zero-raw-bytes codec rows (code-review r6)
+    assert len(m) == len(by_col)
+    assert all(r["raw_bytes"] > 0 and r["mb_per_sec"] > 0 for r in m)
     # r5 trial selector: direct+block beats fsst+block on url final bytes
     assert by_col["url"]["codec"] == "direct"
-    assert all(r["mb_per_sec"] > 0 for r in m if r["raw_bytes"])
 
 
 def test_nulls_and_empties_roundtrip(spark):
