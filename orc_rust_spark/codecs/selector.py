@@ -134,7 +134,11 @@ def choose_string_codec(
         sample = sample.cast(pa.large_binary()) if not pa.types.is_large_binary(sample.type) else sample
         offsets = np.frombuffer(sample.buffers()[1], dtype=np.int64,
                                 count=k + 1, offset=sample.offset * 8)
-        data = sample.buffers()[2].to_pybytes()[offsets[0]: offsets[-1]]
+        # a slice SHARES the parent chunk's buffers: copy only the
+        # sample's span through a memoryview — to_pybytes() would copy
+        # the whole stripe's string payload to trial a few KB
+        # (code-review r6)
+        data = bytes(memoryview(sample.buffers()[2])[offsets[0]: offsets[-1]])
         local = offsets.astype(np.int64) - offsets[0]
         enc, _ = fsst_encode(data, local, fsst_table)
         gain = len(data) / max(1, len(enc))

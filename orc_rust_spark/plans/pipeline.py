@@ -118,11 +118,22 @@ def encode_dataset(
 
     plan = plan if plan is not None else plan_codecs(source)
 
-    # resume: skip partitions marked done for THIS snapshot, but only if
-    # the source still has the row count recorded at first run — partition
-    # ids are positional, so any source relayout invalidates them (the
-    # round-1 scheme skipped blindly and could silently drop/duplicate
-    # rows; see ADVICE r01)
+    # partition-layout lineage: part ids are POSITIONAL, so resume is only
+    # sound when the current run partitions the source the same way the
+    # manifest's run did. The layout key captures the explicit layout
+    # parameters AND the realized partition count — a re-run with a
+    # different --num-partitions/--repartition-on (or a session whose
+    # split planning yields a different count) over the SAME snapshot id
+    # voids resume instead of skipping positionally-reused ids that now
+    # hold different rows (code-review r6: the fingerprint-derived
+    # snapshot id made that collision reachable without any input change)
+    layout = (f"{repartition_on or ''}|{num_partitions or ''}"
+              f"|{source.rdd.getNumPartitions()}")
+
+    # resume: skip partitions marked done for THIS snapshot + layout, but
+    # only if the source still has the row count recorded at first run
+    # (the round-1 scheme skipped blindly and could silently
+    # drop/duplicate rows; see ADVICE r01)
     done: set[int] = set()
     recorded_rows = None
     if os.path.exists(manifest_dir):
@@ -130,9 +141,17 @@ def encode_dataset(
             prev = spark.read.parquet(manifest_dir).where(
                 (F.col("snapshot_id") == snapshot_id) & (F.col("status") == "done")
             )
-            rows = prev.select("part_id", "source_rows").collect()
-            done = {r.part_id for r in rows}
-            recorded_rows = prev.agg(F.sum("source_rows")).collect()[0][0]
+            if "layout" in prev.columns:
+                rows = prev.select("part_id", "source_rows", "layout").collect()
+                if rows and all(r.layout == layout for r in rows):
+                    done = {r.part_id for r in rows}
+                    recorded_rows = sum(r.source_rows for r in rows)
+                # any differing layout voids resume entirely — a partial
+                # skip under a new layout would mix two partitionings
+            else:
+                # legacy manifest without layout lineage: not provably
+                # safe to resume against — re-encode
+                done = set()
         except Exception:
             done = set()
     if done:
@@ -147,6 +166,15 @@ def encode_dataset(
         source = source.withColumn("_pid", F.spark_partition_id()).where(
             ~F.col("_pid").isin(*[int(p) for p in done])
         ).drop("_pid")
+    elif os.path.exists(chunks_dir):
+        # fresh (non-resumed) encode over an existing output: wipe it.
+        # Dynamic partition overwrite only replaces part ids this run
+        # WRITES — a voided resume with fewer partitions than the prior
+        # layout would otherwise leave the old layout's higher part dirs
+        # in place and the decoded table would double-count their rows
+        import shutil
+
+        shutil.rmtree(chunks_dir)
 
     t0 = time.time()
     chunks = encode_table(source, plan=plan, stripe_bytes=stripe_bytes)
@@ -198,6 +226,7 @@ def encode_dataset(
         )
         .join(per_chunk, "part_id")
         .withColumn("snapshot_id", F.lit(snapshot_id))
+        .withColumn("layout", F.lit(layout))
         .withColumn("status", F.lit("done"))
         .withColumn(
             "plan_json",
@@ -257,17 +286,26 @@ def per_codec_metrics(spark: SparkSession, chunks_dir: str) -> DataFrame:
     them by their own stream codec used to surface phantom rows like
     ``(text, boolean_rle)`` with raw_bytes 0 and a NULL throughput
     (raw/encode_ms are recorded on DATA only). Ratios therefore charge
-    every stream's bytes against the codec that elected them."""
+    every stream's bytes against the codec that elected them. Nested
+    PARENT columns (list/map) emit LENGTH/PRESENT but no DATA stream, so
+    attribution prefers DATA > LENGTH > PRESENT — their structural rows
+    aggregate under the LENGTH stream's structural codec (ratio stays
+    NULL there: a parent has no raw payload of its own; the payload is
+    on its ``parent.child`` leaf columns, which do carry DATA rows)."""
     chunks = spark.read.parquet(chunks_dir)
     from ..sources import chunk_table as ct
 
-    data_codec = (
-        chunks.where(F.col("stream_kind") == ct.DATA)
-        .select("part_id", "chunk_ord", "column",
-                F.col("codec").alias("col_codec"))
+    col_codec = (
+        chunks.withColumn(
+            "pri",
+            F.when(F.col("stream_kind") == ct.DATA, 3)
+            .when(F.col("stream_kind") == ct.LENGTH, 2)
+            .otherwise(1))
+        .groupBy("part_id", "chunk_ord", "column")
+        .agg(F.max_by("codec", "pri").alias("col_codec"))
     )
     return (
-        chunks.join(data_codec, ["part_id", "chunk_ord", "column"], "left")
+        chunks.join(col_codec, ["part_id", "chunk_ord", "column"], "left")
         .withColumn("codec", F.coalesce("col_codec", "codec"))
         .groupBy("column", "codec")
         .agg(

@@ -122,6 +122,33 @@ def test_encode_dataset_resume(spark, source, tmp_path):
     assert v2["mismatches"] == 0 and v2["rows"] == N_ROWS
 
 
+def test_resume_voided_by_partition_layout_change(spark, source, tmp_path):
+    """Part ids are positional: the SAME snapshot id re-run with a
+    different partitioning must re-encode from scratch, never skip ids
+    that now hold different rows (code-review r6 — reachable since the
+    job derives snapshot ids from input content, which a layout change
+    does not alter). The result must still decode to exactly the source."""
+    out = str(tmp_path / "run_layout")
+    encode_dataset(spark, source, out, snapshot_id="snapL")
+    relaid = encode_dataset(spark, source, out, snapshot_id="snapL",
+                            num_partitions=7)
+    assert relaid["skipped_partitions"] == 0
+    v = verify_roundtrip(spark, source, relaid["chunks_dir"])
+    assert v["mismatches"] == 0 and v["unmatched_keys"] == 0 and v["rows"] == N_ROWS
+    # and an unchanged-layout re-run after THAT resumes again
+    again = encode_dataset(spark, source, out, snapshot_id="snapL",
+                           num_partitions=7)
+    assert again["skipped_partitions"] == 7
+    # shrinking the layout must not leave the wider layout's higher part
+    # dirs behind (dynamic overwrite only replaces written ids — the
+    # fresh encode wipes the chunk dir)
+    narrow = encode_dataset(spark, source, out, snapshot_id="snapL",
+                            num_partitions=2)
+    assert narrow["skipped_partitions"] == 0
+    vn = verify_roundtrip(spark, source, narrow["chunks_dir"])
+    assert vn["mismatches"] == 0 and vn["unmatched_keys"] == 0 and vn["rows"] == N_ROWS
+
+
 def test_salted_repartition_defuses_host_skew(spark):
     """north_rule skew story: the webtext generator draws hosts Zipfian
     (one viral domain dominates); repartitioning on xxhash64(url) must

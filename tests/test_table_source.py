@@ -54,6 +54,28 @@ class TestParquetFingerprint:
         with pytest.raises(FileNotFoundError):
             parquet_fingerprint(str(tmp_path))
 
+    def test_remote_uri_returns_none_not_crash(self):
+        # spark.read.parquet handles these; the local fingerprint cannot —
+        # the caller falls back to a non-resumable run id (code-review r6)
+        assert parquet_fingerprint("hdfs://nn/webtext") is None
+        assert parquet_fingerprint("s3a://bucket/webtext") is None
+
+    def test_recursive_over_hive_partitioned_layout(self, spark, tmp_path):
+        d = str(tmp_path / "hive")
+        spark.range(50).selectExpr("id", "id % 2 AS dt") \
+            .write.partitionBy("dt").parquet(d)
+        before = parquet_fingerprint(d)
+        assert before is not None
+        # rewriting a NESTED file must flip the id (a top-level-only
+        # listing missed this and could resume a stale manifest)
+        nested = None
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if f.endswith(".parquet"):
+                    nested = os.path.join(root, f)
+        os.utime(nested, ns=(time.time_ns(), time.time_ns() + 1))
+        assert parquet_fingerprint(d) != before
+
 
 class TestLoadSource:
     def test_parquet_defaults_to_fingerprint(self, spark, pq_dir):
