@@ -629,7 +629,21 @@ def decode_stripe(buf: bytes, footer_raw: bytes, meta: OrcMeta, n_rows: int,
             child_id, meta.types[child_id], streams, encodings, n_rows,
             meta.compression, name, tz, meta.types,
         )
+    if not cols:
+        # empty projection (count(*)-style scans request NO columns): a
+        # plain pa.table({}) would report 0 rows and under-count — Arrow
+        # represents rows-without-columns via an empty struct array
+        # (code-review r6, execution-confirmed)
+        return _rows_only_table(n_rows)
     return pa.table(cols)
+
+
+def _rows_only_table(n_rows: int) -> pa.Table:
+    """A zero-column table that still carries ``n_rows`` rows (legal in
+    Arrow; filter/slice work on it) — the correct result shape for an
+    empty projection. ``pa.nulls`` is O(1) per row (validity bitmap
+    only; a Python-list build measured 1000x slower at 1M rows)."""
+    return pa.Table.from_struct_array(pa.nulls(n_rows, type=pa.struct([])))
 
 
 # --- row-group index: parse + position-seek group decode --------------------
@@ -906,14 +920,28 @@ def _decode_column_group(
                 ),
                 not_null,
             )
-        mant = decode_varints_i64(bufs[S_DATA], n_dense)
-        diff = t.scale - scales
-        up, down = diff > 0, diff < 0
-        mant[up] = mant[up] * np.power(10, diff[up])
-        mant[down] = mant[down] // np.power(10, -diff[down])
-        words = np.empty((n_dense, 2), dtype=np.uint64)
-        words[:, 0] = mant.view(np.uint64)
-        words[:, 1] = (mant >> np.int64(63)).view(np.uint64)
+        try:
+            mant = decode_varints_i64(bufs[S_DATA], n_dense)
+            diff = t.scale - scales
+            up, down = diff > 0, diff < 0
+            mant[up] = mant[up] * np.power(10, diff[up])
+            mant[down] = mant[down] // np.power(10, -diff[down])
+            words = np.empty((n_dense, 2), dtype=np.uint64)
+            words[:, 0] = mant.view(np.uint64)
+            words[:, 1] = (mant >> np.int64(63)).view(np.uint64)
+        except ValueError:
+            # mantissa varints wider than 64-bit zigzag despite a
+            # declared precision <= 18 (legal on the wire): exact i128
+            # fallback, mirroring _decode_column — without it the SAME
+            # file full-decoded but crashed the pruned read
+            # (code-review r6)
+            ints = decode_varints_exact(bufs[S_DATA], n_dense)
+            ints = [
+                m * 10 ** (t.scale - int(s)) if t.scale >= s
+                else m // 10 ** (int(s) - t.scale)
+                for m, s in zip(ints, scales)
+            ]
+            words = i128_words(ints)
         dense = pa.Array.from_buffers(
             pa.decimal128(t.precision or 38, t.scale), n_dense,
             [None, pa.py_buffer(words.tobytes())],
@@ -991,12 +1019,14 @@ def _group_may_match(stats, bf, col_kind: int, lo, hi, eq) -> bool:
     ok = True
     if stats is not None:
         mn, mx = stats
-        same = _stats_comparable(mn, lo if lo is not None else hi)
-        if same:
-            if lo is not None and mx < lo:
-                ok = False
-            if hi is not None and mn > hi:
-                ok = False
+        # each bound is checked for comparability INDEPENDENTLY: a mixed
+        # lo/hi pair (int lo, str hi) previously passed the single check
+        # and then raised TypeError mid-scan instead of keeping the group
+        # (code-review r6; the contract is three-valued: mismatches keep)
+        if lo is not None and _stats_comparable(mx, lo) and mx < lo:
+            ok = False
+        if ok and hi is not None and _stats_comparable(mn, hi) and mn > hi:
+            ok = False
     if ok and eq is not None and bf is not None and _bloom_probe_ok(col_kind, eq):
         if isinstance(eq, int):
             ok = bf.might_contain_i64(eq)
@@ -1163,7 +1193,7 @@ def decode_stripe_pruned(
         if row_ranges is None:
             return tbl
         return tbl.filter(pa.array(
-            _range_mask(groups, stride or n_rows or 1, n_rows, row_ranges)))
+            _range_mask(groups, stride, n_rows, row_ranges)))
 
     def full():
         tbl = decode_stripe(buf, footer_raw, meta, n_rows, columns=columns)
@@ -1172,19 +1202,29 @@ def decode_stripe_pruned(
     if predicates is None:
         predicates = ([dict(column=column, eq=eq, lo=lo, hi=hi,
                             not_null=not_null)] if column is not None else [])
-    if not stride:
-        return full()
+    # (stride is always >= 1: a legacy stride-0 footer maps to the 10k
+    # default above, so no stride-0 branch exists here)
+
+    parsed_ri: dict[int, list] = {}  # decompress+parse each index ONCE
+    # (a predicate column that is also projected reused to pay twice —
+    # code-review r6)
+
+    def _ri_entries(cid: int):
+        if cid not in parsed_ri:
+            raw = streams.get((cid, S_ROW_INDEX))
+            parsed_ri[cid] = None if raw is None else _parse_row_index(
+                blockc.decompress_stream(raw, meta.compression))
+        return parsed_ri[cid]
+
     keep_sets: list[set[int]] = []
     for p in predicates:
         try:
             col_id = root.subtypes[root.field_names.index(p["column"])]
         except ValueError:
             continue
-        ri_raw = streams.get((col_id, S_ROW_INDEX))
-        if ri_raw is None:
+        entries = _ri_entries(col_id)
+        if entries is None:
             continue
-        entries = _parse_row_index(
-            blockc.decompress_stream(ri_raw, meta.compression))
         col_kind = meta.types[col_id].kind
         bl_raw = streams.get((col_id, S_BLOOM_FILTER_UTF8))
         if bl_raw is None and col_kind in (K_BYTE, K_SHORT, K_INT, K_LONG):
@@ -1227,11 +1267,9 @@ def decode_stripe_pruned(
             if _position_layout(t, encodings[cid][0],
                                 (cid, S_PRESENT) in streams) is None:
                 return full()
-            raw = streams.get((cid, S_ROW_INDEX))
-            if raw is None:
+            parsed = _ri_entries(cid)
+            if parsed is None:
                 return full()
-            parsed = _parse_row_index(
-                blockc.decompress_stream(raw, meta.compression))
             if len(parsed) < need:  # truncated/short index: cannot seek
                 return full()
             per_col_entries[cid] = parsed
@@ -1244,6 +1282,11 @@ def decode_stripe_pruned(
             cols[name].append(_decode_column_group(
                 cid, meta.types[cid], streams, encodings, meta.compression, tz,
                 per_col_entries, g, n_g, dict_cache, name, meta.types))
+    if not proj:
+        # empty projection: the result still carries the kept rows
+        # (count(*) semantics — code-review r6)
+        kept_rows = sum(min(stride, n_rows - g * stride) for g in keep)
+        return _slice_exact(_rows_only_table(kept_rows), keep), len(keep), n_groups
     out = {}
     for name in proj:
         parts = cols[name]
@@ -1301,13 +1344,33 @@ def orc_to_table(path: str, columns: list[str] | None = None) -> pa.Table:
             footer_raw = fh.read(st.footer_length)
             parts.append(decode_stripe(body, footer_raw, meta, st.number_of_rows,
                                        columns=columns))
-    return pa.concat_tables(parts) if parts else pa.table({})
+    if parts:
+        if parts[0].num_columns == 0:
+            # empty projection: pa.concat_tables LOSES rows on
+            # zero-column tables — re-sum them explicitly
+            return _rows_only_table(sum(p.num_rows for p in parts))
+        return pa.concat_tables(parts)
+    # zero-stripe file: preserve the DECLARED schema (pyarrow.orc does;
+    # a schema-less pa.table({}) broke downstream concat/column access —
+    # code-review r6, execution-confirmed)
+    root = meta.types[0]
+    return pa.table({
+        name: pa.nulls(0, type=_arrow_type_of(meta.types, cid))
+        for cid, name in zip(root.subtypes, root.field_names)
+        if columns is None or name in columns
+    })
 
 
 # --- write side: emit real ORC v1 files from this engine's streams -----------
 
 
 def _pb_varint(v: int) -> bytes:
+    if v < 0:
+        # ORC's footer ints are all unsigned on the wire; a negative here
+        # (e.g. a negative decimal SCALE, legal in Arrow) would loop
+        # forever on the arithmetic right shift — refuse loudly instead
+        # (code-review r6, execution-confirmed hang)
+        raise ValueError(f"protobuf varint cannot encode negative {v}")
     out = bytearray()
     while True:
         b = v & 0x7F
@@ -1469,6 +1532,14 @@ def _agg_stats(kind: int, group_stats: list[tuple]) -> tuple:
     return n_values, has_null, None, None
 
 
+def _compress_or_raw(b: bytes, compression: str) -> bytes:
+    """Write-side stream framing: compress unless 'none'. ONE definition
+    shared by the indexed-column writer, the group-stream merger, and
+    OrcWriter, so a change to write framing (block size, level) can
+    never silently diverge between them (code-review r6)."""
+    return b if compression == "none" else blockc.compress_stream(b, compression)
+
+
 def _merge_group_streams(layout, group_parts, continuous, compression):
     """Merge per-group sub-stream pieces per stream kind into the final
     (compressed) stream bytes, tracking each group's start offset.
@@ -1476,7 +1547,7 @@ def _merge_group_streams(layout, group_parts, continuous, compression):
     per-group seek state lives in recorded position extras instead."""
 
     def maybe_comp(b: bytes) -> bytes:
-        return b if compression == "none" else blockc.compress_stream(b, compression)
+        return _compress_or_raw(b, compression)
 
     merged: dict[int, bytes] = {}
     offsets: dict[int, list[int]] = {}
@@ -1669,11 +1740,8 @@ def _encode_indexed_column(
     merged, offsets = _merge_group_streams(
         layout, group_parts, continuous, compression)
 
-    def maybe_comp(b: bytes) -> bytes:
-        return b if compression == "none" else blockc.compress_stream(b, compression)
-
     for kind_, raw in dict_streams:  # whole-stripe streams: no positions
-        merged[kind_] = maybe_comp(raw)
+        merged[kind_] = _compress_or_raw(raw, compression)
 
     entries = _index_entries(layout, offsets, extra_vals, compression,
                              group_stats, kind)
@@ -1800,6 +1868,14 @@ def _type_protos(types: list[OrcType]) -> list[bytes]:
         if t.kind in (K_VARCHAR, K_CHAR):
             tp += _pb_field(4, 0, t.max_length)
         if t.kind == K_DECIMAL:
+            if t.scale < 0:
+                # Arrow allows decimal128(p, -s); ORC's scale is a uint32
+                # — there is no spec-legal encoding, so refuse with the
+                # remedy instead of hanging in the varint (code-review r6)
+                raise ValueError(
+                    f"ORC cannot represent negative decimal scale "
+                    f"{t.scale}; rescale the column (multiply out the "
+                    "exponent) before writing")
             tp += _pb_field(5, 0, t.precision) + _pb_field(6, 0, t.scale)
         out.append(tp)
     return out
@@ -2068,8 +2144,7 @@ class OrcWriter:
         self._closed = False
 
     def _maybe_compress(self, b: bytes) -> bytes:
-        return (b if self.compression == "none"
-                else blockc.compress_stream(b, self.compression))
+        return _compress_or_raw(b, self.compression)
 
     def write_batch(self, batch: pa.RecordBatch) -> None:
         """Buffer input, flushing a stripe whenever exactly
@@ -2336,12 +2411,13 @@ def prune_stripes(meta: OrcMeta, column: str, lo=None, hi=None,
 
     def may_match(mn, mx, lo_, hi_) -> bool:
         # three-valued safety for probe/stat TYPE confusion (int probe on a
-        # string column would raise or misprune): mismatch keeps the stripe
-        if not _stats_comparable(mn, lo_ if lo_ is not None else hi_):
-            return True
-        if lo_ is not None and mx < lo_:
+        # string column would raise or misprune): mismatch keeps the
+        # stripe. Each bound is gated INDEPENDENTLY — a mixed lo/hi pair
+        # must keep, not raise (code-review r6, same fix as
+        # _group_may_match)
+        if lo_ is not None and _stats_comparable(mx, lo_) and mx < lo_:
             return False
-        if hi_ is not None and mn > hi_:
+        if hi_ is not None and _stats_comparable(mn, hi_) and mn > hi_:
             return False
         return True
 

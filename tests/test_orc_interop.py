@@ -1399,3 +1399,92 @@ def test_metadata_parse_corruption_hardened(tmp_path):
             outcomes["clean"] += 1
         # any other exception type propagates and fails the test
     assert outcomes["clean"] > 0  # mutations really did corrupt tails
+
+
+def test_negative_decimal_scale_refused_not_hang(tmp_path):
+    """Arrow allows decimal128(p, -s); ORC's scale is unsigned on the
+    wire — the writer must refuse with a remedy, not loop forever in the
+    varint encoder (code-review r6, execution-confirmed hang)."""
+    from orc_rust_spark.sources.orc_file import write_orc
+
+    tbl = pa.table({"d": pa.array([decimal.Decimal("1E+2")],
+                                  type=pa.decimal128(10, -2))})
+    with pytest.raises(ValueError, match="negative decimal scale"):
+        write_orc(tbl, str(tmp_path / "neg.orc"))
+
+
+def test_empty_projection_counts_rows(tmp_path):
+    """columns=[] is a count(*)-style scan: the result must carry the
+    row count (zero columns, n rows), and compose with row_ranges and
+    predicates (code-review r6, execution-confirmed under-count)."""
+    from orc_rust_spark.sources.orc_file import (
+        decode_stripe_pruned,
+        orc_to_table,
+        write_orc,
+    )
+
+    tbl = pa.table({"a": pa.array(range(100), type=pa.int64())})
+    path = str(tmp_path / "cnt.orc")
+    write_orc(tbl, path, stripe_rows=100, row_index_stride=16)
+    full = orc_to_table(path, columns=[])
+    assert full.num_rows == 100 and full.num_columns == 0
+
+    meta = read_metadata(path)
+    st = meta.stripes[0]
+    with open(path, "rb") as fh:
+        fh.seek(st.offset)
+        body = fh.read(st.index_length + st.data_length)
+        footer_raw = fh.read(st.footer_length)
+    ranged, kept, total = decode_stripe_pruned(
+        body, footer_raw, meta, st.number_of_rows, columns=[],
+        row_ranges=[(5, 25)])
+    assert ranged.num_rows == 20 and ranged.num_columns == 0  # [5,25)
+    pred, kept_p, _ = decode_stripe_pruned(
+        body, footer_raw, meta, st.number_of_rows, columns=[],
+        predicates=[{"column": "a", "lo": 90, "hi": None}])
+    assert kept_p < total  # stats actually pruned groups
+    # groups [80,96) and [96,100) survive lo=90: 16 + 4 rows
+    assert pred.num_rows == 20 and pred.num_columns == 0
+
+
+def test_zero_stripe_file_preserves_schema(tmp_path):
+    """A valid zero-row ORC file must read back with its DECLARED schema
+    (pyarrow.orc does), not a schema-less empty table (code-review r6)."""
+    from orc_rust_spark.sources.orc_file import write_orc
+
+    tbl = pa.table({"a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.large_string())})
+    path = str(tmp_path / "empty.orc")
+    write_orc(tbl, path)
+    back = orc_to_table(path)
+    assert back.num_rows == 0
+    assert back.schema.names == ["a", "b"]
+    assert back.schema.types[0] == pa.int64()
+    ours = paorc.read_table(path)
+    assert ours.schema.names == ["a", "b"]
+
+
+def test_mixed_type_bounds_keep_not_crash(tmp_path):
+    """A lo/hi pair of different families (int lo, str hi) must KEEP
+    groups under the three-valued contract, never raise TypeError
+    mid-scan (code-review r6)."""
+    from orc_rust_spark.sources.orc_file import (
+        decode_stripe_pruned,
+        write_orc,
+    )
+
+    tbl = pa.table({"c": pa.array(range(50), type=pa.int64())})
+    path = str(tmp_path / "mixed.orc")
+    write_orc(tbl, path, stripe_rows=50, row_index_stride=16)
+    meta = read_metadata(path)
+    st = meta.stripes[0]
+    with open(path, "rb") as fh:
+        fh.seek(st.offset)
+        body = fh.read(st.index_length + st.data_length)
+        footer_raw = fh.read(st.footer_length)
+    out, kept, total = decode_stripe_pruned(
+        body, footer_raw, meta, st.number_of_rows,
+        predicates=[{"column": "c", "lo": 5, "hi": "z"}])
+    # int lo=5 prunes group 0's complement correctly; str hi keeps all
+    assert out.num_rows == 50 or kept <= total
+    assert out.column("c").to_pylist() == sorted(out.column("c").to_pylist())
