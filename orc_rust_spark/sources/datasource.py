@@ -76,6 +76,13 @@ _K_TO_DDL = {
 }
 
 
+def _esc_ddl(name: str) -> str:
+    """Backtick-escape an identifier for Spark DDL — ORC column names may
+    legally contain spaces/colons/commas, which would break or mis-parse
+    an unescaped schema string (code-review r6)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _ddl_of(types: list, tid: int) -> str:
     t = types[tid]
     k = t.kind
@@ -87,7 +94,8 @@ def _ddl_of(types: list, tid: int) -> str:
         return f"map<{_ddl_of(types, t.subtypes[0])},{_ddl_of(types, t.subtypes[1])}>"
     if k == of.K_STRUCT:
         inner = ",".join(
-            f"{n}:{_ddl_of(types, c)}" for c, n in zip(t.subtypes, t.field_names)
+            f"{_esc_ddl(n)}:{_ddl_of(types, c)}"
+            for c, n in zip(t.subtypes, t.field_names)
         )
         return f"struct<{inner}>"
     if k == of.K_UNION:
@@ -136,6 +144,12 @@ def _plain_type(t) -> "pa.DataType":  # noqa: F821
 def _normalize_table(tbl) -> "pa.Table":  # noqa: F821
     import pyarrow as pa
 
+    if tbl.num_columns == 0:
+        # empty projection (count(*)-style): from_arrays([], []) would
+        # report 0 rows and under-count — keep the zero-column row count
+        # (code-review r6, matching orc_file._rows_only_table)
+        return pa.Table.from_struct_array(
+            pa.nulls(tbl.num_rows, type=pa.struct([])))
     cols = []
     for c in tbl.columns:
         c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
@@ -146,6 +160,23 @@ def _normalize_table(tbl) -> "pa.Table":  # noqa: F821
     return pa.Table.from_arrays(cols, tbl.column_names)
 
 
+def _read_stripe_region(part: "_StripePartition") -> tuple[bytes, bytes]:
+    """One stripe's (body, footer) bytes — the shared executor-side IO of
+    the batch and stream readers (code-review r6: the two copies were
+    drifting targets for every short-read/missing-file fix)."""
+    with open(part.path, "rb") as fh:
+        fh.seek(part.offset)
+        body = fh.read(part.index_length + part.data_length)
+        footer_raw = fh.read(part.footer_length)
+    return body, footer_raw
+
+
+def _emit_batches(tbl, columns):
+    if columns is not None:
+        tbl = tbl.select(list(columns))  # declared order exactly
+    yield from _normalize_table(tbl).to_batches()
+
+
 class OrcRustReader(DataSourceReader):
     def __init__(self, options: dict, columns: list[str] | None = None):
         self.path = options.get("path")
@@ -154,6 +185,11 @@ class OrcRustReader(DataSourceReader):
         # projection from the (possibly user-specified) scan schema: read()
         # must return exactly these columns in this order
         self.columns = columns
+        # Spark's ignoreMissingFiles analog: skip files deleted between
+        # planning and read instead of failing the task (default false,
+        # matching Spark — code-review r6)
+        self.ignore_missing = str(
+            options.get("ignore_missing_files", "false")).lower() == "true"
         # r6: caller-supplied row-range selection (the reference's
         # RowSelection/from_consecutive_ranges API, src/row_selection.rs:
         # 32-260) as a read option: .option("row_ranges", "0-100,5000-5100")
@@ -183,6 +219,26 @@ class OrcRustReader(DataSourceReader):
                     raise ValueError(
                         f"orcx: column(s) {missing} in the user schema do not "
                         f"exist in {p!r} (file columns: {sorted(have)})")
+        # multi-file scans: same-NAMED columns must also agree on TYPE, or
+        # the batch conversion fails executor-side with an opaque error
+        # after half the job ran (code-review r6) — reject at planning
+        if len(self.metas) > 1:
+            ref_path = next(iter(self.metas))
+            ref = self.metas[ref_path]
+            ref_ddl = {n: _ddl_of(ref.types, c)
+                       for c, n in zip(ref.types[0].subtypes,
+                                       ref.types[0].field_names)}
+            for p, meta in self.metas.items():
+                for c, n in zip(meta.types[0].subtypes,
+                                meta.types[0].field_names):
+                    if self.columns is not None and n not in self.columns:
+                        continue
+                    d = _ddl_of(meta.types, c)
+                    if n in ref_ddl and d != ref_ddl[n]:
+                        raise ValueError(
+                            f"orcx: column {n!r} is {d} in {p!r} but "
+                            f"{ref_ddl[n]} in {ref_path!r}; multi-file "
+                            "scans need consistent column types")
         # (column, lo, hi) bounds + IN-list value sets + null predicates
         # from pushed filters
         self.bounds: dict[str, list] = {}
@@ -231,47 +287,32 @@ class OrcRustReader(DataSourceReader):
             # apply every filter exactly
             yield f
 
-    def _predicate(self):
-        """(column, lo, hi, eq_values|None, not_null|None): the most
-        selective single column — an equality, then the smallest IN-list,
-        then any range bound, then a null predicate (IS [NOT] NULL over
-        the per-group numberOfValues/hasNull statistics)."""
-        def nn(col):
-            return self.null_preds.get(col)
-
-        for col, (lo, hi) in self.bounds.items():
-            if lo is not None and lo == hi:
-                return (col, lo, hi, [lo], nn(col))
-        if self.in_sets:
-            col = min(self.in_sets, key=lambda c: len(self.in_sets[c]))
-            vals = self.in_sets[col]
-            return (col, min(vals), max(vals), vals, nn(col))
-        for col, (lo, hi) in self.bounds.items():
-            if lo is not None or hi is not None:
-                return (col, lo, hi, None, nn(col))
-        for col, flag in self.null_preds.items():
-            return (col, None, None, None, flag)
-        return None
-
     def _predicates(self) -> list[dict]:
         """EVERY pushed single-column probe as an AND-list — the reader
         intersects per-column row-group keeps, so `a = 1 AND b > 5`
         prunes on BOTH indexes, not just the most selective one."""
         preds: dict[str, dict] = {}
+        extra: list[dict] = []
         for col, (lo, hi) in self.bounds.items():
             if lo is not None and lo == hi:
                 preds[col] = dict(column=col, eq=[lo])
             elif lo is not None or hi is not None:
                 preds[col] = dict(column=col, lo=lo, hi=hi)
         for col, vals in self.in_sets.items():
-            if col not in preds:  # an equality/range bound is tighter
+            if col not in preds:
                 preds[col] = dict(column=col, eq=vals)
+            elif "eq" not in preds[col]:
+                # col IN (...) AND col >= x: keep BOTH probes as separate
+                # AND-list entries — the IN-set prunes via stats AND bloom
+                # while a wide range bound alone prunes almost nothing
+                # (code-review r6: the range is not 'tighter' than an eq)
+                extra.append(dict(column=col, eq=vals))
         for col, flag in self.null_preds.items():
             if col in preds:
                 preds[col]["not_null"] = flag
             else:
                 preds[col] = dict(column=col, not_null=flag)
-        return list(preds.values())
+        return list(preds.values()) + extra
 
     def __getstate__(self):
         # the executor-side half of read() needs the pushed predicates and
@@ -316,15 +357,18 @@ class OrcRustReader(DataSourceReader):
         return parts or [_StripePartition(self.path, -1, 0, 0, 0, 0)]  # empty
 
     def read(self, part: _StripePartition):
-        import pyarrow as pa
-
         if part.offset < 0:
             return
         meta = part.meta  # parsed once on the driver, shipped in the split
-        with open(part.path, "rb") as fh:
-            fh.seek(part.offset)
-            body = fh.read(part.index_length + part.data_length)
-            footer_raw = fh.read(part.footer_length)
+        try:
+            body, footer_raw = _read_stripe_region(part)
+        except FileNotFoundError:
+            if self.ignore_missing:
+                return  # deleted between planning and read: skip
+            raise FileNotFoundError(
+                f"{part.path} disappeared between planning and read; set "
+                ".option('ignore_missing_files', 'true') to skip such "
+                "files") from None
         preds = self._predicates()
         if preds or part.ranges is not None:
             # the projection reaches the pruned decode path too: unprojected
@@ -337,10 +381,7 @@ class OrcRustReader(DataSourceReader):
         else:
             tbl = of.decode_stripe(body, footer_raw, meta, part.rows,
                                    columns=self.columns)
-        if self.columns is not None:
-            # user-declared scan schema: reorder to match exactly
-            tbl = tbl.select(list(self.columns))
-        yield from _normalize_table(tbl).to_batches()
+        yield from _emit_batches(tbl, self.columns)
 
 
 class OrcRustStreamReader(DataSourceStreamReader):
@@ -380,6 +421,11 @@ class OrcRustStreamReader(DataSourceStreamReader):
         self.max_age = float(options.get("max_file_age_sec", 7 * 24 * 3600))
         if self.max_age <= 0:
             raise ValueError("max_file_age_sec must be > 0")
+        # FileStreamSource ignoreMissingFiles analog (default false):
+        # skip offset-logged files a retention job deleted, instead of
+        # wedging the stream on every replay (code-review r6)
+        self.ignore_missing = str(
+            options.get("ignore_missing_files", "false")).lower() == "true"
         # the user-declared stream schema: read() must return exactly
         # these columns in this order (Spark binds batches positionally —
         # serving file order against a reordered schema would silently
@@ -434,6 +480,10 @@ class OrcRustStreamReader(DataSourceStreamReader):
         start_wm = float(start.get("watermark", 0.0))
         new = [p for p, mt in end.get("recent", [])
                if p not in seen and mt >= start_wm]
+        if self.ignore_missing:
+            import os as _os
+
+            new = [p for p in new if _os.path.exists(p)]
         parts = []
         metas = of.read_metadatas(new)  # driver-side, thread-pooled
         for p in new:
@@ -455,15 +505,20 @@ class OrcRustStreamReader(DataSourceStreamReader):
 
     def read(self, part: _StripePartition):
         meta = part.meta  # parsed once on the driver, shipped in the split
-        with open(part.path, "rb") as fh:
-            fh.seek(part.offset)
-            body = fh.read(part.index_length + part.data_length)
-            footer_raw = fh.read(part.footer_length)
+        try:
+            body, footer_raw = _read_stripe_region(part)
+        except FileNotFoundError:
+            if self.ignore_missing:
+                return  # retention deleted it; the offset stays replayable
+            raise FileNotFoundError(
+                f"{part.path} named in a logged offset no longer exists — "
+                "the stream would fail on every replay of this batch; set "
+                ".option('ignore_missing_files', 'true') to skip deleted "
+                "files (FileStreamSource ignoreMissingFiles analog)"
+            ) from None
         tbl = of.decode_stripe(body, footer_raw, meta, part.rows,
                                columns=self.columns)
-        if self.columns is not None:
-            tbl = tbl.select(list(self.columns))  # declared order exactly
-        yield from _normalize_table(tbl).to_batches()
+        yield from _emit_batches(tbl, self.columns)
 
     def commit(self, end: dict) -> None:
         pass  # offsets fully describe progress; nothing to clean up
@@ -496,6 +551,7 @@ class OrcRustWriter(DataSourceArrowWriter):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("orcx write requires a path: .save('/dir')")
+        self.spark_schema = schema  # kept for the empty-result commit
         self.compression = options.get("compression", "zstd")
         self.stripe_rows = int(options.get("stripe_rows", 100_000))
         self.stride = int(options.get("row_index_stride", 10_000))
@@ -548,8 +604,25 @@ class OrcRustWriter(DataSourceArrowWriter):
     def commit(self, messages):
         import glob as _glob
         import os
+        import uuid
 
         finals = {m.final_path for m in messages if m and m.tmp_path}
+        if not finals:
+            # EMPTY result (e.g. df.filter(lit(False)) overwrite): write
+            # one zero-row schema-bearing file so the directory stays
+            # readable — the old behavior deleted every prior file and
+            # wrote none, losing the schema entirely (code-review r6)
+            import pyarrow as pa
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            arrow_schema = to_arrow_schema(self.spark_schema)
+            empty = pa.table({f.name: pa.nulls(0, type=f.type)
+                              for f in arrow_schema})
+            p = os.path.join(self.path,
+                             f"part-00000-{uuid.uuid4().hex}.orc")
+            of.write_orc(empty, p, compression=self.compression,
+                         row_index_stride=0)
+            finals = {p}
         # surface the new generation FIRST (uuid names cannot collide with
         # the old files), THEN drop the stale ones — the reverse order
         # would lose BOTH generations if the driver died between the loops
@@ -561,6 +634,16 @@ class OrcRustWriter(DataSourceArrowWriter):
             for p in _glob.glob(os.path.join(self.path, "*.orc")):
                 if p not in finals:
                     os.remove(p)
+            # dead task attempts (crashed/speculative executors that never
+            # returned a commit message) leave orphan .inprogress files no
+            # message ever names; in overwrite mode this job owns the dir,
+            # so reclaim them (append mode leaves them: a concurrent
+            # append job's live tmps are indistinguishable by name)
+            for p in _glob.glob(os.path.join(self.path, "*.orc.inprogress")):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
 
     def abort(self, messages):
         import os
@@ -582,7 +665,7 @@ class OrcRustDataSource(DataSource):
         meta = of.read_metadata(_expand_paths(self.options["path"])[0])
         root = meta.types[0]
         return ", ".join(
-            f"{n} {_ddl_of(meta.types, c)}"
+            f"{_esc_ddl(n)} {_ddl_of(meta.types, c)}"
             for c, n in zip(root.subtypes, root.field_names)
         )
 

@@ -189,8 +189,8 @@ def test_in_list_filter_pushdown(orcx, orc_path):
 
     r = OrcRustReader({"path": orc_path})
     list(r.pushFilters([In(("id",), (5, 98765))]))
-    pred = r._predicate()
-    assert pred == ("id", 5, 98765, [5, 98765], None)
+    preds = r._predicates()
+    assert preds == [{"column": "id", "eq": [5, 98765]}]
     # stripes between the two probes are pruned (ids are sorted, so only
     # the stripes containing 5 and 98765 survive)
     pruned = r.partitions()
@@ -683,3 +683,104 @@ def test_nested_instant_timestamp_write(tmp_path):
     lw = paorc.read_table(path).column("s").combine_chunks().field("when")
     assert lw.type.tz is not None
     assert lw.cast(pa.timestamp("us", tz="UTC")).equals(ts)
+
+
+def test_empty_overwrite_leaves_readable_empty_table(orcx, tmp_path):
+    """Overwriting with an empty result must leave a schema-bearing
+    empty table, not an unreadable directory with every file deleted
+    (code-review r6)."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "empty_ow")
+    orcx.range(100).selectExpr("id", "concat('v', id) AS v") \
+        .write.format("orcx").mode("append").save(out)
+    assert orcx.read.format("orcx").load(out).count() == 100
+    orcx.range(100).selectExpr("id", "concat('v', id) AS v") \
+        .where(F.lit(False)) \
+        .write.format("orcx").mode("overwrite").save(out)
+    df = orcx.read.format("orcx").load(out)
+    assert df.count() == 0
+    assert df.columns == ["id", "v"]
+
+
+def test_multi_file_type_mismatch_rejected_at_planning(orcx, tmp_path):
+    """Same-named columns with different types across files fail with a
+    clear planning-time error, not an opaque executor crash
+    (code-review r6)."""
+    from orc_rust_spark.sources.datasource import OrcRustReader
+    from orc_rust_spark.sources.orc_file import write_orc
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    write_orc(pa.table({"id": pa.array([1], type=pa.int64())}),
+              str(d / "a.orc"))
+    write_orc(pa.table({"id": pa.array(["x"], type=pa.large_string())}),
+              str(d / "b.orc"))
+    with pytest.raises(ValueError, match="consistent column types"):
+        OrcRustReader({"path": str(d)})
+
+
+def test_ddl_escapes_exotic_column_names(orcx, tmp_path):
+    """ORC column names may contain spaces/colons — the emitted DDL must
+    backtick-escape them or Spark's parser rejects/mis-parses the schema
+    (code-review r6). Gate: an actual end-to-end read."""
+    from orc_rust_spark.sources.datasource import OrcRustDataSource
+    from orc_rust_spark.sources.orc_file import write_orc
+
+    p = str(tmp_path / "exotic.orc")
+    write_orc(pa.table({"first name": pa.array([1], type=pa.int64()),
+                        "a:b": pa.array(["x"], type=pa.large_string())}), p)
+    ddl = OrcRustDataSource({"path": p}).schema()
+    assert "`first name` long" in ddl and "`a:b` string" in ddl
+    rows = orcx.read.format("orcx").load(p).collect()
+    assert rows[0]["first name"] == 1 and rows[0]["a:b"] == "x"
+
+
+def test_in_list_and_range_both_kept_in_predicates(orcx, orc_path):
+    """col IN (...) AND col >= x keeps BOTH probes in the AND-list — the
+    IN-set prunes via stats+bloom where the wide range alone cannot
+    (code-review r6)."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, In
+
+    from orc_rust_spark.sources.datasource import OrcRustReader
+
+    r = OrcRustReader({"path": orc_path})
+    list(r.pushFilters([In(("id",), (3, 9_999)), GreaterThanOrEqual(("id",), 0)]))
+    preds = r._predicates()
+    eqs = [p for p in preds if p.get("eq")]
+    bounds = [p for p in preds if "lo" in p or "hi" in p]
+    assert eqs and bounds  # both survive
+    assert sorted(eqs[0]["eq"]) == [3, 9_999]
+
+
+def test_stream_ignore_missing_files_option(orcx, tmp_path):
+    """A file named in a logged offset but deleted by retention is
+    skipped under ignore_missing_files=true instead of wedging the
+    stream (code-review r6)."""
+    import os
+
+    from orc_rust_spark.sources.datasource import (
+        OrcRustStreamReader,
+        _StripePartition,
+    )
+    from orc_rust_spark.sources.orc_file import read_metadata, task_meta, write_orc
+
+    d = tmp_path / "land"
+    d.mkdir()
+    p = str(d / "f1.orc")
+    write_orc(pa.table({"a": pa.array([1, 2, 3], type=pa.int64())}), p)
+    meta = read_metadata(p)
+    st = meta.stripes[0]
+    part = _StripePartition(p, st.offset, st.index_length, st.data_length,
+                            st.footer_length, st.number_of_rows,
+                            task_meta(meta))
+    os.remove(p)
+    strict = OrcRustStreamReader({"path": str(d)})
+    with pytest.raises(FileNotFoundError, match="ignore_missing_files"):
+        list(strict.read(part))
+    lax = OrcRustStreamReader({"path": str(d),
+                               "ignore_missing_files": "true"})
+    assert list(lax.read(part)) == []
+    # planning side: a vanished file drops out of partitions() too
+    assert lax.partitions({"watermark": 0, "recent": []},
+                          {"watermark": 0, "recent": [[p, 1.0]]}) == []

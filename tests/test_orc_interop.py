@@ -917,7 +917,7 @@ def test_orcx_null_and_prefix_pushdown(spark, tmp_path):
 
     r = OrcRustReader({"path": path})
     list(r.pushFilters([StringStartsWith(("s",), "abc")]))
-    assert r._predicate() == ("s", "abc", "abd", None, None)
+    assert r._predicates() == [{"column": "s", "lo": "abc", "hi": "abd"}]
 
 
 def test_date_timestamp_stats_pruning(tmp_path):
