@@ -286,77 +286,76 @@ def _decode_column(
         kind = f"decimal:{dt.precision}:{dt.scale}"
     data_meta = metas[ct.DATA]
     codec = data_meta["codec"]
-    if True:
-        if codec == "rle_v2":
-            vals = decode_rlev2(streams[ct.DATA], n_dense, signed=True)
-            dense = pa.array(vals, type=pa.int64())
-        elif codec == "rle_v1":
-            from ..codecs.rle_v1 import decode_rlev1
+    if codec == "rle_v2":
+        vals = decode_rlev2(streams[ct.DATA], n_dense, signed=True)
+        dense = pa.array(vals, type=pa.int64())
+    elif codec == "rle_v1":
+        from ..codecs.rle_v1 import decode_rlev1
 
-            vals = decode_rlev1(streams[ct.DATA], n_dense, signed=True)
-            dense = pa.array(vals, type=pa.int64())
-        elif codec == "timestamp_split":
-            secs = decode_rlev2(streams[ct.DATA], n_dense, signed=True)
-            nanos = decode_rlev2(streams[ct.SECONDARY], n_dense, signed=False)
-            us = combine_timestamp_ns(secs, nanos) // 1000
-            dense = pa.array(us, type=pa.int64()).cast(pa.timestamp("us"))
-        elif codec == "decimal":
-            from ..codecs.decimal_codec import (
-                decode_decimal,
-                decode_varints_exact,
-                i128_words,
+        vals = decode_rlev1(streams[ct.DATA], n_dense, signed=True)
+        dense = pa.array(vals, type=pa.int64())
+    elif codec == "timestamp_split":
+        secs = decode_rlev2(streams[ct.DATA], n_dense, signed=True)
+        nanos = decode_rlev2(streams[ct.SECONDARY], n_dense, signed=False)
+        us = combine_timestamp_ns(secs, nanos) // 1000
+        dense = pa.array(us, type=pa.int64()).cast(pa.timestamp("us"))
+    elif codec == "decimal":
+        from ..codecs.decimal_codec import (
+            decode_decimal,
+            decode_varints_exact,
+            i128_words,
+        )
+
+        _, p, s = kind.split(":")
+        try:
+            mantissa = decode_decimal(
+                streams[ct.DATA], streams[ct.SECONDARY], n_dense, int(s)
             )
+            words = np.empty((n_dense, 2), dtype=np.uint64)
+            words[:, 0] = mantissa.view(np.uint64)
+            words[:, 1] = (mantissa >> np.int64(63)).view(np.uint64)  # sign ext
+        except ValueError:
+            # mantissas wider than 64-bit zigzag: exact i128 slow path
+            words = i128_words(decode_varints_exact(streams[ct.DATA], n_dense))
+        dense = pa.Array.from_buffers(
+            pa.decimal128(int(p), int(s)), n_dense,
+            [None, pa.py_buffer(words.tobytes())],
+        )
+    elif codec == "date":
+        days = decode_rlev2(streams[ct.DATA], n_dense, signed=True)
+        dense = pa.array(days.astype(np.int32), type=pa.int32()).cast(pa.date32())
+    elif codec == "byte_rle":
+        from ..codecs.byte_rle import decode_byte_rle
 
-            _, p, s = kind.split(":")
-            try:
-                mantissa = decode_decimal(
-                    streams[ct.DATA], streams[ct.SECONDARY], n_dense, int(s)
-                )
-                words = np.empty((n_dense, 2), dtype=np.uint64)
-                words[:, 0] = mantissa.view(np.uint64)
-                words[:, 1] = (mantissa >> np.int64(63)).view(np.uint64)  # sign ext
-            except ValueError:
-                # mantissas wider than 64-bit zigzag: exact i128 slow path
-                words = i128_words(decode_varints_exact(streams[ct.DATA], n_dense))
-            dense = pa.Array.from_buffers(
-                pa.decimal128(int(p), int(s)), n_dense,
-                [None, pa.py_buffer(words.tobytes())],
-            )
-        elif codec == "date":
-            days = decode_rlev2(streams[ct.DATA], n_dense, signed=True)
-            dense = pa.array(days.astype(np.int32), type=pa.int32()).cast(pa.date32())
-        elif codec == "byte_rle":
-            from ..codecs.byte_rle import decode_byte_rle
-
-            u8 = decode_byte_rle(streams[ct.DATA], n_dense)
-            dense = pa.array(u8.view(np.int8), type=pa.int8())
-        elif codec == "float_plain":
-            dtype = np.float32 if kind == "float32" else np.float64
-            dense = pa.array(decode_float(streams[ct.DATA], n_dense, dtype))
-        elif codec == "boolean_rle":
-            dense = pa.array(decode_boolean_rle(streams[ct.DATA], n_dense))
-        elif codec in ("direct", "dict", "fsst"):
-            if codec == "direct":
-                lengths = decode_rlev2(streams[ct.LENGTH], n_dense, signed=False)
-                dense = _split_binary(streams[ct.DATA], lengths)
-            elif codec == "dict":
-                dict_size = int(data_meta["dict_size"])
-                indices = decode_rlev2(streams[ct.DATA], n_dense, signed=False)
-                dict_lens = decode_rlev2(streams[ct.LENGTH], dict_size, signed=False)
-                dictionary = _split_binary(streams[ct.DICTIONARY_DATA], dict_lens)
-                dense = pa.DictionaryArray.from_arrays(
-                    pa.array(indices, type=pa.int64()), dictionary
-                ).cast(pa.large_binary())
-            else:
-                table = FsstTable.deserialize(streams[ct.SYMBOL_TABLE])
-                span = np.array([0, len(streams[ct.DATA])], dtype=np.int64)
-                flat, _ = fsst_decode(streams[ct.DATA], span, table)
-                lengths = decode_rlev2(streams[ct.LENGTH], n_dense, signed=False)
-                dense = _split_binary(flat, lengths)
-            if kind == "string":
-                dense = dense.cast(pa.large_string())
+        u8 = decode_byte_rle(streams[ct.DATA], n_dense)
+        dense = pa.array(u8.view(np.int8), type=pa.int8())
+    elif codec == "float_plain":
+        dtype = np.float32 if kind == "float32" else np.float64
+        dense = pa.array(decode_float(streams[ct.DATA], n_dense, dtype))
+    elif codec == "boolean_rle":
+        dense = pa.array(decode_boolean_rle(streams[ct.DATA], n_dense))
+    elif codec in ("direct", "dict", "fsst"):
+        if codec == "direct":
+            lengths = decode_rlev2(streams[ct.LENGTH], n_dense, signed=False)
+            dense = _split_binary(streams[ct.DATA], lengths)
+        elif codec == "dict":
+            dict_size = int(data_meta["dict_size"])
+            indices = decode_rlev2(streams[ct.DATA], n_dense, signed=False)
+            dict_lens = decode_rlev2(streams[ct.LENGTH], dict_size, signed=False)
+            dictionary = _split_binary(streams[ct.DICTIONARY_DATA], dict_lens)
+            dense = pa.DictionaryArray.from_arrays(
+                pa.array(indices, type=pa.int64()), dictionary
+            ).cast(pa.large_binary())
         else:
-            raise ValueError(f"unknown codec {codec!r} for column {name!r}")
+            table = FsstTable.deserialize(streams[ct.SYMBOL_TABLE])
+            span = np.array([0, len(streams[ct.DATA])], dtype=np.int64)
+            flat, _ = fsst_decode(streams[ct.DATA], span, table)
+            lengths = decode_rlev2(streams[ct.LENGTH], n_dense, signed=False)
+            dense = _split_binary(flat, lengths)
+        if kind == "string":
+            dense = dense.cast(pa.large_string())
+    else:
+        raise ValueError(f"unknown codec {codec!r} for column {name!r}")
 
     return _respace(dense, not_null) if not_null is not None else dense
 
@@ -435,10 +434,12 @@ def decode_table_arrow(
     def decode_iter(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         # IMPORTANT lifetime rule: PySpark's Arrow stream reader may reuse
         # a batch's memory once iteration advances, so zero-copy views are
-        # only valid while the owning batch is current. Complete chunk
-        # groups are therefore decoded immediately (zero-copy); only the
-        # tail group that may continue into the next batch is COPIED into
-        # `pending`.
+        # only valid while the owning batch is current. Every stream's
+        # COMPRESSED bytes are copied out of the batch buffer (see row());
+        # the zero-copy views exist only to slice without an extra
+        # offsets-walk copy. Groups complete within a batch flush
+        # immediately; a tail group that may continue into the next batch
+        # waits in `pending`.
         pending: list[dict] = []
         pending_key = None
 

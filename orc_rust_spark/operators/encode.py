@@ -227,7 +227,9 @@ def _encode_column_row_groups(name: str, arr: pa.Array, col_plan: dict, emit) ->
     non_null_max = [m for m in rg["max"] if m is not None]
     # group stats are strings of a monotone encoding per type, so chunk
     # stats = min/max of TYPED group values; parse via the codec kind
-    numeric = rg["codec"] in ("rle_v2", "byte_rle", "date", "decimal", "timestamp_split")
+    numeric = rg["codec"] in (
+        "rle_v2", "rle_v1", "byte_rle", "date", "decimal", "timestamp_split"
+    )
     floaty = rg["codec"] == "float_plain"
     if non_null_min:
         if numeric:

@@ -183,3 +183,24 @@ def test_pruned_point_lookup_rg_end_to_end(spark):
     got = rows.collect()
     assert len(got) == 1 and got[0].id == target and got[0].val == float(n - 1)
     assert keys.count() == 1  # chunk-level pruning still applies
+
+
+def test_rg_rlev1_chunk_stats_numeric():
+    """rle_v1 groups must aggregate chunk min/max NUMERICALLY: group maxima
+    9 and 100 lexicographically max to "9", which would let `v >= 50`
+    falsely prune the chunk (regression: rle_v1 missing from the numeric
+    codec set in _encode_column_row_groups)."""
+    vals = np.concatenate([
+        np.full(1000, 9, dtype=np.int64), np.full(1000, 100, dtype=np.int64)
+    ])
+    batch = encode_chunk(
+        pa.table({"v": pa.array(vals)}), 0, 0,
+        {"v": {"rle_version": 1, "row_index": True, "row_index_stride": 1000}},
+    )
+    row = [r for r in batch.to_pylist()
+           if r["column"] == "v" and r["stream_kind"] == "DATA"][0]
+    assert row["codec"] == "rle_v1"
+    assert int(row["min_val"]) == 9 and int(row["max_val"]) == 100
+    # and the decode path reads the rle_v1 groups back exactly
+    out = decode_chunk_arrays(batch.to_pylist(), {"v": T.LongType()})
+    assert out["v"].to_pylist() == vals.tolist()
