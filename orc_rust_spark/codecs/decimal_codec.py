@@ -126,17 +126,50 @@ def encode_decimal(mantissas: np.ndarray, scale: int) -> tuple[bytes, bytes]:
     return data, encode_rlev2(scales, signed=True)
 
 
-def decode_decimal(data: bytes, secondary: bytes, n: int, target_scale: int) -> np.ndarray:
+def decode_decimal(
+    data: bytes, secondary: bytes, n: int, target_scale: int, rle=decode_rlev2
+) -> np.ndarray:
     """-> int64 mantissas at target_scale (rescaling like the reference's
-    DecimalScaleRepairDecoder when stored scales differ)."""
+    DecimalScaleRepairDecoder when stored scales differ).
+
+    ``rle`` decodes the SECONDARY scale stream — callers reading a legacy
+    DIRECT(v1)-encoded column must pass their RLEv1 decoder; the default
+    matches DIRECT_V2 and this package's own writer."""
     mantissas = decode_varints_i64(data, n)
-    scales = decode_rlev2(secondary, n, signed=True)
+    scales = rle(secondary, n, signed=True)
+    return rescale_i64(mantissas, scales, target_scale)
+
+
+def rescale_i64(
+    mantissas: np.ndarray, scales: np.ndarray, target_scale: int
+) -> np.ndarray:
+    """Rescale int64 mantissas from per-value ``scales`` to ``target_scale``,
+    raising ValueError whenever the result could exceed int64 (|scale diff|
+    beyond 10**18, or an up-scaled mantissa past 2**63-1) so callers fall
+    back to the exact Python-int path instead of silently wrapping."""
     diff = target_scale - scales
-    if (diff == 0).all():
+    if not diff.size or (diff == 0).all():
         return mantissas
+    if int(np.abs(diff).max()) > 18:
+        raise ValueError("decimal scale diff exceeds int64 power-of-ten range")
     up = diff > 0
     down = diff < 0
     out = mantissas.copy()
-    out[up] = out[up] * np.power(10, diff[up])
-    out[down] = out[down] // np.power(10, -diff[down])
+    if up.any():
+        pw = np.power(np.int64(10), diff[up])
+        if (np.abs(out[up]) > (2**63 - 1) // pw).any():
+            raise ValueError("decimal rescale overflows int64")
+        out[up] = out[up] * pw
+    out[down] = out[down] // np.power(np.int64(10), -diff[down])
     return out
+
+
+def rescale_exact(ints: list[int], scales, target_scale: int) -> list[int]:
+    """Exact Python-int rescale of i128 mantissas to ``target_scale``
+    (the slow-path mirror of rescale_i64; truncation toward -inf on
+    down-scale matches the int64 floor-divide path)."""
+    return [
+        m * 10 ** (target_scale - int(s)) if target_scale >= s
+        else m // 10 ** (int(s) - target_scale)
+        for m, s in zip(ints, scales)
+    ]

@@ -44,6 +44,24 @@ def _flatten_large_binary(arr: pa.Array) -> tuple[bytes, np.ndarray]:
     return data, (offs - offs[0]).astype(np.int64)
 
 
+def sorted_dictionary(dense: pa.Array) -> tuple[np.ndarray, bytes, np.ndarray, int]:
+    """-> (per-value ranks into the SORTED dictionary, dict bytes,
+    per-symbol lengths, dict size) for a dense (null-free) binary array.
+
+    ORC dictionaries are sorted (src/array_decoder/string.rs:213-215);
+    all work stays in Arrow kernels — no per-distinct Python objects.
+    Shared by the chunk-table encoder and the ORC stripe writer so the
+    sorted-dictionary contract cannot drift between them."""
+    denc = dense.dictionary_encode()
+    indices = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = pa.compute.sort_indices(denc.dictionary).to_numpy().astype(np.int64)
+    rank = np.empty_like(order)
+    rank[order] = np.arange(order.size)
+    sorted_dict = denc.dictionary.take(pa.array(order))
+    dict_data, dict_offsets = _flatten_large_binary(sorted_dict)
+    return rank[indices], dict_data, np.diff(dict_offsets), len(sorted_dict)
+
+
 def _encode_string_column(
     dense: pa.Array, fsst_table_bytes: bytes | None, block_codec: str = "none",
     force_codec: str | None = None,
@@ -65,22 +83,13 @@ def _encode_string_column(
     data, offsets = _flatten_large_binary(dense)
     lengths = np.diff(offsets)
     if codec == "dict":
-        # ORC dictionaries are sorted (src/array_decoder/string.rs:213-215);
-        # all work stays in Arrow kernels — no per-distinct Python objects
-        denc = dense.dictionary_encode()
-        indices = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        order = pa.compute.sort_indices(denc.dictionary).to_numpy().astype(np.int64)
-        rank = np.empty_like(order)
-        rank[order] = np.arange(order.size)
-        sorted_dict = denc.dictionary.take(pa.array(order))
-        dict_data, dict_offsets = _flatten_large_binary(sorted_dict)
-        dict_lens = np.diff(dict_offsets)
+        ranks, dict_data, dict_lens, n_dict = sorted_dictionary(dense)
         streams = [
-            (ct.DATA, encode_rlev2(rank[indices], signed=False)),
+            (ct.DATA, encode_rlev2(ranks, signed=False)),
             (ct.DICTIONARY_DATA, dict_data),
             (ct.LENGTH, encode_rlev2(dict_lens, signed=False)),
         ]
-        return codec, detail, streams, len(sorted_dict)
+        return codec, detail, streams, n_dict
     if codec == "fsst":
         enc, _ = fsst_encode(data, offsets, table)
         streams = [

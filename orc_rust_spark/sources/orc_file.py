@@ -473,13 +473,16 @@ def _decode_column(col_id: int, t: OrcType, streams: dict, encodings, n: int,
     _trace_decode(name)
 
     def get(kind):
+        # writers may suppress zero-length streams from the stripe footer
+        # (e.g. an all-null column carries no DATA/LENGTH): absent decodes
+        # as an empty stream rather than crashing (code-review r6)
         raw = streams.get((col_id, kind))
-        return None if raw is None else blockc.decompress_stream(raw, comp)
+        return b"" if raw is None else blockc.decompress_stream(raw, comp)
 
     enc_kind, dict_size = encodings[col_id]
     rle = _int_decoder(enc_kind)
-    present = get(S_PRESENT)
-    not_null = decode_boolean_rle(present, n) if present is not None else None
+    has_present = (col_id, S_PRESENT) in streams
+    not_null = decode_boolean_rle(get(S_PRESENT), n) if has_present else None
     n_dense = int(not_null.sum()) if not_null is not None else n
     data = get(S_DATA)
     k = t.kind
@@ -568,23 +571,29 @@ def _decode_column(col_id: int, t: OrcType, streams: dict, encodings, n: int,
                 # silently overflow int64 — wide decimals always take the
                 # exact path
                 raise ValueError("precision > 18")
-            mant = decode_decimal(data, get(S_SECONDARY), n_dense, t.scale)
+            # the SECONDARY scale stream follows the column's int encoding
+            # (RLEv1 under legacy DIRECT, RLEv2 under DIRECT_V2) — pass the
+            # encoding-selected decoder, and let rescale overflow raise
+            # into the exact path (code-review r6)
+            mant = decode_decimal(data, get(S_SECONDARY), n_dense,
+                                  t.scale, rle=rle)
             words = np.empty((n_dense, 2), dtype=np.uint64)
             words[:, 0] = mant.view(np.uint64)
             words[:, 1] = (mant >> np.int64(63)).view(np.uint64)
         except ValueError:
-            # mantissa varints wider than 64-bit zigzag (precision > 18):
-            # exact i128 slow path, mirroring operators.decode — including
-            # the SECONDARY per-value scale rescale to the declared scale
-            from ..codecs.decimal_codec import decode_varints_exact, i128_words
+            # mantissa varints wider than 64-bit zigzag (precision > 18) or
+            # an int64-overflowing rescale: exact i128 slow path, mirroring
+            # operators.decode — including the SECONDARY per-value scale
+            # rescale to the declared scale
+            from ..codecs.decimal_codec import (
+                decode_varints_exact,
+                i128_words,
+                rescale_exact,
+            )
 
             ints = decode_varints_exact(data, n_dense)
             scales = rle(get(S_SECONDARY), n_dense, signed=True)
-            ints = [
-                m * 10 ** (t.scale - int(s)) if t.scale >= s else m // 10 ** (int(s) - t.scale)
-                for m, s in zip(ints, scales)
-            ]
-            words = i128_words(ints)
+            words = i128_words(rescale_exact(ints, scales, t.scale))
         dense = pa.Array.from_buffers(
             pa.decimal128(t.precision or 38, t.scale), n_dense,
             [None, pa.py_buffer(words.tobytes())],
@@ -783,7 +792,7 @@ def _subtree_ids(types: list[OrcType], cid: int) -> list[int]:
 def _decode_column_group(
     col_id: int, t: OrcType, streams: dict, encodings, comp: str, tz: str,
     entries_by_col: dict, g: int, n_g: int, dict_cache: dict, name: str,
-    types: list[OrcType] | None = None,
+    types: list[OrcType] | None = None, sfx_cache: dict | None = None,
 ) -> pa.Array:
     """Decode ONE row group of a column (``n_g`` = this column's value
     count within the group — top-level rows for root children, element
@@ -792,7 +801,13 @@ def _decode_column_group(
     decoded are never RLE-decoded nor (beyond their compressed suffix)
     decompressed. Nested columns recurse: the parent derives each child's
     group value count (PRESENT for struct, LENGTH sums for list/map) and
-    the child seeks via its OWN row-index entry for the same group."""
+    the child seeks via its OWN row-index entry for the same group.
+
+    ``sfx_cache`` memoizes suffix decompressions per (col, kind, chunk
+    offset): groups whose positions land in the same compressed block —
+    always true for continuous streams whose chunk offset stays 0 — reuse
+    one decompression instead of re-decompressing the stream tail per
+    group (code-review r6)."""
     _trace_decode(name)
     enc_kind, dict_size = encodings[col_id]
     rle = _int_decoder(enc_kind)
@@ -809,7 +824,14 @@ def _decode_column_group(
             buf = raw[off:]
         else:
             chunk, dec = int(pos[cur]), int(pos[cur + 1]); cur += 2
-            buf = blockc.decompress_stream(raw[chunk:], comp)[dec:]
+            key = (col_id, kind, chunk)
+            if sfx_cache is None:
+                suffix = blockc.decompress_stream(raw[chunk:], comp)
+            elif key in sfx_cache:
+                suffix = sfx_cache[key]
+            else:
+                suffix = sfx_cache[key] = blockc.decompress_stream(raw[chunk:], comp)
+            buf = suffix[dec:]
         exs[kind] = tuple(int(x) for x in pos[cur: cur + extras]); cur += extras
         bufs[kind] = buf
 
@@ -826,7 +848,7 @@ def _decode_column_group(
         children = [
             _decode_column_group(cid, types[cid], streams, encodings, comp, tz,
                                  entries_by_col, g, n_dense, dict_cache,
-                                 f"{name}.{fname}", types)
+                                 f"{name}.{fname}", types, sfx_cache)
             for cid, fname in zip(t.subtypes, t.field_names)
         ]
         dense = pa.StructArray.from_arrays(children, t.field_names)
@@ -844,7 +866,8 @@ def _decode_column_group(
             n_child = int(sel.sum())
             child = _decode_column_group(cid, types[cid], streams, encodings,
                                          comp, tz, entries_by_col, g, n_child,
-                                         dict_cache, f"{name}.{i}", types)
+                                         dict_cache, f"{name}.{i}", types,
+                                         sfx_cache)
             idx = np.zeros(n_dense, dtype=np.int64)
             idx[sel] = np.arange(n_child)
             fields.append(child.take(pa.array(idx, type=pa.int64(), mask=~sel)))
@@ -859,16 +882,16 @@ def _decode_column_group(
             cid = t.subtypes[0]
             child = _decode_column_group(cid, types[cid], streams, encodings,
                                          comp, tz, entries_by_col, g, n_child,
-                                         dict_cache, f"{name}.item", types)
+                                         dict_cache, f"{name}.item", types, sfx_cache)
             dense = pa.ListArray.from_arrays(_int32_offsets(lengths), child)
         else:
             kid, vid = t.subtypes[0], t.subtypes[1]
             keys = _decode_column_group(kid, types[kid], streams, encodings,
                                         comp, tz, entries_by_col, g, n_child,
-                                        dict_cache, f"{name}.key", types)
+                                        dict_cache, f"{name}.key", types, sfx_cache)
             items = _decode_column_group(vid, types[vid], streams, encodings,
                                          comp, tz, entries_by_col, g, n_child,
-                                         dict_cache, f"{name}.value", types)
+                                         dict_cache, f"{name}.value", types, sfx_cache)
             dense = pa.MapArray.from_arrays(_int32_offsets(lengths), keys, items)
         return _respace(dense, not_null)
     if k in (K_SHORT, K_INT, K_LONG, K_DATE):
@@ -901,18 +924,16 @@ def _decode_column_group(
             decode_varints_exact,
             decode_varints_i64,
             i128_words,
+            rescale_exact,
+            rescale_i64,
         )
 
         sk_s = exs[S_SECONDARY][0]
         scales = rle(bufs[S_SECONDARY], sk_s + n_dense, signed=True, exact=False)[sk_s:]
         if (t.precision or 38) > 18:
             # wide decimals: exact Python-int rescale (int64 would overflow)
-            ints = decode_varints_exact(bufs[S_DATA], n_dense)
-            ints = [
-                m * 10 ** (t.scale - int(s)) if t.scale >= s
-                else m // 10 ** (int(s) - t.scale)
-                for m, s in zip(ints, scales)
-            ]
+            ints = rescale_exact(decode_varints_exact(bufs[S_DATA], n_dense),
+                                 scales, t.scale)
             return _respace(
                 pa.Array.from_buffers(
                     pa.decimal128(t.precision or 38, t.scale), n_dense,
@@ -921,26 +942,19 @@ def _decode_column_group(
                 not_null,
             )
         try:
-            mant = decode_varints_i64(bufs[S_DATA], n_dense)
-            diff = t.scale - scales
-            up, down = diff > 0, diff < 0
-            mant[up] = mant[up] * np.power(10, diff[up])
-            mant[down] = mant[down] // np.power(10, -diff[down])
+            mant = rescale_i64(decode_varints_i64(bufs[S_DATA], n_dense),
+                               scales, t.scale)
             words = np.empty((n_dense, 2), dtype=np.uint64)
             words[:, 0] = mant.view(np.uint64)
             words[:, 1] = (mant >> np.int64(63)).view(np.uint64)
         except ValueError:
-            # mantissa varints wider than 64-bit zigzag despite a
-            # declared precision <= 18 (legal on the wire): exact i128
-            # fallback, mirroring _decode_column — without it the SAME
-            # file full-decoded but crashed the pruned read
-            # (code-review r6)
-            ints = decode_varints_exact(bufs[S_DATA], n_dense)
-            ints = [
-                m * 10 ** (t.scale - int(s)) if t.scale >= s
-                else m // 10 ** (int(s) - t.scale)
-                for m, s in zip(ints, scales)
-            ]
+            # mantissa varints wider than 64-bit zigzag despite a declared
+            # precision <= 18 (legal on the wire), or an int64-overflowing
+            # rescale: exact i128 fallback, mirroring _decode_column —
+            # without it the SAME file full-decoded but crashed the pruned
+            # read (code-review r6)
+            ints = rescale_exact(decode_varints_exact(bufs[S_DATA], n_dense),
+                                 scales, t.scale)
             words = i128_words(ints)
         dense = pa.Array.from_buffers(
             pa.decimal128(t.precision or 38, t.scale), n_dense,
@@ -1264,8 +1278,19 @@ def decode_stripe_pruned(
     for top in proj_ids:
         for cid in _subtree_ids(meta.types, top):
             t = meta.types[cid]
-            if _position_layout(t, encodings[cid][0],
-                                (cid, S_PRESENT) in streams) is None:
+            layout = _position_layout(t, encodings[cid][0],
+                                      (cid, S_PRESENT) in streams)
+            if layout is None:
+                return full()
+            # a writer-suppressed zero-length stream records no positions,
+            # so the per-group position walk would misalign — full decode
+            # treats absent streams as empty instead (code-review r6)
+            if any((cid, kind) not in streams for kind, _ in layout):
+                return full()
+            if encodings[cid][0] in (E_DICTIONARY, E_DICTIONARY_V2) and not (
+                (cid, S_LENGTH) in streams
+                and (cid, S_DICTIONARY_DATA) in streams
+            ):
                 return full()
             parsed = _ri_entries(cid)
             if parsed is None:
@@ -1275,13 +1300,15 @@ def decode_stripe_pruned(
             per_col_entries[cid] = parsed
 
     dict_cache: dict[int, pa.Array] = {}
+    sfx_cache: dict[tuple, bytes] = {}
     cols: dict[str, list] = {name: [] for name in proj}
     for g in keep:
         n_g = min(stride, n_rows - g * stride)
         for cid, name in zip(proj_ids, proj):
             cols[name].append(_decode_column_group(
                 cid, meta.types[cid], streams, encodings, meta.compression, tz,
-                per_col_entries, g, n_g, dict_cache, name, meta.types))
+                per_col_entries, g, n_g, dict_cache, name, meta.types,
+                sfx_cache))
     if not proj:
         # empty projection: the result still carries the kept rows
         # (count(*) semantics — code-review r6)
@@ -1331,11 +1358,27 @@ def _arrow_type_of(types: list[OrcType], cid: int) -> pa.DataType:
     return _K_TO_ARROW[k]
 
 
+def _validate_projection(meta: OrcMeta, columns: list[str] | None) -> None:
+    """Reject projection names absent from the file's root schema — a
+    misspelled entry would otherwise yield a silently narrower table (or
+    a far-away Arrow/Spark schema mismatch in orc_scan) instead of an
+    error at the source (code-review r6)."""
+    if columns is None:
+        return
+    known = set(meta.types[0].field_names)
+    missing = [c for c in columns if c not in known]
+    if missing:
+        raise KeyError(
+            f"projected column(s) {missing} not in ORC schema; "
+            f"available: {meta.types[0].field_names}")
+
+
 def orc_to_table(path: str, columns: list[str] | None = None) -> pa.Table:
     """Decode a whole ORC file with this engine's codecs -> pa.Table.
     ``columns`` projects to the named root columns (ProjectionMask analog,
     src/projection.rs:24-78)."""
     meta = read_metadata(path)
+    _validate_projection(meta, columns)
     parts = []
     with open(path, "rb") as fh:
         for st in meta.stripes:
@@ -1633,6 +1676,7 @@ def _encode_indexed_column(
         _bloomable,
         _encode_column,
         _flatten_large_binary,
+        sorted_dictionary,
     )
     from ..sources import chunk_table as ct
 
@@ -1660,19 +1704,12 @@ def _encode_indexed_column(
             dense_all, string_chunk_stats(dense_all), None)
         use_dict = codec0 == "dict"
         if use_dict:
-            denc = dense_all.dictionary_encode()
-            indices = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-            order = pc.sort_indices(denc.dictionary).to_numpy().astype(np.int64)
-            rank = np.empty_like(order)
-            rank[order] = np.arange(order.size)
-            dense_ranks = rank[indices]
-            sorted_dict = denc.dictionary.take(pa.array(order))
-            dict_data, dict_offs = _flatten_large_binary(sorted_dict)
+            dense_ranks, dict_data, dict_lens, dict_size = sorted_dictionary(
+                dense_all)
             dict_streams = [
-                (S_LENGTH, encode_rlev2(np.diff(dict_offs), signed=False)),
+                (S_LENGTH, encode_rlev2(dict_lens, signed=False)),
                 (S_DICTIONARY_DATA, dict_data),
             ]
-            dict_size = len(sorted_dict)
 
     continuous: dict[int, bytes] = {}
     extra_vals: dict[int, list[tuple[int, ...]]] = {}
@@ -2054,6 +2091,12 @@ def _encode_indexed_tree(
                 regular=False)
 
 
+#: ORC PostScript CompressionKind values this writer can emit (the
+#: readable set is wider — see blockc.readable_codecs / the enum in
+#: _parse_postscript)
+_WRITE_COMP_ENUM = {"none": 0, "zlib": 1, "snappy": 2, "lz4": 4, "zstd": 5}
+
+
 class OrcWriter:
     """STREAMING writer of REAL Apache ORC v1 files using this engine's
     encoders — the reference ArrowWriter analog (src/arrow_writer.rs:
@@ -2100,6 +2143,14 @@ class OrcWriter:
             # (liborc, our full decode) — corrupt output, so reject
             raise ValueError(
                 f"row_index_stride must be a multiple of 8, got {row_index_stride}")
+        if compression not in _WRITE_COMP_ENUM:
+            # blockc can frame more codecs (e.g. lzma) than the ORC
+            # PostScript enum names — accepting one here would write every
+            # stripe and only KeyError at close(), leaving a tail-less
+            # corrupt file (code-review r6): fail before open()
+            raise ValueError(
+                f"unsupported ORC compression {compression!r}; "
+                f"choose one of {sorted(_WRITE_COMP_ENUM)}")
         self.compression = compression
         self.stripe_rows = stripe_rows
         self.writer_timezone = writer_timezone
@@ -2356,8 +2407,7 @@ class OrcWriter:
         footer_bytes = self._maybe_compress(footer)
         tail.extend(footer_bytes)
 
-        comp_enum = {"none": 0, "zlib": 1, "snappy": 2, "lz4": 4,
-                     "zstd": 5}[self.compression]
+        comp_enum = _WRITE_COMP_ENUM[self.compression]
         ps = _pb_field(1, 0, len(footer_bytes))        # footerLength
         ps += _pb_field(2, 0, comp_enum)               # compression
         if self.compression != "none":
@@ -2478,6 +2528,8 @@ def orc_scan(spark, path: str, schema, predicate=None,
     import pickle as _pickle
 
     metas = read_metadatas(expand_paths(path))  # driver, once, thread-pooled
+    for meta in metas.values():
+        _validate_projection(meta, columns)
     if row_ranges is not None:
         if len(metas) != 1:
             raise ValueError(

@@ -55,3 +55,39 @@ def test_decimal_spark_roundtrip(spark):
     assert decoded.exceptAll(src).count() == 0
     assert src.exceptAll(decoded).count() == 0
     assert decoded.count() == src.count()
+
+
+def test_rescale_i64_overflow_raises():
+    """Up-rescaling past int64 must raise (so readers fall back to the
+    exact i128 path) instead of silently wrapping — code-review r6."""
+    from orc_rust_spark.codecs.decimal_codec import rescale_exact, rescale_i64
+
+    mant = np.array([2**62], dtype=np.int64)
+    scales = np.array([0], dtype=np.int64)
+    with pytest.raises(ValueError):
+        rescale_i64(mant, scales, 5)  # 2**62 * 10**5 >> int64
+    # |scale diff| beyond 10**18 wraps np.power itself: must also raise
+    with pytest.raises(ValueError):
+        rescale_i64(np.array([1], dtype=np.int64),
+                    np.array([-19], dtype=np.int64), 0)
+    # the exact mirror agrees with the int64 path where both are defined
+    got = rescale_exact([123456, -789], np.array([2, 1]), 4)
+    assert got == [12345600, -789000]
+    want = rescale_i64(np.array([123456, -789], dtype=np.int64),
+                       np.array([2, 1], dtype=np.int64), 4)
+    assert got == want.tolist()
+
+
+def test_decode_decimal_v1_secondary_uses_caller_rle():
+    """A legacy DIRECT(v1)-encoded decimal stores its SECONDARY scale
+    stream as RLEv1 — decode_decimal must honor the caller's decoder
+    instead of hard-coding RLEv2 (code-review r6)."""
+    from orc_rust_spark.codecs.decimal_codec import encode_varints_i64
+    from orc_rust_spark.codecs.rle_v1 import decode_rlev1, encode_rlev1
+
+    mant = np.array([1234, -5, 0, 999999], dtype=np.int64)
+    scales = np.full(4, 2, dtype=np.int64)
+    data = encode_varints_i64(mant)
+    secondary_v1 = encode_rlev1(scales, signed=True)
+    got = decode_decimal(data, secondary_v1, 4, 2, rle=decode_rlev1)
+    assert got.tolist() == mant.tolist()

@@ -1488,3 +1488,48 @@ def test_mixed_type_bounds_keep_not_crash(tmp_path):
     # int lo=5 prunes group 0's complement correctly; str hi keeps all
     assert out.num_rows == 50 or kept <= total
     assert out.column("c").to_pylist() == sorted(out.column("c").to_pylist())
+
+
+def test_decode_column_tolerates_suppressed_streams():
+    """Writers may suppress zero-length streams from the stripe footer
+    (an all-null column carries no DATA/LENGTH): full decode must treat
+    the absent stream as empty, not crash (code-review r6)."""
+    from orc_rust_spark.codecs.boolean_rle import encode_boolean_rle
+    from orc_rust_spark.sources.orc_file import (
+        K_LONG,
+        K_STRING,
+        S_PRESENT,
+        OrcType,
+        _decode_column,
+    )
+
+    present = encode_boolean_rle(np.zeros(5, dtype=bool))
+    out = _decode_column(1, OrcType(kind=K_LONG), {(1, S_PRESENT): present},
+                         {1: (2, 0)}, 5, "none", "v")
+    assert len(out) == 5 and out.null_count == 5
+    out = _decode_column(1, OrcType(kind=K_STRING), {(1, S_PRESENT): present},
+                         {1: (2, 0)}, 5, "none", "s")
+    assert len(out) == 5 and out.null_count == 5
+
+
+def test_orc_writer_rejects_non_orc_compression(tmp_path):
+    """'lzma' is blockc-framable but has no ORC PostScript enum value —
+    accepting it would write every stripe and only fail at close(),
+    leaving a tail-less corrupt file (code-review r6)."""
+    from orc_rust_spark.sources.orc_file import OrcWriter
+
+    path = str(tmp_path / "x.orc")
+    with pytest.raises(ValueError, match="compression"):
+        OrcWriter(path, pa.schema([("v", pa.int64())]), compression="lzma")
+    assert not (tmp_path / "x.orc").exists()
+
+
+def test_projection_unknown_column_raises(tmp_path):
+    from orc_rust_spark.sources.orc_file import write_orc
+
+    path = str(tmp_path / "p.orc")
+    write_orc(pa.table({"a": [1, 2], "b": ["x", "y"]}), path)
+    with pytest.raises(KeyError, match="pricee"):
+        orc_to_table(path, columns=["a", "pricee"])
+    # valid projections still narrow
+    assert orc_to_table(path, columns=["b"]).column_names == ["b"]
