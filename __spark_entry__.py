@@ -967,7 +967,12 @@ def q_streaming_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = encode_stream(spark, in_dir, out, plan={}, trigger_once=True, schema=src.schema)
     q.awaitTermination()
     chunks = spark.read.parquet(f"{out}/chunks")
-    return decode_table_arrow(chunks, src.schema).select(*cols)
+    # per-batch landing dirs reuse task-local part_ids, so the batch id
+    # (a partition-discovery column) is part of the chunk identity
+    return decode_table_arrow(
+        chunks, src.schema,
+        group_cols=("stream_batch_id", "part_id", "chunk_ord"),
+    ).select(*cols)
 
 
 def q_streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -43,6 +43,10 @@ def main() -> int:
     ap.add_argument("--stripe-mb", type=int, default=64)
     ap.add_argument("--verify", action="store_true",
                     help="decode and verify byte-identity after encoding")
+    ap.add_argument("--verify-key", default=None,
+                    help="join key column for --verify (defaults to "
+                    "--repartition-on, else 'url'); required when the "
+                    "input has no url column")
     args = ap.parse_args()
 
     from orc_rust_spark.plans.pipeline import encode_dataset, per_codec_metrics, verify_roundtrip
@@ -76,7 +80,12 @@ def main() -> int:
         num_partitions=args.num_partitions,
     )
     if args.verify:
-        summary["verify"] = verify_roundtrip(spark, source, summary["chunks_dir"])
+        key = args.verify_key or args.repartition_on or "url"
+        if key not in source.columns:
+            ap.error(f"--verify key {key!r} not in input columns "
+                     f"{source.columns}; pass --verify-key")
+        summary["verify"] = verify_roundtrip(
+            spark, source, summary["chunks_dir"], key=key)
     print(json.dumps(summary))
     per_codec_metrics(spark, summary["chunks_dir"]).show(50, truncate=False)
     spark.stop()

@@ -386,15 +386,22 @@ def decode_chunk_pdf(
     return pd.DataFrame(cols, columns=list(col_kinds.keys()))
 
 
-def decode_table(chunks: DataFrame, schema: T.StructType) -> DataFrame:
+def decode_table(
+    chunks: DataFrame, schema: T.StructType,
+    group_cols: tuple[str, ...] = ("part_id", "chunk_ord"),
+) -> DataFrame:
     """Chunk-table DataFrame -> DataFrame with the original schema
-    (grouped applyInPandas strategy)."""
+    (grouped applyInPandas strategy).
+
+    ``group_cols`` identifies one chunk; streaming sinks that land one
+    directory per micro-batch reuse task-local part_ids across batches and
+    pass ("stream_batch_id", "part_id", "chunk_ord")."""
     col_kinds = {f.name: f.dataType for f in schema.fields}
 
     def decode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         return decode_chunk_pdf(pdf, col_kinds)
 
-    return chunks.groupBy("part_id", "chunk_ord").applyInPandas(decode_group, schema=schema)
+    return chunks.groupBy(*group_cols).applyInPandas(decode_group, schema=schema)
 
 
 def _binary_views(arr: pa.Array) -> list[memoryview]:
@@ -409,7 +416,8 @@ def _binary_views(arr: pa.Array) -> list[memoryview]:
 
 
 def decode_table_arrow(
-    chunks: DataFrame, schema: T.StructType, co_locate: bool = True
+    chunks: DataFrame, schema: T.StructType, co_locate: bool = True,
+    group_cols: tuple[str, ...] = ("part_id", "chunk_ord"),
 ) -> DataFrame:
     """Fast path: decode chunk rows to Arrow RecordBatches directly.
 
@@ -423,6 +431,11 @@ def decode_table_arrow(
     is true for encode_table output piped directly in (each encode task
     emits one RecordBatch per chunk) — the whole roundtrip then runs as a
     single map-only stage with no exchange.
+
+    ``group_cols`` identifies one chunk (tuple-compared per row — no
+    packed-integer key, so no bound on chunk_ord or part_id magnitude);
+    streaming consumers add "stream_batch_id" since per-batch landing
+    dirs reuse task-local part_ids.
     """
     col_kinds = {f.name: f.dataType for f in schema.fields}
     arrow_schema = pa.schema(
@@ -458,14 +471,12 @@ def decode_table_arrow(
             m = b.num_rows
             if m == 0:
                 continue
-            part = b.column("part_id").to_numpy()
-            cord = b.column("chunk_ord").to_numpy()
+            gcols = [b.column(c).to_numpy() for c in group_cols]
             row_count = b.column("row_count").to_numpy()
             null_count = b.column("null_count").to_numpy()
             dict_size = b.column("dict_size").to_numpy()
             meta = {c: b.column(c).to_pylist() for c in META_COLS}
             data = _binary_views(b.column("data"))
-            keys = part.astype(np.int64) * (1 << 32) + cord.astype(np.int64)
 
             def row(i):
                 return {
@@ -485,11 +496,14 @@ def decode_table_arrow(
                     "stats_json": meta["stats_json"][i],
                 }
 
-            bounds = np.flatnonzero(np.diff(keys)) + 1
+            changed = np.zeros(m - 1, dtype=bool)
+            for col in gcols:
+                changed |= col[1:] != col[:-1]
+            bounds = np.flatnonzero(changed) + 1
             starts = np.concatenate(([0], bounds))
             ends = np.concatenate((bounds, [m]))
             for s, e in zip(starts, ends):
-                k = int(keys[s])
+                k = tuple(int(col[s]) for col in gcols)
                 if pending and k != pending_key:
                     yield flush(pending)
                     pending = []
@@ -504,6 +518,6 @@ def decode_table_arrow(
     src = chunks
     if co_locate:
         src = chunks.repartition(
-            F.col("part_id"), F.col("chunk_ord")
-        ).sortWithinPartitions("part_id", "chunk_ord")
+            *[F.col(c) for c in group_cols]
+        ).sortWithinPartitions(*group_cols)
     return src.mapInArrow(decode_iter, schema=schema)

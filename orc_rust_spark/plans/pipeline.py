@@ -55,28 +55,38 @@ def plan_codecs(df: DataFrame, sample_rows: int = 2000) -> dict:
     }
     if not string_cols:
         return plan
-    head = df.select(*string_cols).limit(sample_rows)
-    avg_row = head.agg(
-        *[F.avg(F.length(F.col(c))).alias(c) for c in string_cols]
-    ).collect()[0]
-    eligible = [c for c in string_cols
-                if avg_row[c] is not None and avg_row[c] <= FSST_MAX_TRAIN_AVG_LEN]
-    per_col = sample_rows * FSST_MAX_TRAIN_AVG_LEN  # worst-case collect bytes
-    group_n = max(1, FSST_SAMPLE_BUDGET_BYTES // per_col)
-    for i in range(0, len(eligible), group_n):
-        grp = eligible[i: i + group_n]
-        sample = head.select(
-            *[F.substring(F.col(c), 1, FSST_MAX_TRAIN_AVG_LEN).alias(c)
-              for c in grp]
-        ).collect()
-        for c in grp:
-            vals = [r[c] for r in sample if r[c]]
-            if not vals:
-                continue
-            corpus = "".join(vals[:FSST_TRAIN_STRINGS]).encode()
-            table = train_fsst(corpus)
-            if table.symbols:
-                plan[c]["fsst_table"] = table.serialize()
+    # ONE materialized sample: LIMIT without ordering is nondeterministic
+    # and re-executes per collect, so an uncached `head` could gate a
+    # column on one row set and train it on another while re-scanning the
+    # source once per column group (code-review r6). The cached projection
+    # carries JVM-side exact lengths plus gate-truncated values, so the
+    # executor cache stays bounded on ultra-wide tables too.
+    lens = [F.length(F.col(c)).alias(f"__len_{i}")
+            for i, c in enumerate(string_cols)]
+    vals_trunc = [F.substring(F.col(c), 1, FSST_MAX_TRAIN_AVG_LEN).alias(c)
+                  for c in string_cols]
+    head = df.select(*lens, *vals_trunc).limit(sample_rows).cache()
+    try:
+        avg_row = head.agg(
+            *[F.avg(f"__len_{i}").alias(c) for i, c in enumerate(string_cols)]
+        ).collect()[0]
+        eligible = [c for c in string_cols
+                    if avg_row[c] is not None and avg_row[c] <= FSST_MAX_TRAIN_AVG_LEN]
+        per_col = sample_rows * FSST_MAX_TRAIN_AVG_LEN  # worst-case collect bytes
+        group_n = max(1, FSST_SAMPLE_BUDGET_BYTES // per_col)
+        for i in range(0, len(eligible), group_n):
+            grp = eligible[i: i + group_n]
+            sample = head.select(*grp).collect()
+            for c in grp:
+                vals = [r[c] for r in sample if r[c]]
+                if not vals:
+                    continue
+                corpus = "".join(vals[:FSST_TRAIN_STRINGS]).encode()
+                table = train_fsst(corpus)
+                if table.symbols:
+                    plan[c]["fsst_table"] = table.serialize()
+    finally:
+        head.unpersist()
     return plan
 
 
@@ -111,10 +121,22 @@ def encode_dataset(
     with open(os.path.join(output_dir, "schema.json"), "w") as fh:
         fh.write(source.schema.json())
 
+    # pin the realized partition count WITHOUT executing the plan: an
+    # explicit repartition(N, ...) realizes exactly N (AQE respects a
+    # user-specified count), so the salted path defaults N to the session's
+    # shuffle partitions rather than probing `source.rdd.getNumPartitions()`
+    # after an AQE shuffle — that probe materialized the whole scan +
+    # shuffle once just to build the layout string (code-review r6)
     if repartition_on:
-        source = salted_repartition(source, repartition_on, num_partitions)
+        n_real = num_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions"))
+        source = salted_repartition(source, repartition_on, n_real)
     elif num_partitions:
         source = source.repartition(num_partitions)
+        n_real = num_partitions
+    else:
+        # narrow file scan: partition list comes from split planning, no job
+        n_real = source.rdd.getNumPartitions()
 
     plan = plan if plan is not None else plan_codecs(source)
 
@@ -127,8 +149,7 @@ def encode_dataset(
     # voids resume instead of skipping positionally-reused ids that now
     # hold different rows (code-review r6: the fingerprint-derived
     # snapshot id made that collision reachable without any input change)
-    layout = (f"{repartition_on or ''}|{num_partitions or ''}"
-              f"|{source.rdd.getNumPartitions()}")
+    layout = f"{repartition_on or ''}|{num_partitions or ''}|{n_real}"
 
     # resume: skip partitions marked done for THIS snapshot + layout, but
     # only if the source still has the row count recorded at first run
@@ -180,9 +201,13 @@ def encode_dataset(
     chunks = encode_table(source, plan=plan, stripe_bytes=stripe_bytes)
     # partition-dir-per-part_id + dynamic overwrite = re-encoding a
     # partition atomically REPLACES its chunk files instead of appending
-    # duplicate (part_id, chunk_ord) rows
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    chunks.write.mode("overwrite").partitionBy("part_id").parquet(chunks_dir)
+    # duplicate (part_id, chunk_ord) rows. Scoped to THIS write — mutating
+    # the session conf would silently change every later
+    # mode("overwrite").partitionBy(...) in the caller's session
+    # (code-review r6)
+    chunks.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("part_id").parquet(chunks_dir)
     wall = time.time() - t0
 
     # manifest from what actually landed (lineage per partition); the
@@ -253,17 +278,22 @@ def encode_dataset(
 def verify_roundtrip(
     spark: SparkSession, source: DataFrame, chunks_dir: str, key: str = "url"
 ) -> dict:
-    """Decode the chunk table and compare every column per key row."""
+    """Decode the chunk table and compare every column per key row.
+
+    Known limit: eqNullSafe cannot compare MapType columns (Spark raises
+    AnalysisException); verify a map-bearing schema by exploding the map
+    column first or excluding it from ``source``."""
     chunks = spark.read.parquet(chunks_dir)
     decoded = decode_table(chunks, source.schema)
     cols = [f.name for f in source.schema.fields if f.name != key]
     s = source.alias("s")
     d = decoded.alias("d")
     joined = s.join(d, on=key, how="full")
-    mismatch_expr = None
+    # key-only schemas still get a well-formed 0-mismatch report
+    # (F.when(None, ...) raised TypeError — code-review r6)
+    mismatch_expr = F.lit(False)
     for c in cols:
-        ne = ~F.col(f"s.{c}").eqNullSafe(F.col(f"d.{c}"))
-        mismatch_expr = ne if mismatch_expr is None else (mismatch_expr | ne)
+        mismatch_expr = mismatch_expr | ~F.col(f"s.{c}").eqNullSafe(F.col(f"d.{c}"))
     agg = joined.agg(
         F.count(F.lit(1)).alias("rows"),
         F.sum(F.when(mismatch_expr, 1).otherwise(0)).alias("mismatches"),

@@ -22,46 +22,65 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
-DEDUP_OUTPUT_SCHEMA = T.StructType([
-    T.StructField("fingerprint", T.LongType()),
-    T.StructField("doc_id", T.LongType()),
-    T.StructField("text", T.StringType()),
-])
 _STATE_SCHEMA = T.StructType([
     T.StructField("emitted", T.BooleanType()),
     T.StructField("dup_count", T.LongType()),
 ])
 
 
-def _dedup_group(key, pdf_iter, state: GroupState):
-    """One fingerprint's rows across this micro-batch. Emits the first-ever
-    row for the key; every other row (this batch or any later one) is
-    suppressed and counted."""
-    import pandas as pd
+def _dedup_group_fn(out_cols: list[str]):
+    """Bind the output column order into the stateful group function
+    (applyInPandasWithState passes no extra args)."""
 
-    emitted, dups = state.get if state.exists else (False, 0)
-    first = None
-    n = 0
-    for pdf in pdf_iter:
-        if first is None and len(pdf) and not emitted:
-            first = pdf.iloc[[0]][["fingerprint", "doc_id", "text"]]
-        n += len(pdf)
-    suppressed = n - (0 if emitted or first is None else 1)
-    state.update((True, int(dups + suppressed)))
-    if first is not None:
-        yield first
+    def _dedup_group(key, pdf_iter, state: GroupState):
+        """One fingerprint's rows across this micro-batch. Emits the
+        first-ever row for the key; every other row (this batch or any
+        later one) is suppressed and counted."""
+        emitted, dups = state.get if state.exists else (False, 0)
+        first = None
+        n = 0
+        for pdf in pdf_iter:
+            if first is None and len(pdf) and not emitted:
+                first = pdf.iloc[[0]][out_cols]
+            n += len(pdf)
+        suppressed = n - (0 if emitted or first is None else 1)
+        state.update((True, int(dups + suppressed)))
+        if first is not None:
+            yield first
+
+    return _dedup_group
 
 
-def streaming_exact_dedup(stream: DataFrame, text_col: str = "text") -> DataFrame:
+def streaming_exact_dedup(
+    stream: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """documents stream -> first-occurrence-only stream.
 
-    The fingerprint is xxhash64 of the raw text (JVM-side, before the
-    stateful shuffle), matching the batch operator's exact-dup criterion.
+    Mirrors the batch operator (operators.dedup.exact_dedup) exactly:
+    null-text rows are filtered out up front (xxhash64/md5 of NULL would
+    otherwise collapse every null-text document into one key and silently
+    drop all but the first — code-review r6), and the fingerprint is the
+    md5 prefix (as bigint) of whitespace-normalized LOWERCASE text — the
+    same normalization as text_analysis.fingerprint_col, so batch and
+    streaming produce the same keep-set on the same corpus.
+
+    ``id_col`` must be a bigint column; output is
+    (fingerprint, id_col, text_col).
     """
-    keyed = stream.withColumn("fingerprint", F.xxhash64(F.col(text_col)))
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    fp = F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")
+    out_schema = T.StructType([
+        T.StructField("fingerprint", T.LongType()),
+        T.StructField(id_col, T.LongType()),
+        T.StructField(text_col, T.StringType()),
+    ])
+    keyed = (
+        stream.where(F.col(text_col).isNotNull())
+        .withColumn("fingerprint", fp)
+    )
     return keyed.groupBy("fingerprint").applyInPandasWithState(
-        _dedup_group,
-        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        _dedup_group_fn(["fingerprint", id_col, text_col]),
+        outputStructType=out_schema,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -47,13 +47,21 @@ def encode_stream(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # part_id is task-local; offset it by the micro-batch id so chunk
-        # keys (part_id, chunk_ord) never collide across appended batches
-        encode_table(batch_df, plan=plan or {}).withColumn(
-            "part_id", (F.col("part_id") + F.lit(int(batch_id) * 65536)).cast("int")
-        ).withColumn(
-            "stream_batch_id", F.lit(batch_id)
-        ).write.mode("append").parquet(chunks_dir)
+        # IDEMPOTENT per-batch landing: each micro-batch OVERWRITES its own
+        # stream_batch_id=<id> directory, so a foreachBatch retry after a
+        # partial append replaces the partial output instead of duplicating
+        # chunk rows (foreachBatch is at-least-once; a blind append to one
+        # shared dir double-counted on retry — code-review r6). part_id is
+        # task-local and UNCHANGED: chunk identity across the whole stream
+        # is (stream_batch_id, part_id, chunk_ord) — readers pass that as
+        # decode group_cols — which never overflows int32 no matter how
+        # long the stream runs (the old +batch_id*65536 offset hit ANSI
+        # CAST_OVERFLOW at batch 32768). stream_batch_id is recovered by
+        # partition discovery from the directory name.
+        batch_dir = os.path.join(chunks_dir, f"stream_batch_id={int(batch_id)}")
+        encode_table(batch_df, plan=plan or {}).write.mode(
+            "overwrite"
+        ).parquet(batch_dir)
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

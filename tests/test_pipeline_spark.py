@@ -278,3 +278,30 @@ def test_plan_codecs_bounded_on_ultra_wide_table(spark):
     # short repetitive columns still train tables
     trained = [c for c in plan if plan[c].get("fsst_table")]
     assert len(trained) >= 90
+
+
+def test_verify_roundtrip_key_only_schema(spark, tmp_path):
+    """A source with no columns besides the key must produce a well-formed
+    0-mismatch report instead of TypeError (code-review r6)."""
+    from orc_rust_spark.plans.pipeline import encode_dataset, verify_roundtrip
+
+    src = spark.range(100).select(F.concat(F.lit("u"), F.col("id")).alias("url"))
+    out = str(tmp_path / "key_only")
+    summary = encode_dataset(spark, src, out, snapshot_id="s1")
+    rep = verify_roundtrip(spark, src, summary["chunks_dir"])
+    assert rep["mismatches"] == 0 and rep["unmatched_keys"] == 0
+    assert rep["rows"] == 100
+
+
+def test_encode_dataset_write_scoped_overwrite_mode(spark, tmp_path):
+    """encode_dataset must not flip the SESSION partitionOverwriteMode —
+    later unrelated partitioned overwrites in the same session would
+    silently keep stale partitions (code-review r6)."""
+    from orc_rust_spark.plans.pipeline import encode_dataset
+    from orc_rust_spark.sources.webtext import webtext_df
+
+    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    encode_dataset(spark, webtext_df(spark, 50, num_partitions=1),
+                   str(tmp_path / "scoped"), snapshot_id="s2")
+    after = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    assert before == after

@@ -84,3 +84,51 @@ def test_stateful_streaming_dedup_across_batches_and_restarts(spark, tmp_path):
     got2 = spark.read.parquet(out_dir).select("text").collect()
     assert sorted(r.text for r in got2) == [
         "alpha doc", "beta doc", "delta doc", "gamma doc"]
+
+
+def test_encode_stream_rerun_overwrites_batch_dirs(spark, tmp_path):
+    """foreachBatch is at-least-once: a re-delivered batch id must land
+    idempotently. The sink writes each micro-batch to its own
+    stream_batch_id=<id> dir with overwrite — re-running the whole drain
+    with a FRESH checkpoint (every batch re-delivered) must leave row
+    counts unchanged, where the old append sink doubled them
+    (code-review r6)."""
+    input_dir = str(tmp_path / "in3")
+    out_dir = str(tmp_path / "out3")
+    webtext_df(spark, 300, num_partitions=2, seed=3).write.mode("append").parquet(input_dir)
+
+    q = encode_stream(spark, input_dir, out_dir, trigger_once=True)
+    q.awaitTermination(120)
+
+    def url_rows():
+        chunks = spark.read.parquet(os.path.join(out_dir, "chunks"))
+        return chunks.where(
+            (F.col("stream_kind") == "DATA") & (F.col("column") == "url")
+        ).agg(F.sum("row_count")).collect()[0][0]
+
+    assert url_rows() == 300
+    # fresh checkpoint = every batch re-delivered with the same ids
+    q2 = encode_stream(spark, input_dir, out_dir, trigger_once=True,
+                       checkpoint_dir=str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    assert url_rows() == 300  # overwritten, not doubled
+
+
+def test_streaming_dedup_null_text_and_normalization(spark, tmp_path):
+    """Null-text rows must not collapse into one fingerprint (hash of
+    NULL) and silently drop each other; and the streaming fingerprint
+    uses the batch normalization (lower + whitespace collapse), so
+    'Alpha  Doc' and 'alpha doc' are duplicates — code-review r6."""
+    from orc_rust_spark.streaming.dedup_stream import run_dedup_stream
+
+    input_dir = str(tmp_path / "nin")
+    out_dir = str(tmp_path / "nout")
+    rows = [(0, "Alpha  Doc"), (1, None), (2, "alpha doc"), (3, None),
+            (4, "beta doc")]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1) \
+        .write.mode("append").parquet(input_dir)
+    q = run_dedup_stream(spark, input_dir, out_dir, str(tmp_path / "nckpt"))
+    q.awaitTermination(120)
+    got = sorted(r.text for r in spark.read.parquet(out_dir).select("text").collect())
+    # nulls filtered (mirroring batch exact_dedup), normalized dups merged
+    assert got == ["Alpha  Doc", "beta doc"]
