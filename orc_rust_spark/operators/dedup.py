@@ -13,6 +13,13 @@ aggregate, so it partitions by shingle/bucket hash; hot shingles are the
 skew risk — minhash_lsh caps documents per bucket (df cap) the way
 production pipelines drop stop-shingles. No Python in any hot path except
 none — everything is built-in pyspark.sql.functions.
+
+Cache lifetime: the self-joined intermediates here (exploded shingles,
+sized signatures) are ``persist()``-ed so one action computes the explode
+once per side. They are released by Spark's ContextCleaner once the
+returned plan is garbage-collected on the driver (not pinned for the
+session); callers needing deterministic release can
+``spark.catalog.clearCache()`` between corpus-scale calls.
 """
 
 from __future__ import annotations
@@ -45,10 +52,15 @@ def _tokens(text: Column) -> Column:
 
 
 def _shingles(text: Column, n: int) -> Column:
-    """Distinct word n-grams of the text (empty array for short docs)."""
+    """Distinct word n-grams of the text (empty array for short docs).
+
+    split("") yields [""], so the empty token is removed explicitly —
+    without it every empty/whitespace doc shares the "" shingle and
+    ngram_jaccard_pairs reports all of them as jaccard-1.0 duplicates of
+    each other through a quadratic self-join (code-review r6)."""
     toks = _tokens(text)
     if n == 1:
-        return F.array_distinct(toks)
+        return F.array_remove(F.array_distinct(toks), "")
     return F.array_distinct(
         F.when(
             F.size(toks) >= n,
@@ -180,6 +192,13 @@ def minhash_lsh_pairs(
     oracle can recompute it exactly rather than settling for a rows-only
     check.
     """
+    if bands < 1 or num_perm % bands != 0:
+        # a silent floor-divide would drop num_perm % bands permutations
+        # from every bucket (changing the recall curve), and bands >
+        # num_perm would build zero-arg band hashes (code-review r6)
+        raise ValueError(
+            f"bands must divide num_perm (got num_perm={num_perm}, "
+            f"bands={bands})")
     rows = num_perm // bands
     sig = minhash_signatures(docs, n=n, num_perm=num_perm, text_col=text_col,
                              id_col=id_col, hash_family=hash_family)
@@ -323,7 +342,12 @@ def simhash_neardup_pairs(
                 F.struct(
                     F.lit(q).alias("chunk"),
                     F.shiftrightunsigned(F.col("simhash"), starts[q])
-                    .bitwiseAND(F.lit((1 << widths[q]) - 1)).alias("key"),
+                    # width 64 (max_hamming=0): (1<<64)-1 overflows the
+                    # bigint literal; -1 is the same all-ones mask
+                    # (code-review r6)
+                    .bitwiseAND(F.lit(
+                        -1 if widths[q] >= 64 else (1 << widths[q]) - 1
+                    )).alias("key"),
                 )
                 for q in range(n_blocks)
             ])
@@ -384,11 +408,26 @@ def neardup_components(
         .withColumn("lab", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    # convergence probe: labels only ever DECREASE, so the fixpoint is
-    # reached exactly when sum(lab) stops falling — one scan of the new
-    # labels instead of a join against the old ones (code-review r6)
-    prev_sum = labels.agg(
-        F.sum(F.col("lab").cast("decimal(38,0)"))).collect()[0][0]
+    # convergence probe: labels only ever DECREASE, so for NUMERIC ids the
+    # fixpoint is reached exactly when sum(lab) stops falling — one scan
+    # of the new labels instead of a join against the old ones. For
+    # non-numeric ids (string doc keys) the decimal cast yields NULL sums
+    # on both sides and would declare convergence after round 1 with
+    # wrong labels (code-review r6) — those use an exact changed-row
+    # probe over the two checkpointed frames instead.
+    from pyspark.sql import types as T
+
+    lab_numeric = isinstance(
+        labels.schema["lab"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+         T.FloatType, T.DoubleType, T.DecimalType),
+    )
+
+    def _label_sum(frame):
+        return frame.agg(
+            F.sum(F.col("lab").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels) if lab_numeric else None
     # diagnostic only (asserted in pytest, reported in BASELINE bench
     # attribution by hand); set unconditionally so a prior call's value
     # can never be mistaken for this one's
@@ -423,8 +462,17 @@ def neardup_components(
             ).alias("lab"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = new_labels.agg(
-            F.sum(F.col("lab").cast("decimal(38,0)"))).collect()[0][0]
+        if lab_numeric:
+            cur_sum = _label_sum(new_labels)
+            converged = cur_sum == prev_sum
+            prev_sum = cur_sum
+        else:
+            converged = (
+                new_labels.alias("n")
+                .join(labels.alias("p"), "id")
+                .where(F.col("n.lab") != F.col("p.lab"))
+                .limit(1).count() == 0
+            )
         # new_labels is eagerly materialized, so the superseded round's
         # blocks (old labels + this round's intermediate) can be freed
         # now rather than at ContextCleaner GC time — up to max_iters
@@ -432,10 +480,9 @@ def neardup_components(
         _release_local_checkpoint(stepped)
         _release_local_checkpoint(labels)
         labels = new_labels
-        if cur_sum == prev_sum:
+        if converged:
             neardup_components.last_rounds = rounds
             break
-        prev_sum = cur_sum
     else:
         raise ValueError(
             f"neardup_components did not converge in {max_iters} iterations "

@@ -32,6 +32,16 @@ def _norm(a: Column) -> Column:
     )
 
 
+def _safe_norm(a: "Column") -> "Column":
+    """_norm with the zero-vector guard the packed candidate stage uses
+    (norm 0 -> 1): dividing by it yields cosine 0.0 for a zero vector
+    instead of NaN — Spark orders NaN ABOVE every real double, so an
+    unguarded zero vector would take rank 1 in every top-k
+    (code-review r6)."""
+    n = _norm(a)
+    return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+
+
 def with_cosine(pairs: DataFrame, left: str, right: str) -> DataFrame:
     return pairs.withColumn(
         "cosine", _dot(F.col(left), F.col(right)) / (_norm(F.col(left)) * _norm(F.col(right)))
@@ -108,11 +118,27 @@ def _corpus_block_broadcasts(
             })
 
         for b in batches:
+            la = b.column(1)
+            if la.null_count:
+                # flatten() silently DROPS null slots, which would shift
+                # every later row's values in the reshape (code-review
+                # r6): null-embedding rows can't be compared — drop them
+                # with their ids, explicitly
+                keep = pa.compute.is_valid(la)
+                b = b.filter(keep)
+                la = b.column(1)
             if not b.num_rows:
                 continue
-            pend_ids.append(b.column(0).to_numpy(zero_copy_only=False).astype(np.int64))
-            la = b.column(1)
+            ids_np = b.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            lens = pa.compute.list_value_length(la)
+            lo, hi = pa.compute.min_max(lens).values()
+            if lo.as_py() != hi.as_py():
+                raise ValueError(
+                    f"ragged {vec_col!r} vectors in corpus block "
+                    f"(dims {lo.as_py()}..{hi.as_py()}): cosine search "
+                    "requires one fixed dimension")
             vals = la.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            pend_ids.append(ids_np)
             pend_mats.append(vals.reshape(b.num_rows, -1))  # fixed-dim vectors
             pend_n += b.num_rows
             while pend_n >= block_rows:
@@ -163,7 +189,6 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     queries: DataFrame | None = None,
-    broadcast_right: bool = True,
     round_to: int | None = 6,
     pad: int = 10,
     block_rows: int = DEFAULT_BLOCK_ROWS,
@@ -203,6 +228,10 @@ def cosine_topk(
         import numpy as np
 
         for pdf in batches:
+            # null embeddings have no neighbors: drop the rows (np.stack
+            # over a None otherwise degrades to an object array and the
+            # axis-1 norm crashes — code-review r6)
+            pdf = pdf[pdf[vec_col].notna()]
             if not len(pdf):
                 continue
             q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -242,9 +271,9 @@ def cosine_topk(
     cand = cand.localCheckpoint(eager=True)
     _destroy_blocks(bcs)
     q = src.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
-                   _norm(F.col(vec_col)).alias("qn"))
+                   _safe_norm(F.col(vec_col)).alias("qn"))
     c = vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
-                       _norm(F.col(vec_col)).alias("nn"))
+                       _safe_norm(F.col(vec_col)).alias("nn"))
     # re-score joins broadcast ONLY the candidate set (∝ queries × (k+pad));
     # both corpus-sized relations (q when queries is None, and c always)
     # stream through as the probe/shuffle side and are never materialized
@@ -253,7 +282,8 @@ def cosine_topk(
     # candidate relation at runtime, which is exactly the right plan.
     pairs = q.join(F.broadcast(cand), "qid").join(c.hint("shuffle_hash"), "nid")
     cos = _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
-    scored = pairs.withColumn("cosine", F.round(cos, round_to) if round_to else cos)
+    scored = pairs.withColumn(
+        "cosine", F.round(cos, round_to) if round_to is not None else cos)
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -353,9 +383,9 @@ def _bucketed_matmul_topk(
         .applyInPandas(gen, schema="qid long, nid long")
     )
     qv_rel = vectors.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv2"),
-                            _norm(F.col(vec_col)).alias("qn2"))
+                            _safe_norm(F.col(vec_col)).alias("qn2"))
     cv_rel = vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv2"),
-                            _norm(F.col(vec_col)).alias("nn2"))
+                            _safe_norm(F.col(vec_col)).alias("nn2"))
     # broadcast ONLY the candidate set; the corpus relations stream/shuffle
     pairs = qv_rel.join(F.broadcast(cand), "qid").join(
         cv_rel.hint("shuffle_hash"), "nid")
@@ -402,12 +432,17 @@ def ivf_sample_from_parquet(
     read directly with pyarrow (usable WITHOUT a SparkSession — the SQL
     oracle builder trains the identical centroids from the same file)."""
     import numpy as np
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(path, columns=[id_col, vec_col])
     order = np.argsort(tbl.column(id_col).to_numpy())[:sample_rows]
-    vecs = tbl.column(vec_col).to_pylist()
-    return np.array([vecs[i] for i in order], dtype=np.float64)
+    # take() materializes ONLY the sampled vectors — to_pylist() of the
+    # whole column held the entire corpus as Python lists on the driver
+    # just to index sample_rows of them (code-review r6)
+    sampled = tbl.column(vec_col).take(pa.array(order)).combine_chunks()
+    flat = sampled.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64).reshape(len(sampled), -1)
 
 
 def train_ivf_centroids(
@@ -545,6 +580,10 @@ def embedding_neardup_pairs(
         import numpy as np
 
         for pdf in batches:
+            # null embeddings have no neighbors: drop the rows (np.stack
+            # over a None otherwise degrades to an object array and the
+            # axis-1 norm crashes — code-review r6)
+            pdf = pdf[pdf[vec_col].notna()]
             if not len(pdf):
                 continue
             q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -566,9 +605,9 @@ def embedding_neardup_pairs(
     cand = cand.localCheckpoint(eager=True)
     _destroy_blocks(bcs)
     a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                       _norm(F.col(vec_col)).alias("na"))
+                       _safe_norm(F.col(vec_col)).alias("na"))
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                       _norm(F.col(vec_col)).alias("nb"))
+                       _safe_norm(F.col(vec_col)).alias("nb"))
     # broadcast ONLY the candidate pairs (∝ output size); the two
     # corpus-sized vector relations stream/shuffle-join and are never
     # collected to the driver (VERDICT r3 #1)

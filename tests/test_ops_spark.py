@@ -343,3 +343,75 @@ def test_neardup_components_chain_triangle_and_ceiling(spark):
         neardup_components(pairs, max_iters=1).collect()
     # a non-converged run must not leave the previous run's value behind
     assert neardup_components.last_rounds is None
+
+
+def test_dedup_edge_cases_r6(spark):
+    """code-review r6 regressions: empty docs share no shingle; bands
+    must divide num_perm; max_hamming=0 exact-simhash mode works; string
+    ids converge in connected components."""
+    import pytest as _pytest
+
+    from orc_rust_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        neardup_components,
+        ngram_jaccard_pairs,
+        simhash_neardup_pairs,
+    )
+
+    # empty/whitespace docs must NOT pair with each other via the ""
+    # shingle (previously jaccard 1.0 for every empty pair)
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, ""), (3, "real text here"),
+         (4, "real text here")],
+        "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b)
+             for r in ngram_jaccard_pairs(docs, n=1, threshold=0.5).collect()}
+    assert pairs == {(3, 4)}
+
+    with _pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(docs, num_perm=32, bands=5)
+
+    # max_hamming=0: single 64-bit block, mask must not overflow bigint
+    dup = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta gamma"), (2, "unrelated")],
+        "doc_id long, text string")
+    got = {(r.id_a, r.id_b)
+           for r in simhash_neardup_pairs(dup, max_hamming=0).collect()}
+    assert got == {(0, 1)}
+
+    # string ids: the numeric label-sum probe is unusable (NULL sums) —
+    # the exact change probe must keep iterating until true convergence
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"),
+         ("x", "y")],
+        "id_a string, id_b string")
+    comp = {r.id: r.component for r in neardup_components(chain).collect()}
+    assert {comp[k] for k in "abcdef"} == {"a"}
+    assert {comp[k] for k in "xy"} == {"x"}
+
+
+def test_cosine_topk_zero_vector_not_rank1(spark):
+    """A zero embedding must score cosine 0.0 (not NaN, which Spark ranks
+    above every real neighbor) — code-review r6."""
+    from orc_rust_spark.operators.similarity import cosine_topk
+
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]),
+            (3, [0.0, 1.0])]
+    vectors = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = cosine_topk(vectors, k=1, block_rows=4).collect()
+    by_q = {r.vec_id: (r.neighbor_id, r.cosine) for r in got}
+    # query 0's nearest is 1, never the zero vector with NaN
+    assert by_q[0][0] == 1
+    assert all(r.cosine == r.cosine for r in got)  # no NaNs anywhere
+
+
+def test_pack_drops_null_embeddings(spark):
+    """Null list slots must be dropped with their ids — flatten() would
+    silently misalign every following row (code-review r6)."""
+    from orc_rust_spark.operators.similarity import cosine_topk
+
+    rows = [(0, [1.0, 0.0]), (1, None), (2, [1.0, 0.1]), (3, [0.0, 1.0])]
+    vectors = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = cosine_topk(vectors, k=1, block_rows=8).collect()
+    by_q = {r.vec_id: r.neighbor_id for r in got}
+    assert by_q[0] == 2  # alignment preserved after the null row
