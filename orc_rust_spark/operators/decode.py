@@ -153,12 +153,17 @@ def decode_chunk_arrays(
         }
     # group-filtered decode: indexed columns skip straight to the kept
     # groups; any non-indexed sibling decodes fully and is row-sliced to
-    # the same spans (all indexed columns of a chunk share one grid)
-    grid = None
-    for name in col_kinds:
-        grid = _rg_of(by_col[name])
-        if grid is not None:
-            break
+    # the same spans. All indexed columns of a chunk must share one grid —
+    # mismatched per-column strides would slice siblings at wrong row
+    # spans, so that case falls back to a full decode (the caller's
+    # residual filter still yields exact rows — code-review r6).
+    grids = [g for g in (_rg_of(by_col[n]) for n in col_kinds) if g is not None]
+    if grids and any(g["n"] != grids[0]["n"] for g in grids[1:]):
+        return {
+            name: _decode_column(name, _as_datatype(kind), by_col)
+            for name, kind in col_kinds.items()
+        }
+    grid = grids[0] if grids else None
     out: dict[str, pa.Array] = {}
     for name, kind in col_kinds.items():
         dt = _as_datatype(kind)

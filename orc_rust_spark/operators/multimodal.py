@@ -72,9 +72,10 @@ def synth_media_table(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids_np = pdf[id_col].to_numpy().astype(np.int64)
             payloads = []
             for i in ids_np:
-                w = int(i * 7919 % 4080 + 16)
-                h = int(i * 104729 % 4080 + 16)
-                nf = int(i * 31 % 299 + 1)
+                i = int(i)  # np.int64 would wrap i*104729 past ~8.8e13
+                w = i * 7919 % 4080 + 16
+                h = i * 104729 % 4080 + 16
+                nf = i * 31 % 299 + 1
                 body = bytes([int(i % 251)]) * int(i % 1500 + 64)
                 payloads.append(struct.pack("<4sIII", b"FAKE", w, h, nf) + body)
             yield pd.DataFrame(

@@ -23,8 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..sources import chunk_table as ct
-from .decode import decode_table_arrow
-from .pruned_read import MAX_STAT_LEN, _stat_usable_bound, _typed_stat
+from .pruned_read import MAX_STAT_LEN, _rg_keep_groups, _stat_usable_bound, _typed_stat
 
 _NEG_OP = {"=": "!=", "!=": "=", "<": ">=", "<=": ">", ">": "<=", ">=": "<"}
 
@@ -66,6 +65,25 @@ class Comparison(Predicate):
         return Comparison(self.col, _NEG_OP[self.op], self.value)
 
     def might_match(self) -> Column:
+        # the same probe-usability and codec-compatibility guards as
+        # prune_chunks_stats / rg_keep (code-review r6): a datetime or
+        # Decimal probe would compare lexicographically against
+        # epoch/mantissa stat strings and wrongly prune, and decimal
+        # mantissa stats are never comparable to user values
+        if not _stat_usable_bound(self.value):
+            return F.lit(True)
+        codec = F.col(f"codec__{self.col}")
+        numeric_codecs = ("rle_v2", "rle_v1", "byte_rle", "date",
+                          "timestamp_split")
+        if isinstance(self.value, bool):
+            comparable = codec == "boolean_rle"
+        elif isinstance(self.value, (int, float)):
+            comparable = codec.isin(*numeric_codecs, "float_plain")
+        elif isinstance(self.value, str):
+            comparable = ~codec.isin(
+                *numeric_codecs, "decimal", "float_plain", "boolean_rle")
+        else:
+            comparable = F.lit(False)
         min_stat, lit = _typed_stat(f"min__{self.col}", self.value)
         max_stat, _ = _typed_stat(f"max__{self.col}", self.value)
         # a string max truncated to MAX_STAT_LEN chars is an unusable upper
@@ -89,7 +107,7 @@ class Comparison(Predicate):
             definitely_false = max_stat < lit
         else:
             raise ValueError(f"unknown op {self.op!r}")
-        return ~definitely_false.eqNullSafe(F.lit(True))
+        return ~(comparable & definitely_false).eqNullSafe(F.lit(True))
 
     def to_spark(self) -> Column:
         c, v = F.col(self.col), F.lit(self.value)
@@ -99,52 +117,48 @@ class Comparison(Predicate):
         }[self.op]
 
     def rg_keep(self, rg_by_col: dict, n_groups: int) -> set[int]:
+        """Delegates the shared typed three-valued evaluation to
+        pruned_read._rg_keep_groups (one implementation for both pruning
+        paths — code-review r6); only the != op, which the lo/hi algebra
+        cannot express, is handled here."""
         rg = rg_by_col.get(self.col)
         universe = set(range(n_groups))
-        if rg is None or len(rg["n"]) != n_groups or not _stat_usable_bound(self.value):
+        if rg is None or len(rg["n"]) != n_groups:
             return universe
-        if rg["codec"] == "decimal":  # unscaled-mantissa stats: unusable
-            return universe
-        numeric = rg["codec"] in ("rle_v2", "rle_v1", "byte_rle", "date", "timestamp_split")
-        floaty = rg["codec"] == "float_plain"
-        stringy = not numeric and not floaty
-        v = self.value
-        if stringy != isinstance(v, str):
-            return universe  # probe/codec type mismatch: never prune
+        v, op = self.value, self.op
+        if op == "!=":
+            if rg["codec"] == "decimal" or not _stat_usable_bound(v):
+                return universe
+            numeric = rg["codec"] in (
+                "rle_v2", "rle_v1", "byte_rle", "date", "timestamp_split")
+            floaty = rg["codec"] == "float_plain"
+            stringy = not numeric and not floaty
+            if stringy != isinstance(v, str):
+                return universe
 
-        def parse(x):
-            try:
-                return int(x) if numeric else float(x) if floaty else x
-            except (TypeError, ValueError):
-                return None
+            def parse(x):
+                try:
+                    return int(x) if numeric else float(x) if floaty else x
+                except (TypeError, ValueError):
+                    return None
 
-        keep = set()
-        for g in range(n_groups):
-            mn, mx = parse(rg["min"][g]), parse(rg["max"][g])
-            if mn is None or mx is None:
-                keep.add(g)
-                continue
-            # truncated string max is a prefix (lower bound): unusable for
-            # any test that needs a true upper bound
-            mx_usable = not (stringy and isinstance(mx, str) and len(mx) >= MAX_STAT_LEN)
-            op = self.op
-            if op == "=":
-                false = (mx_usable and mx < v) or mn > v
-            elif op == "!=":
-                false = mx_usable and mn == v and mx == v
-            elif op == "<":
-                false = mn >= v
-            elif op == "<=":
-                false = mn > v
-            elif op == ">":
-                false = mx_usable and mx <= v
-            elif op == ">=":
-                false = mx_usable and mx < v
-            else:
-                raise ValueError(f"unknown op {op!r}")
-            if not false:
-                keep.add(g)
-        return keep
+            keep = set()
+            for g in range(n_groups):
+                mn, mx = parse(rg["min"][g]), parse(rg["max"][g])
+                mx_usable = not (stringy and isinstance(mx, str)
+                                 and len(mx) >= MAX_STAT_LEN)
+                # false only when every value in the group equals v
+                if not (mn is not None and mx_usable and mn == v and mx == v):
+                    keep.add(g)
+            return keep
+        kw = {
+            "=": {"eq_value": v},
+            "<": {"hi": v, "hi_strict": True},
+            "<=": {"hi": v},
+            ">": {"lo": v, "lo_strict": True},
+            ">=": {"lo": v},
+        }[op]
+        return set(_rg_keep_groups(rg, **kw))
 
 
 @dataclass(frozen=True)
@@ -290,6 +304,7 @@ def chunk_stats_pivot(chunks: DataFrame, cols: list[str]) -> DataFrame:
     for c in cols:
         is_c = F.col("column") == c
         aggs += [
+            F.first(F.when(is_c, F.col("codec")), ignorenulls=True).alias(f"codec__{c}"),
             F.first(F.when(is_c, F.col("min_val")), ignorenulls=True).alias(f"min__{c}"),
             F.first(F.when(is_c, F.col("max_val")), ignorenulls=True).alias(f"max__{c}"),
             F.first(F.when(is_c, F.col("null_count")), ignorenulls=True).alias(f"nulls__{c}"),
@@ -318,7 +333,15 @@ def rg_keep_for_chunk(pdf, pred: Predicate) -> list[int] | None:
                 rg_by_col[col] = rg
     if not rg_by_col:
         return None
-    n_groups = len(next(iter(rg_by_col.values()))["n"])
+    grids = list(rg_by_col.values())
+    if any(g["n"] != grids[0]["n"] for g in grids[1:]):
+        # per-column row_index_stride overrides put the indexed columns on
+        # DIFFERENT group grids: a keep list computed on one grid would
+        # slice the others at wrong row spans (code-review r6) — skip
+        # group pruning; the chunk still decodes and the residual filter
+        # gives exact rows
+        return None
+    n_groups = len(grids[0]["n"])
     keep = sorted(pred.rg_keep(rg_by_col, n_groups))
     return None if len(keep) >= n_groups else keep
 

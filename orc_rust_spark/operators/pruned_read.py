@@ -105,10 +105,19 @@ def prune_chunks_bloom(chunks: DataFrame, column: str, eq_value) -> DataFrame:
     # would false-negative -> keep everything instead
     if not isinstance(eq_value, (int, str, bytes)):
         return chunks.select("part_id", "chunk_ord").distinct()
+    is_int = isinstance(eq_value, int)
+    # ... and the probe bytes must match what THIS column's encoder fed
+    # the filter: an int probe against a string column's bloom (utf8
+    # bytes) would false-negative on every chunk and wrongly prune
+    # (code-review r6). Mismatched blooms count as absent (kept).
+    probe_codecs = (
+        ("rle_v2", "rle_v1", "byte_rle") if is_int
+        else ("direct", "dict", "fsst")
+    )
     bloom = chunks.where(
         (F.col("column") == column) & (F.col("stream_kind") == ct.BLOOM_FILTER)
+        & F.col("codec").isin(*probe_codecs)
     ).select("part_id", "chunk_ord", "data", "block_codec")
-    is_int = isinstance(eq_value, int)
 
     @F.pandas_udf(T.BooleanType())
     def maybe(data: pd.Series, codec: pd.Series) -> pd.Series:
@@ -149,7 +158,8 @@ def pruned_point_lookup(
     return decoded.where(F.col(column) == F.lit(value)), keys
 
 
-def _rg_keep_groups(rg: dict, eq_value=None, lo=None, hi=None) -> list[int]:
+def _rg_keep_groups(rg: dict, eq_value=None, lo=None, hi=None,
+                    lo_strict: bool = False, hi_strict: bool = False) -> list[int]:
     """Row groups whose [min,max] may intersect the predicate (typed —
     group stats are strings of the codec's monotone integer/float/string
     encoding; reference row_group_filter.rs three-valued semantics)."""
@@ -192,9 +202,9 @@ def _rg_keep_groups(rg: dict, eq_value=None, lo=None, hi=None) -> list[int]:
         # max — a lower bound, unusable for `max < lo` pruning (mirrors the
         # chunk-level max_usable guard; min side is sound: prefix <= true min)
         max_usable = not (stringy and isinstance(mx, str) and len(mx) >= MAX_STAT_LEN)
-        if lo is not None and max_usable and mx < lo:
+        if lo is not None and max_usable and (mx < lo or (lo_strict and mx == lo)):
             continue
-        if hi is not None and mn > hi:
+        if hi is not None and (mn > hi or (hi_strict and mn == hi)):
             continue
         keep.append(g)
     return keep
@@ -228,6 +238,8 @@ def pruned_point_lookup_rg(
                 rg = json.loads(sj).get("rg")
                 if rg:
                     keep = _rg_keep_groups(rg, eq_value=value)
+                    if len(keep) >= len(rg["n"]):
+                        keep = None  # nothing skippable: bulk decode path
                 break
         return decode_chunk_pdf(pdf, col_types, rg_keep=keep)
 
@@ -242,4 +254,11 @@ def pruned_range_scan(
     keys = prune_chunks_stats(chunks, column, lo=lo, hi=hi)
     pruned = chunks.join(F.broadcast(keys), ["part_id", "chunk_ord"], "left_semi")
     decoded = decode_table(pruned, schema)
-    return decoded.where(F.col(column).between(F.lit(lo), F.lit(hi))), keys
+    # open-ended bounds (supported by prune_chunks_stats) must not turn
+    # into between(NULL, ...), which filters every row (code-review r6)
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col(column) >= F.lit(lo))
+    if hi is not None:
+        cond = cond & (F.col(column) <= F.lit(hi))
+    return decoded.where(cond), keys

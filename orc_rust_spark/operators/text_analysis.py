@@ -5,7 +5,8 @@ All implemented as JVM-side pyspark.sql.functions column expressions
 ANSI-SQL oracle:
 
 - token_count        whitespace tokenization
-- quality_score      length / punctuation-ratio / stopword-ratio heuristics
+- quality_score      length + punctuation-ratio heuristic (stopword_ratio
+                     is a separate column, not part of the score)
 - lang_id            n-gram/stopword-hit heuristic over a fixed marker table
 - fingerprint        md5 document fingerprint of normalized text
 """

@@ -170,3 +170,80 @@ def test_pruned_scan_rg_composition_end_to_end(spark):
     composed = rg_keep_for_chunk(pdf, pred)
     assert composed is not None and len(composed) < len(single_id)
     chunks.unpersist()
+
+
+def test_unusable_probe_types_keep_all_chunks(spark, encoded):
+    """code-review r6: a datetime/Decimal probe must disable chunk-stats
+    pruning (keep every chunk) instead of comparing lexicographically
+    against epoch/mantissa stat strings and wrongly pruning."""
+    import datetime
+    import decimal
+
+    _, chunks = encoded
+    total = chunks.select("part_id", "chunk_ord").distinct().count()
+    for probe in (datetime.datetime(2024, 1, 1), decimal.Decimal("5.00"),
+                  datetime.date(2024, 1, 1)):
+        kept = prune_chunks_predicate(chunks, Comparison("id", "=", probe)).count()
+        assert kept == total, probe
+
+
+def test_decimal_codec_chunks_never_pruned_by_predicate(spark):
+    """Mantissa stats (decimal codec) are not comparable to user values:
+    Comparison.might_match must keep those chunks (code-review r6 — the
+    pivot previously dropped the codec so d=5.0 pruned everything)."""
+    import decimal as D
+
+    rows = [(i, D.Decimal(f"{1 + i % 9}.{i % 100:02d}")) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, d decimal(4,2)").coalesce(1)
+    chunks = encode_table(df).cache()
+    kept = prune_chunks_predicate(chunks, Comparison("d", "=", 5.0)).count()
+    assert kept == chunks.select("part_id", "chunk_ord").distinct().count()
+    # end-to-end: the residual filter still finds the rows
+    decoded, _ = pruned_scan(chunks, T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("d", T.DecimalType(4, 2)),
+    ]), Comparison("id", ">=", 0))
+    assert decoded.count() == 1000
+
+
+def test_bloom_type_mismatch_keeps_chunks(spark):
+    """An int probe against a STRING column's bloom (utf8-fed) must not
+    prune — the filter would false-negative on every chunk
+    (code-review r6)."""
+    from orc_rust_spark.operators.pruned_read import prune_chunks_bloom
+
+    df = spark.createDataFrame(
+        [(i, str(i)) for i in range(5000)], "id long, s string").coalesce(1)
+    chunks = encode_table(df, plan={"s": {"bloom": True}}).cache()
+    total = chunks.select("part_id", "chunk_ord").distinct().count()
+    assert prune_chunks_bloom(chunks, "s", 7).count() == total  # int probe
+    # matched-type probes still prune: a value NOT in the column
+    assert prune_chunks_bloom(chunks, "s", "not-present").count() < total
+
+
+def test_pruned_range_scan_open_bounds(spark):
+    from orc_rust_spark.operators.pruned_read import pruned_range_scan
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id long").coalesce(1)
+    chunks = encode_table(df).cache()
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    lo_open, _ = pruned_range_scan(chunks, schema, "id", None, 100)
+    assert lo_open.count() == 101
+    hi_open, _ = pruned_range_scan(chunks, schema, "id", 900, None)
+    assert hi_open.count() == 100
+
+
+def test_mixed_stride_grids_fall_back_to_full_decode(spark):
+    """Indexed columns on DIFFERENT group grids cannot share one keep
+    list — group pruning must be skipped, with exact rows via the
+    residual filter (code-review r6)."""
+    df = spark.createDataFrame(
+        [(i, f"n{i:05d}") for i in range(4000)], "id long, name string"
+    ).coalesce(1)
+    chunks = encode_table(df, plan={
+        "id": {"row_index": True, "row_index_stride": 1000},
+        "name": {"row_index": True, "row_index_stride": 2000},
+    }).cache()
+    decoded, _ = pruned_scan(chunks, SCHEMA, Comparison("id", "=", 3999))
+    got = decoded.collect()
+    assert len(got) == 1 and got[0].name == "n03999"
