@@ -283,7 +283,7 @@ def _compress_one(codec: str, raw: bytes, level: int | None) -> bytes:
     if codec == "lzma":
         import lzma
 
-        return lzma.compress(raw, preset=min(level, 6))
+        return lzma.compress(raw, preset=min(level, 9))
     raise ValueError(f"unknown block codec {codec!r}")
 
 
@@ -329,7 +329,16 @@ def _decompress_one(codec: str, comp: bytes) -> bytes:
         if _HAS_ZSTD:
             return _zstd.ZstdDecompressor().decompress(comp)
         raw = bytes(comp)
-        return _pa.Codec("zstd").decompress(raw, _zstd_content_size(raw)).to_pybytes()
+        try:
+            size = _zstd_content_size(raw)
+        except ValueError:
+            # RFC 8878 makes Frame_Content_Size optional (streaming
+            # writers omit it); pyarrow's one-shot decompress needs the
+            # exact size, but its CompressedInputStream decodes without
+            # it (code-review r6)
+            with _pa.CompressedInputStream(_pa.BufferReader(raw), "zstd") as f:
+                return f.read()
+        return _pa.Codec("zstd").decompress(raw, size).to_pybytes()
     if codec == "snappy":
         raw = bytes(comp)
         return _pa.Codec("snappy").decompress(raw, _snappy_len(raw)).to_pybytes()
@@ -387,6 +396,14 @@ def compress_stream(
     ``level=None`` uses the codec's default (zlib-3 / zstd-1 / lzma-6)."""
     if codec == "none":
         return raw
+    if block_size >= 1 << 23:
+        # the ORC block header is 3 bytes = (length << 1 | original), so
+        # a block can carry at most 2^23-1 bytes; a bigger block_size
+        # would OverflowError mid-write on the first stored-original
+        # block (code-review r6)
+        raise ValueError(
+            f"block_size {block_size} exceeds the ORC 3-byte header "
+            f"limit ({(1 << 23) - 1})")
     parts = []  # (header, payload) pairs; one join at the end
     for i in range(0, len(raw), block_size):
         block = raw[i : i + block_size]

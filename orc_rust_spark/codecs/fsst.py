@@ -152,6 +152,14 @@ def fsst_encode(data: bytes, offsets: np.ndarray, table: FsstTable) -> tuple[byt
     n = offsets.size - 1
     if n == 0 or len(data) == 0:
         return b"", offsets.astype(np.int64).copy()
+    if int(offsets[0]) != 0 or int(offsets[-1]) != len(data):
+        # the offsets must be REBASED to the data span (offsets[0] == 0,
+        # offsets[-1] == len(data)); absolute offsets of a sliced Arrow
+        # array would silently corrupt the per-position remaining-length
+        # math (code-review r6)
+        raise ValueError(
+            f"offsets must span data exactly: [{int(offsets[0])}, "
+            f"{int(offsets[-1])}] vs {len(data)} bytes")
     buf = np.frombuffer(data, dtype=np.uint8)
     nb = buf.size
     offsets = offsets.astype(np.int64, copy=False)

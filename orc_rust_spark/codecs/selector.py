@@ -36,7 +36,7 @@ STATS_FULL_MAX_AVG_LEN = 64
 STATS_SAMPLE_STRINGS = 1024
 
 
-def string_chunk_stats(arr: pa.Array) -> dict:
+def string_chunk_stats(arr: pa.Array, reuse: dict | None = None) -> dict:
     """cardinality / run / entropy / length profile of a string chunk.
 
     For long-string columns (avg_len > 64) the cardinality is first
@@ -45,7 +45,12 @@ def string_chunk_stats(arr: pa.Array) -> dict:
     decision that is almost always 'not dict'. The full exact pass still
     runs whenever the sample looks dictionary-plausible (repeated long
     boilerplate stays correctly dict-encoded); estimated stats carry
-    ``"estimated": True``."""
+    ``"estimated": True``.
+
+    ``reuse``: optional side-channel dict — when the exact pass runs, its
+    DictionaryArray lands in ``reuse["denc"]`` so a dict-chosen encode
+    does not pay dictionary_encode twice (code-review r6). Kept out of
+    the returned stats, which must stay JSON-serializable."""
     n = len(arr)
     if n == 0:
         return {"n": 0, "distinct": 0, "distinct_ratio": 1.0, "avg_len": 0.0,
@@ -68,13 +73,24 @@ def string_chunk_stats(arr: pa.Array) -> dict:
             estimated = True
     if not estimated:
         denc = arr.dictionary_encode()
+        if reuse is not None:
+            reuse["denc"] = denc
         distinct = len(denc.dictionary)
         indices = denc.indices.to_numpy(zero_copy_only=False)
         runs = 1 + int(np.count_nonzero(np.diff(indices))) if n > 1 else 1
-    # byte entropy over a bounded sample of the raw data buffer
+    # byte entropy over a bounded sample of THIS chunk's value bytes: a
+    # sliced array shares the parent buffer, so the sample must start at
+    # the chunk's first value offset, not buffer byte 0 (code-review r6)
     data_buf = bufs[2] if len(bufs) > 2 and bufs[2] is not None else None
-    if data_buf is not None and len(data_buf) > 0:
-        sample = np.frombuffer(data_buf, dtype=np.uint8, count=min(len(data_buf), 65536))
+    if data_buf is not None and total > 0:
+        wide = pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type)
+        odt, width = (np.int64, 8) if wide else (np.int32, 4)
+        offs = np.frombuffer(bufs[1], dtype=odt, count=n + 1,
+                             offset=arr.offset * width)
+        start = int(offs[0])
+        sample = np.frombuffer(data_buf, dtype=np.uint8,
+                               count=min(int(offs[-1]) - start, 65536),
+                               offset=start)
         hist = np.bincount(sample, minlength=256).astype(np.float64)
         p = hist[hist > 0] / sample.size
         entropy = float(-(p * np.log2(p)).sum())
@@ -157,7 +173,16 @@ def choose_string_codec(
             data, block_codec, block_size=blockc.CHUNK_BLOCK_SIZE))
         detail["fsst_final_bytes"] = fsst_final
         detail["direct_final_bytes"] = direct_final
-        if fsst_final <= direct_final * FSST_FINAL_ADVANTAGE:
+        detail["trial_sample_bytes"] = len(data)
+        detail["symbol_table_bytes"] = len(fsst_table.serialize())
+        # compare PROJECTED chunk totals: the per-chunk SYMBOL_TABLE
+        # stream (up to ~2.3 KB) is a fixed cost the sample-sized
+        # comparison alone ignores — on small chunks it can exceed the
+        # payload savings (code-review r6)
+        scale = stats["total_bytes"] / max(1, len(data))
+        fsst_total = fsst_final * scale + len(fsst_table.serialize())
+        direct_total = direct_final * scale
+        if fsst_total <= direct_total * FSST_FINAL_ADVANTAGE:
             return "fsst", detail
     return "direct", detail
 
@@ -166,7 +191,9 @@ def integer_chunk_stats(values: np.ndarray) -> dict:
     """run/width profile for metrics (RLEv2 picks sub-encodings itself)."""
     n = values.size
     if n == 0:
-        return {"n": 0, "run_density": 1.0, "distinct_ratio": 1.0}
+        # same key set as the non-empty shape so stats_json consumers see
+        # one schema across chunks (code-review r6)
+        return {"n": 0, "run_density": 1.0, "min": None, "max": None}
     runs = 1 + int(np.count_nonzero(np.diff(values))) if n > 1 else 1
     return {
         "n": n,

@@ -44,15 +44,21 @@ def _flatten_large_binary(arr: pa.Array) -> tuple[bytes, np.ndarray]:
     return data, (offs - offs[0]).astype(np.int64)
 
 
-def sorted_dictionary(dense: pa.Array) -> tuple[np.ndarray, bytes, np.ndarray, int]:
+def sorted_dictionary(
+    dense: pa.Array, denc: pa.Array | None = None
+) -> tuple[np.ndarray, bytes, np.ndarray, int]:
     """-> (per-value ranks into the SORTED dictionary, dict bytes,
     per-symbol lengths, dict size) for a dense (null-free) binary array.
 
     ORC dictionaries are sorted (src/array_decoder/string.rs:213-215);
     all work stays in Arrow kernels — no per-distinct Python objects.
     Shared by the chunk-table encoder and the ORC stripe writer so the
-    sorted-dictionary contract cannot drift between them."""
-    denc = dense.dictionary_encode()
+    sorted-dictionary contract cannot drift between them. ``denc`` lets
+    the caller pass the selector's already-computed dictionary_encode of
+    the SAME array — it was the single most expensive encode kernel and
+    was otherwise paid twice per dict column (code-review r6)."""
+    if denc is None:
+        denc = dense.dictionary_encode()
     indices = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     order = pa.compute.sort_indices(denc.dictionary).to_numpy().astype(np.int64)
     rank = np.empty_like(order)
@@ -72,7 +78,8 @@ def _encode_string_column(
     bypassing the selector trial — coverage gates and corpora where the
     caller knows better than the bounded sample."""
     dense = dense.cast(pa.large_binary()) if not pa.types.is_large_binary(dense.type) else dense
-    stats = string_chunk_stats(dense)
+    reuse: dict = {}
+    stats = string_chunk_stats(dense, reuse)
     table = FsstTable.deserialize(fsst_table_bytes) if fsst_table_bytes else None
     if force_codec is not None:
         if force_codec == "fsst" and table is None:
@@ -83,7 +90,8 @@ def _encode_string_column(
     data, offsets = _flatten_large_binary(dense)
     lengths = np.diff(offsets)
     if codec == "dict":
-        ranks, dict_data, dict_lens, n_dict = sorted_dictionary(dense)
+        ranks, dict_data, dict_lens, n_dict = sorted_dictionary(
+            dense, reuse.get("denc"))
         streams = [
             (ct.DATA, encode_rlev2(ranks, signed=False)),
             (ct.DICTIONARY_DATA, dict_data),

@@ -1700,12 +1700,13 @@ def _encode_indexed_column(
         from ..codecs.selector import choose_string_codec, string_chunk_stats
 
         dense_all = arr.drop_null().cast(pa.large_binary())
+        reuse: dict = {}
         codec0, _ = choose_string_codec(
-            dense_all, string_chunk_stats(dense_all), None)
+            dense_all, string_chunk_stats(dense_all, reuse), None)
         use_dict = codec0 == "dict"
         if use_dict:
             dense_ranks, dict_data, dict_lens, dict_size = sorted_dictionary(
-                dense_all)
+                dense_all, reuse.get("denc"))
             dict_streams = [
                 (S_LENGTH, encode_rlev2(dict_lens, signed=False)),
                 (S_DICTIONARY_DATA, dict_data),

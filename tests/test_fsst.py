@@ -146,8 +146,11 @@ def test_selector_trial_routes_urls_by_block_codec():
         codec, detail = choose_string_codec(
             arr, string_chunk_stats(arr), FsstTable.deserialize(tser),
             block_codec=bc)
-        expected = ("fsst" if detail["fsst_final_bytes"]
-                    <= detail["direct_final_bytes"] * FSST_FINAL_ADVANTAGE
+        scale = detail["total_bytes"] / max(1, detail["trial_sample_bytes"])
+        fsst_total = (detail["fsst_final_bytes"] * scale
+                      + detail["symbol_table_bytes"])
+        direct_total = detail["direct_final_bytes"] * scale
+        expected = ("fsst" if fsst_total <= direct_total * FSST_FINAL_ADVANTAGE
                     else "direct")
         assert codec == expected, (bc, detail)
     # the coverage gate pins fsst explicitly

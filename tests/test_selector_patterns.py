@@ -92,3 +92,71 @@ def test_long_high_entropy_binary_picks_direct():
     arr = pa.array(vals, type=pa.binary()).cast(pa.large_binary())
     codec, _ = choose_string_codec(arr, string_chunk_stats(arr), None)
     assert codec == "direct"
+
+
+def test_entropy_sampled_from_chunk_not_buffer_start():
+    """A sliced array shares the parent buffer: the entropy sample must
+    start at the slice's first value offset (code-review r6)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from orc_rust_spark.codecs.selector import string_chunk_stats
+
+    # first half all 'a' (entropy 0), second half random-ish bytes
+    low = ["a" * 40] * 200
+    high = [bytes(((i * 37 + j * 11) % 251 for j in range(40))).decode("latin1")
+            for i in range(200)]
+    arr = pa.array(low + high, type=pa.large_string()).cast(pa.large_binary())
+    tail = arr.slice(200, 200)
+    ent_tail = string_chunk_stats(tail)["byte_entropy"]
+    ent_head = string_chunk_stats(arr.slice(0, 200))["byte_entropy"]
+    assert ent_head < 0.01
+    assert ent_tail > 4.0  # sampled the slice's own (high-entropy) bytes
+
+
+def test_string_stats_reuse_denc_matches():
+    import pyarrow as pa
+
+    from orc_rust_spark.codecs.selector import string_chunk_stats
+    from orc_rust_spark.operators.encode import sorted_dictionary
+
+    arr = pa.array([f"v{i % 7}" for i in range(1000)]).cast(pa.large_binary())
+    reuse: dict = {}
+    string_chunk_stats(arr, reuse)
+    assert "denc" in reuse
+    fresh = sorted_dictionary(arr)
+    reused = sorted_dictionary(arr, reuse["denc"])
+    assert (fresh[0] == reused[0]).all() and fresh[1] == reused[1]
+    assert (fresh[2] == reused[2]).all() and fresh[3] == reused[3]
+
+
+def test_block_stream_zstd_no_content_size_frame():
+    """RFC 8878 frames without Frame_Content_Size (streaming writers)
+    must decode on the pyarrow fallback path (code-review r6)."""
+    import pyarrow as pa
+
+    from orc_rust_spark.codecs import block as blockc
+
+    payload = b"streaming zstd frame " * 500
+    sink = pa.BufferOutputStream()
+    with pa.CompressedOutputStream(sink, "zstd") as f:
+        f.write(payload)
+    frame = sink.getvalue().to_pybytes()
+    # pyarrow's streaming writer omits the content size
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        blockc._zstd_content_size(frame)
+    framed = (len(frame) << 1).to_bytes(3, "little") + frame
+    assert bytes(blockc.decompress_stream(framed, "zstd")) == payload
+
+
+def test_fsst_encode_rejects_unrebased_offsets():
+    import numpy as np
+    import pytest as _pytest
+
+    from orc_rust_spark.codecs.fsst import train_fsst, fsst_encode
+
+    data = b"abcabcabc"
+    table = train_fsst(data * 50)
+    with _pytest.raises(ValueError, match="span"):
+        fsst_encode(data, np.array([3, 6, 9, 12], dtype=np.int64), table)
