@@ -39,7 +39,7 @@ def _read_parallel(spark: SparkSession, sf_dir: str, table: str,
 #: current code (VERDICT r5 wrong #2: r5's zstd/selector changes silently
 #: rebuilt inside the timed bench reps with no attribution; keying the
 #: path makes a rebuild an explicit, warmable event instead)
-_CACHE_EPOCH = "e6"
+_CACHE_EPOCH = "e7"  # e7: PATCHED_BASE entry width closest_fixed_bits fix
 
 
 def _interop_cache_path(sf_dir: str, name: str, ext: str) -> str:

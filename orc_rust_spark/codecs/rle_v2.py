@@ -94,9 +94,11 @@ def encode_rlev2(values: np.ndarray, signed: bool = True) -> bytes:
 
     # zigzag + per-element bit widths ONCE for the whole array — the
     # per-run selector then slices instead of recomputing (the small
-    # per-run numpy calls dominated encode time on churny data)
-    zz_all = zigzag_encode(v) if signed else v.view(np.uint64)
-    w_all = bits_required(zz_all)
+    # per-run numpy calls dominated encode time on churny data). Computed
+    # LAZILY on the first variable span: an all-fixed array (constant or
+    # long-run columns) never pays the two full-array passes
+    # (code-review r6)
+    zz_all = w_all = None
 
     # group consecutive non-fixed runs into variable spans
     i = 0
@@ -109,6 +111,9 @@ def encode_rlev2(values: np.ndarray, signed: bool = True) -> bytes:
             j = i
             while j < n_runs and not is_fixed[j]:
                 j += 1
+            if zz_all is None:
+                zz_all = zigzag_encode(v) if signed else v.view(np.uint64)
+                w_all = bits_required(zz_all)
             span_start = int(starts[i])
             span_end = int(starts[j - 1] + lengths[j - 1])
             for cs in range(span_start, span_end, MAX_RUN_LENGTH):
@@ -248,7 +253,7 @@ def _write_patched_base(
         return False
     patches = (reduced[outlier_idx] >> _U64(width)).tolist()
     # gaps between consecutive patches (first gap from index 0)
-    gaps = np.diff(np.concatenate(([0], outlier_idx + 1))).astype(np.int64)
+    gaps = np.empty(outlier_idx.size, dtype=np.int64)
     gaps[0] = outlier_idx[0]
     gaps[1:] = np.diff(outlier_idx)
     # split gaps > 255 with jump patches (gap 255, patch 0)
@@ -280,7 +285,12 @@ def _write_patched_base(
     out.extend(base_word.to_bytes(base_bytes, "big"))
     out.extend(bitpack(reduced & mask, width))
     entry_vals = np.array([(g << patch_width) | p for g, p in entries], dtype=np.uint64)
-    out.extend(bitpack(entry_vals, gap_width + patch_width))
+    # Java/C++ ORC pack the patch list at closestFixedBits(gap+patch)
+    # (RunLengthIntegerWriterV2.preparePatchedBlob) — packing at the raw
+    # sum made every run whose sum is not itself a fixed-bit size
+    # unreadable by real ORC readers (silent corruption / ParseError;
+    # code-review r6, differential-tested both directions)
+    out.extend(bitpack(entry_vals, closest_fixed_bits(gap_width + patch_width)))
     return True
 
 
@@ -310,7 +320,7 @@ def _run_extent(buf, pos: int) -> tuple[int, int]:
         gap_width = ((buf[pos + 3] >> 5) & 0x7) + 1
         pll = buf[pos + 3] & 0x1F
         nxt = pos + 4 + base_bytes + (n * width + 7) // 8
-        nxt += (pll * (gap_width + patch_width) + 7) // 8
+        nxt += (pll * closest_fixed_bits(gap_width + patch_width) + 7) // 8
         return n, nxt
     # delta: must walk the two varints
     width_code = (h >> 1) & 0x1F
@@ -432,8 +442,12 @@ def _read_patched_base(buf, pos: int) -> tuple[np.ndarray, int]:
     nbytes = (n * width + 7) // 8
     data = bitunpack(bytes(buf[pos : pos + nbytes]), n, width)
     pos += nbytes
-    ebytes = (pll * (gap_width + patch_width) + 7) // 8
-    entries = bitunpack(bytes(buf[pos : pos + ebytes]), pll, gap_width + patch_width)
+    # patch-list entries are packed at closestFixedBits(gap+patch) by
+    # every real ORC writer — reading at the raw sum desynced the stream
+    # (code-review r6)
+    entry_width = closest_fixed_bits(gap_width + patch_width)
+    ebytes = (pll * entry_width + 7) // 8
+    entries = bitunpack(bytes(buf[pos : pos + ebytes]), pll, entry_width)
     pos += ebytes
     idx = 0
     pmask = (1 << patch_width) - 1
@@ -441,6 +455,18 @@ def _read_patched_base(buf, pos: int) -> tuple[np.ndarray, int]:
         gap = e >> patch_width
         patch = e & pmask
         idx += gap
+        if idx >= n:
+            raise ValueError(
+                f"malformed PATCHED_BASE run: patch index {idx} past "
+                f"run length {n}")
         if patch:
+            # the FIELD widths may sum past 64 (patch_width is rounded
+            # up to a fixed-bit size); the VALUE must still fit int64 —
+            # a clean parse error instead of a raw OverflowError on
+            # corrupt streams (code-review r6)
+            if patch.bit_length() + width > 64:
+                raise ValueError(
+                    "malformed PATCHED_BASE run: patched value exceeds "
+                    "64 bits")
             data[idx] |= _U64(patch << width)
     return (data.view(np.int64) + base), pos

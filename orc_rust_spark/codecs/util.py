@@ -253,7 +253,6 @@ def bitunpack(buf, n: int, width: int) -> np.ndarray:
 def int32_offsets(lengths) -> "pa.Array":
     """Arrow int32 offsets buffer from per-value lengths (shared by the
     chunk decoder and the real-ORC reader's list/map assembly)."""
-    import numpy as np
     import pyarrow as pa
 
     lengths = np.asarray(lengths, dtype=np.int64)

@@ -221,3 +221,51 @@ def test_skip_across_run_kinds():
     for skip in (0, 3, 8, 50, 108, 150, 190, 300, 700):
         out = decode_rlev2(enc, len(vals) - skip, signed=True, skip=skip)
         assert out.tolist() == vals[skip:], skip
+
+
+def test_patched_base_entry_width_rounds_to_fixed_bits():
+    """Java/C++ ORC pack the patch list at closestFixedBits(gap+patch):
+    a run with gap_width 3 + patch_width 40 = 43 packs at 48. Packing at
+    the raw sum silently corrupted every real-ORC interop in both
+    directions (code-review r6, differential-tested vs pyarrow's C++
+    reader/writer)."""
+    import pyarrow as pa
+    import pyarrow.orc as paorc
+
+    rng = np.random.default_rng(1)
+    v = rng.integers(0, 512, 200).astype(np.int64)
+    v[7] = 2**40  # one outlier -> PATCHED_BASE, entry width 43 -> 48
+    enc = encode_rlev2(v, signed=True)
+    assert np.array_equal(decode_rlev2(enc, v.size, signed=True), v)
+
+    import os
+    import tempfile
+
+    from orc_rust_spark.sources.orc_file import orc_to_table, write_orc
+
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "pb.orc")
+    write_orc(pa.table({"v": pa.array(v)}), p, compression="none")
+    assert paorc.read_table(p).column("v").to_pylist() == v.tolist()
+
+    w = rng.integers(-256, 256, 3000).astype(np.int64)
+    w[::517] = 2**50
+    p2 = os.path.join(d, "pb2.orc")
+    paorc.write_table(pa.table({"v": pa.array(w)}), p2,
+                      compression="UNCOMPRESSED")
+    assert orc_to_table(p2).column("v").to_pylist() == w.tolist()
+
+
+def test_patched_base_malformed_stream_raises_value_error():
+    """Corrupt patch entries must raise ValueError, not OverflowError /
+    IndexError (code-review r6)."""
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, 512, 200).astype(np.int64)
+    v[9] = 2**40
+    enc = bytearray(encode_rlev2(v, signed=True))
+    assert enc[0] >> 6 == 2  # PATCHED_BASE
+    # corrupt the entry's GAP bits (big-endian first byte of the single
+    # 48-bit patch entry) so the patch index runs past the run length
+    enc[-6] = 0xFF
+    with pytest.raises(ValueError):
+        decode_rlev2(bytes(enc), v.size, signed=True)
