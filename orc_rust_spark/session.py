@@ -42,6 +42,11 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # naive timestamps (webtext warc_ts, test fixtures) are
+        # interpreted in the session timezone: pin it so generated
+        # instants, encoded bytes, and stats are host-independent
+        # (code-review r6)
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -63,6 +68,9 @@ def get_spark(
         # let Catalyst push filters into our Python DataSource (orcx)
         .config("spark.sql.python.filterPushdown.enabled", "true")
     )
-    for k, v in MALLOC_ENV.items():
-        builder = builder.config(f"spark.executorEnv.{k}", v)
+    for k in MALLOC_ENV:
+        # mirror the DRIVER-side resolution (setdefault keeps a user
+        # override): executors must see the same malloc tuning the user
+        # asked for, not the hardcoded default (code-review r6)
+        builder = builder.config(f"spark.executorEnv.{k}", os.environ[k])
     return builder.getOrCreate()

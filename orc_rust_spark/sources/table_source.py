@@ -67,10 +67,13 @@ def parquet_fingerprint(input_dir: str) -> str | None:
     over the sorted (relative path, size, mtime_ns) listing of every
     *.parquet file under it, recursively — Hive-partitioned layouts
     (``date=.../part-*.parquet``) fingerprint all nested files, so a
-    rewritten nested file always flips the id. Any added/removed/
-    rewritten file changes the id, so a stale manifest can never be
-    resumed against different bytes. Listing-only — no data is read,
-    O(files) driver cost.
+    rewritten nested file normally flips the id. Any added/removed/
+    resized/re-dated file changes the id. Listing-only — no data is
+    read, O(files) driver cost. Caveat: the id trusts (size, mtime_ns) —
+    a rewrite that preserves BOTH (e.g. mtime pinned by ``touch -r`` or
+    SOURCE_DATE_EPOCH archives) keeps the old id and could resume a
+    stale manifest; pass an explicit ``snapshot_id`` for such inputs
+    (code-review r6).
 
     Returns ``None`` for locations the local filesystem cannot list
     (``s3a://``/``hdfs://`` URIs, missing dirs): the caller then runs
@@ -161,8 +164,16 @@ def load_source(
     config; a missing runtime raises one actionable RuntimeError.
     """
     if fmt == "parquet":
-        return (spark.read.parquet(location),
-                snapshot_id or parquet_fingerprint(location))
+        # fingerprint FIRST: spark.read.parquet pins its file listing at
+        # read time, so fingerprinting afterwards could record an id for
+        # files the DataFrame never saw (a concurrent add between the
+        # two) — the unsafe direction of the race, since a later re-run
+        # over the stable directory would resume a manifest missing
+        # those rows. Fingerprint-then-read fails SAFE: any concurrent
+        # change makes the next run's id mismatch and forces a fresh
+        # encode (code-review r6).
+        sid = snapshot_id or parquet_fingerprint(location)
+        return spark.read.parquet(location), sid
     if fmt == "iceberg":
         avail = iceberg_available(spark)
         if avail is False:

@@ -44,7 +44,6 @@ _LANGS = None
 def _tables():
     global _SLUGS, _VOCAB, _LANGS
     if _SLUGS is None:
-        rng = np.random.default_rng(42)
         cons = list("bcdfghjklmnpqrstvwz")
         vows = list("aeiou")
         def word(i):
