@@ -55,6 +55,11 @@ def decode_varints_i64(buf: bytes, n: int) -> np.ndarray:
     b = np.frombuffer(buf, dtype=np.uint8)
     is_end = b < 0x80
     ends = np.flatnonzero(is_end)[:n]
+    if ends.size < n:
+        # clean contract error (the callers' except-ValueError exact-path
+        # fallback must see ValueError, not a numpy IndexError —
+        # code-review r6)
+        raise ValueError(f"varint stream ended early: {ends.size}/{n}")
     starts = np.concatenate(([0], ends[:-1] + 1))
     lens = ends - starts + 1
     if int(lens.max()) > _MAX_BYTES_64:
@@ -65,6 +70,12 @@ def decode_varints_i64(buf: bytes, n: int) -> np.ndarray:
     mat[mask] = (b[: ends[-1] + 1][np.repeat(starts, lens)
                  + (np.arange(int(lens.sum())) - np.repeat(np.cumsum(lens) - lens, lens))]
                  & 0x7F).astype(np.uint64)
+    # a 10-byte varint holds up to 70 bits: values past the 64-bit zigzag
+    # range (10th group byte > 1) must raise into the exact i128 path, not
+    # silently wrap mod 2^64 (code-review r6)
+    wide = lens == _MAX_BYTES_64
+    if wide.any() and (mat[wide, _MAX_BYTES_64 - 1] > 1).any():
+        raise ValueError("varint wider than 64-bit zigzag range")
     shifts = (np.arange(_MAX_BYTES_64, dtype=np.uint64) * np.uint64(7))[None, :]
     u = (mat << shifts).sum(axis=1, dtype=np.uint64)
     return zigzag_decode(u)
@@ -155,21 +166,38 @@ def rescale_i64(
     up = diff > 0
     down = diff < 0
     out = mantissas.copy()
+    i64_min = np.iinfo(np.int64).min
+    if (out[up | down] == i64_min).any():
+        # np.abs / negation of int64.min wrap in int64 — exact path
+        raise ValueError("decimal rescale overflows int64")
     if up.any():
         pw = np.power(np.int64(10), diff[up])
         if (np.abs(out[up]) > (2**63 - 1) // pw).any():
             raise ValueError("decimal rescale overflows int64")
         out[up] = out[up] * pw
-    out[down] = out[down] // np.power(np.int64(10), -diff[down])
+    if down.any():
+        # truncate toward ZERO like the reference's i128 division
+        # (src/array_decoder/decimal.rs fix_i128_scale: `i / scale_factor`)
+        # — floor division gave -6789 @ scale 2 -> 1 as -679 where the
+        # reference yields -678 (code-review r6)
+        pw = np.power(np.int64(10), -diff[down])
+        d = out[down]
+        out[down] = np.where(d < 0, -((-d) // pw), d // pw)
     return out
 
 
 def rescale_exact(ints: list[int], scales, target_scale: int) -> list[int]:
     """Exact Python-int rescale of i128 mantissas to ``target_scale``
-    (the slow-path mirror of rescale_i64; truncation toward -inf on
-    down-scale matches the int64 floor-divide path)."""
-    return [
-        m * 10 ** (target_scale - int(s)) if target_scale >= s
-        else m // 10 ** (int(s) - target_scale)
-        for m, s in zip(ints, scales)
-    ]
+    (the slow-path mirror of rescale_i64; down-scale truncates toward
+    ZERO, matching the reference's i128 division —
+    src/array_decoder/decimal.rs fix_i128_scale)."""
+    out = []
+    for m, s in zip(ints, scales):
+        s = int(s)
+        if target_scale >= s:
+            out.append(m * 10 ** (target_scale - s))
+        else:
+            p = 10 ** (s - target_scale)
+            q = (-m) // p if m < 0 else m // p
+            out.append(-q if m < 0 else q)
+    return out

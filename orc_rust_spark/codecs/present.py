@@ -1,7 +1,10 @@
 """PRESENT stream handling: null mask <-> boolean RLE + dense value spacing.
 
 The writer strips nulls before encoding data streams; the reader re-spaces
-dense decoded values into the null slots.
+dense decoded values into the null slots. encode_present/decode_present are
+the production PRESENT entry points (operators.encode/.decode, orc_file);
+strip_nulls/decode_spaced are the NumPy-space reference of the respace
+semantics the Arrow paths implement with a null-propagating take.
 (reference parity: src/encoding/mod.rs:64-91 decode_spaced,
 src/writer/column.rs:103-139 null stripping)
 """

@@ -34,6 +34,22 @@ def split_timestamp_ns(ts_ns: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     ts = np.ascontiguousarray(ts_ns, dtype=np.int64)
     secs = np.floor_divide(ts, NANOS_PER_SECOND)
     nanos = ts - secs * NANOS_PER_SECOND  # in [0, 1e9)
+    return _pack_secs_nanos(secs, nanos)
+
+
+def split_timestamp_us(ts_us: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """int64 MICROS-since-unix-epoch -> (orc_seconds, encoded_nanos).
+
+    The ns-space API caps out at ~year 2262 (us * 1000 wraps int64 —
+    code-review r6); ORC's seconds+nanos representation has no such
+    limit, so Spark's us-precision timestamps split directly."""
+    us = np.ascontiguousarray(ts_us, dtype=np.int64)
+    secs = np.floor_divide(us, 1_000_000)
+    nanos = (us - secs * 1_000_000) * 1000  # in [0, 1e9), never overflows
+    return _pack_secs_nanos(secs, nanos)
+
+
+def _pack_secs_nanos(secs: np.ndarray, nanos: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     # ORC-763 writer-side inverse: below-epoch with nanos > 999_999 stores +1s
     adj = (secs < 0) & (nanos > 999_999)
     stored_secs = np.where(adj, secs + 1, secs) - ORC_EPOCH_SECONDS
@@ -52,15 +68,34 @@ def split_timestamp_ns(ts_ns: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return stored_secs, enc
 
 
-def combine_timestamp_ns(stored_secs: np.ndarray, enc_nanos: np.ndarray) -> np.ndarray:
-    """(orc_seconds, encoded_nanos) -> int64 nanos since unix epoch."""
+def _unpack_secs_nanos(stored_secs: np.ndarray, enc_nanos: np.ndarray):
     zeros = enc_nanos & np.int64(0x7)
     nanos = enc_nanos >> np.int64(3)
     mult = np.power(10, np.where(zeros != 0, zeros + 1, 0)).astype(np.int64)
     nanos = nanos * mult
     secs = stored_secs + ORC_EPOCH_SECONDS
     secs = np.where((secs < 0) & (nanos > 999_999), secs - 1, secs)
+    return secs, nanos
+
+
+def combine_timestamp_ns(stored_secs: np.ndarray, enc_nanos: np.ndarray) -> np.ndarray:
+    """(orc_seconds, encoded_nanos) -> int64 nanos since unix epoch."""
+    secs, nanos = _unpack_secs_nanos(stored_secs, enc_nanos)
     return secs * np.int64(NANOS_PER_SECOND) + nanos
+
+
+def combine_timestamp_us(stored_secs: np.ndarray, enc_nanos: np.ndarray) -> np.ndarray:
+    """(orc_seconds, encoded_nanos) -> int64 MICROS since unix epoch.
+
+    Raises on sub-microsecond precision (decoding to Spark's us grid
+    would silently alter values); unlike the ns-space combine it does not
+    wrap for timestamps past ~year 2262 (code-review r6)."""
+    secs, nanos = _unpack_secs_nanos(stored_secs, enc_nanos)
+    if nanos.size and int(np.count_nonzero(nanos % 1000)):
+        raise ValueError(
+            "ORC timestamp has sub-microsecond precision; decoding to "
+            "Spark's us-precision timestamps would silently alter values")
+    return secs * np.int64(1_000_000) + nanos // 1000
 
 
 def encode_timestamp(ts_ns: np.ndarray) -> tuple[bytes, bytes]:

@@ -32,6 +32,18 @@ def _orc_kind_name(k: int) -> str:
     return names.get(k, str(k))
 
 
+def _parse_probe(raw: str, prefer_int: bool):
+    """CLI probe parse: int when the COLUMN is integer-kinded and the text
+    parses, else the raw string — lexical guessing hashed digit-string
+    probes as i64 against utf8-fed blooms (code-review r6)."""
+    if prefer_int:
+        try:
+            return int(raw)
+        except ValueError:
+            return raw
+    return raw
+
+
 def main_orc(argv: list[str]) -> int:
     """Inspect a real ORC file through this engine's metadata/stream
     parsers — info, per-stripe stream layout, per-row-group index stats,
@@ -101,8 +113,9 @@ def main_orc(argv: list[str]) -> int:
                     print(f"  rg {g}: positions={list(positions)} {mm}")
             elif cmd == "bloom":
                 value_raw = argv[4] if len(argv) > 4 else ""
-                value = (int(value_raw) if value_raw.lstrip("-").isdigit()
-                         else value_raw)
+                int_kinds = (of.K_BYTE, of.K_SHORT, of.K_INT, of.K_LONG)
+                value = _parse_probe(
+                    value_raw, meta.types[cid].kind in int_kinds)
                 raw = by_col.get((cid, of.S_BLOOM_FILTER_UTF8))
                 if raw is None and isinstance(value, int):
                     # the reader's charset-safety rule: legacy (pre-ORC-101)
@@ -146,6 +159,16 @@ def main(argv: list[str], spark=None) -> int:
         spark = get_spark("orc_rust_spark-inspect", master="local[4]",
                           shuffle_partitions=4)
         spark.sparkContext.setLogLevel("ERROR")
+    try:
+        return _main_chunks(argv, spark, chunks_dir, cmd, F)
+    finally:
+        # error returns (usage mistakes, unknown commands) previously
+        # leaked the self-created session's JVM (code-review r6)
+        if own_session:
+            spark.stop()
+
+
+def _main_chunks(argv, spark, chunks_dir, cmd, F) -> int:
     chunks = spark.read.parquet(chunks_dir)
     if cmd == "info":
         agg = chunks.agg(
@@ -157,6 +180,7 @@ def main(argv: list[str], spark=None) -> int:
         ).collect()[0]
         print(f"partitions : {agg['partitions']}")
         print(f"chunks     : {agg['chunks']}")
+        print(f"value rows : {agg['rows_x_cols'] or 0:,} (rows x columns)")
         print(f"raw bytes  : {agg['raw_bytes']:,}")
         print(f"final bytes: {agg['final_bytes']:,}")
         print(f"ratio      : {agg['raw_bytes'] / max(1, agg['final_bytes']):.2f}x")
@@ -240,7 +264,12 @@ def main(argv: list[str], spark=None) -> int:
             print("usage: inspect <chunks_dir> bloom <column> <value>")
             return 2
         col, raw_val = argv[3], argv[4]
-        value = int(raw_val) if raw_val.lstrip("-").isdigit() else raw_val
+        codec_row = chunks.where(
+            (F.col("column") == col) & (F.col("stream_kind") == "DATA")
+        ).select("codec").first()
+        int_codecs = ("rle_v2", "rle_v1", "byte_rle")
+        value = _parse_probe(
+            raw_val, codec_row is not None and codec_row[0] in int_codecs)
         from .operators.pruned_read import prune_chunks_bloom
 
         total = chunks.select("part_id", "chunk_ord").distinct().count()
@@ -254,8 +283,6 @@ def main(argv: list[str], spark=None) -> int:
     else:
         print(f"unknown command {cmd!r}; use info|stats|layout|export|index|bloom")
         return 2
-    if own_session:
-        spark.stop()
     return 0
 
 

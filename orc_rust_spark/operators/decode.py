@@ -27,10 +27,11 @@ from pyspark.sql import types as T
 
 from ..codecs import block as blockc
 from ..codecs.boolean_rle import decode_boolean_rle
+from ..codecs.present import decode_present
 from ..codecs.float_plain import decode_float
 from ..codecs.fsst import FsstTable, fsst_decode
 from ..codecs.rle_v2 import decode_rlev2
-from ..codecs.timestamp_split import combine_timestamp_ns
+from ..codecs.timestamp_split import combine_timestamp_us
 from ..sources import chunk_table as ct
 
 
@@ -265,7 +266,7 @@ def _decode_column(
     null_count = int(any_meta["null_count"])
     n_dense = n - null_count
     not_null = (
-        decode_boolean_rle(streams[ct.PRESENT], n) if ct.PRESENT in streams else None
+        decode_present(streams[ct.PRESENT], n) if ct.PRESENT in streams else None
     )
 
     if isinstance(dt, T.ArrayType):
@@ -302,7 +303,7 @@ def _decode_column(
     elif codec == "timestamp_split":
         secs = decode_rlev2(streams[ct.DATA], n_dense, signed=True)
         nanos = decode_rlev2(streams[ct.SECONDARY], n_dense, signed=False)
-        us = combine_timestamp_ns(secs, nanos) // 1000
+        us = combine_timestamp_us(secs, nanos)
         dense = pa.array(us, type=pa.int64()).cast(pa.timestamp("us"))
     elif codec == "decimal":
         from ..codecs.decimal_codec import (

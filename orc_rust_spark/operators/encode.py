@@ -22,11 +22,12 @@ from pyspark.sql import DataFrame
 
 from ..codecs import block as blockc
 from ..codecs.boolean_rle import encode_boolean_rle
+from ..codecs.present import encode_present
 from ..codecs.float_plain import encode_float
 from ..codecs.fsst import FsstTable, fsst_encode
 from ..codecs.rle_v2 import encode_rlev2
 from ..codecs.selector import choose_string_codec, integer_chunk_stats, string_chunk_stats
-from ..codecs.timestamp_split import split_timestamp_ns
+from ..codecs.timestamp_split import split_timestamp_us
 from ..sources import chunk_table as ct
 
 STRIPE_BYTES = 64 * 1024 * 1024  # reference stripe flush threshold
@@ -300,7 +301,7 @@ def _encode_column(name: str, arr: pa.Array, col_plan: dict, emit) -> None:
     null_count = arr.null_count
     if null_count:
         not_null = np.asarray(arr.is_valid())
-        present = encode_boolean_rle(not_null)
+        present = encode_present(not_null)
         dense = arr.drop_null()
     else:
         present = None
@@ -377,8 +378,9 @@ def _encode_column(name: str, arr: pa.Array, col_plan: dict, emit) -> None:
             minv, maxv = str(int(days.min())), str(int(days.max()))
     elif pa.types.is_timestamp(typ):
         us = dense.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        ns = us * 1000
-        secs, nanos = split_timestamp_ns(ns)
+        # us-space split: us*1000 wrapped int64 past ~year 2262
+        # (code-review r6)
+        secs, nanos = split_timestamp_us(us)
         codec = "timestamp_split"
         streams = [
             (ct.DATA, encode_rlev2(secs, signed=True)),

@@ -29,12 +29,13 @@ import pyarrow as pa
 
 from ..codecs import block as blockc
 from ..codecs.boolean_rle import decode_boolean_rle
+from ..codecs.present import decode_present
 from ..codecs.byte_rle import decode_byte_rle
 from ..codecs.decimal_codec import decode_decimal
 from ..codecs.float_plain import decode_float
 from ..codecs.rle_v1 import decode_rlev1
 from ..codecs.rle_v2 import decode_rlev2
-from ..codecs.timestamp_split import combine_timestamp_ns
+from ..codecs.timestamp_split import combine_timestamp_ns, combine_timestamp_us
 
 MAGIC = b"ORC"
 
@@ -196,8 +197,11 @@ def _parse_column_stats(raw: bytes):
                 d[f2] = (v2 >> 1) ^ -(v2 & 1)
             if 1 in d and 2 in d:
                 epoch = _dt.date(1970, 1, 1)
-                return (epoch + _dt.timedelta(days=d[1]),
-                        epoch + _dt.timedelta(days=d[2]))
+                try:
+                    return (epoch + _dt.timedelta(days=d[1]),
+                            epoch + _dt.timedelta(days=d[2]))
+                except OverflowError:
+                    return None  # out-of-range date stats: keep
         elif fno == 9:  # timestampStatistics (sint64 millis)
             d = {}
             for f2, _, v2 in _fields(v):
@@ -212,16 +216,22 @@ def _parse_column_stats(raw: bytes):
             # the max by +1 ms (ceil) — min floor-truncation already
             # widens safely downward.
             if 3 in d and 4 in d:
-                epoch = _dt.datetime(1970, 1, 1)
-                mn = epoch + _dt.timedelta(milliseconds=d[3])
-                mx = epoch + _dt.timedelta(milliseconds=d[4])
-                if d.get(5, 0) >= 1:
-                    mn += _dt.timedelta(microseconds=(d[5] - 1) // 1000)
-                if d.get(6, 0) >= 1:
-                    mx += _dt.timedelta(microseconds=-((1 - d[6]) // 1000))
-                else:
-                    mx += _dt.timedelta(milliseconds=1)
-                return (mn, mx)
+                try:
+                    epoch = _dt.datetime(1970, 1, 1)
+                    mn = epoch + _dt.timedelta(milliseconds=d[3])
+                    mx = epoch + _dt.timedelta(milliseconds=d[4])
+                    if d.get(5, 0) >= 1:
+                        mn += _dt.timedelta(microseconds=(d[5] - 1) // 1000)
+                    if d.get(6, 0) >= 1:
+                        mx += _dt.timedelta(microseconds=-((1 - d[6]) // 1000))
+                    else:
+                        mx += _dt.timedelta(milliseconds=1)
+                    return (mn, mx)
+                except OverflowError:
+                    # stats beyond Python's datetime range (year 9999 max
+                    # + the 1ms ceil, or far-past values): unprunable —
+                    # absent stats keep the chunk (code-review r6)
+                    return None
     if true_count is not None and n_values is not None:
         # boolean bucketStatistics as a (min, max) bool range: all-false
         # groups exclude `= true` probes and vice versa
@@ -448,20 +458,25 @@ def _ts_us(secs: np.ndarray, nanos_enc: np.ndarray, tz: str, kind: int) -> np.nd
       decoded value presents that instant's wall-clock in the writer tz
       (naive_local reinterpreted as UTC). K_TIMESTAMP_INSTANT is pure UTC.
     """
-    ns = combine_timestamp_ns(secs, nanos_enc)
-    if ns.size and int(np.count_nonzero(ns % 1000)):
-        raise ValueError(
-            "ORC timestamp has sub-microsecond precision; decoding to Spark's "
-            "us-precision timestamps would silently alter values"
-        )
     if kind == K_TIMESTAMP and tz not in ("UTC", "GMT", ""):
+        # writer-tz wall-clock path stays in ns-space (pandas tz math is
+        # ns-native; such files are bounded to the ns-representable range)
         import pandas as pd
 
+        ns = combine_timestamp_ns(secs, nanos_enc)
+        if ns.size and int(np.count_nonzero(ns % 1000)):
+            raise ValueError(
+                "ORC timestamp has sub-microsecond precision; decoding to "
+                "Spark's us-precision timestamps would silently alter values"
+            )
         inst = ns + _writer_epoch_delta_ns(tz)
         idx = pd.DatetimeIndex(inst.astype("datetime64[ns]"))
         wall = idx.tz_localize("UTC").tz_convert(tz).tz_localize(None)
         return wall.asi8 // 1000
-    return ns // 1000
+    # UTC path combines in us-space: the ns combine wrapped int64 past
+    # ~year 2262 while ORC (and Spark's us grid) represent such
+    # timestamps fine (code-review r6); sub-us precision raises inside
+    return combine_timestamp_us(secs, nanos_enc)
 
 
 from ..codecs.util import int32_offsets as _int32_offsets  # shared helper
@@ -482,7 +497,7 @@ def _decode_column(col_id: int, t: OrcType, streams: dict, encodings, n: int,
     enc_kind, dict_size = encodings[col_id]
     rle = _int_decoder(enc_kind)
     has_present = (col_id, S_PRESENT) in streams
-    not_null = decode_boolean_rle(get(S_PRESENT), n) if has_present else None
+    not_null = decode_present(get(S_PRESENT), n) if has_present else None
     n_dense = int(not_null.sum()) if not_null is not None else n
     data = get(S_DATA)
     k = t.kind

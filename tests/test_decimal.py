@@ -33,7 +33,9 @@ def test_decimal_rescale():
     data, sec = encode_decimal(m, scale=2)
     assert decode_decimal(data, sec, 3, target_scale=2).tolist() == m.tolist()
     assert decode_decimal(data, sec, 3, target_scale=4).tolist() == [1234500, -678900, 0]
-    assert decode_decimal(data, sec, 3, target_scale=1).tolist() == [1234, -679, 0]
+    # down-scale truncates toward ZERO (reference fix_i128_scale's i128
+    # division): -67.89 at scale 1 is -678, not floor's -679
+    assert decode_decimal(data, sec, 3, target_scale=1).tolist() == [1234, -678, 0]
 
 
 def test_decimal_spark_roundtrip(spark):
@@ -91,3 +93,33 @@ def test_decode_decimal_v1_secondary_uses_caller_rle():
     secondary_v1 = encode_rlev1(scales, signed=True)
     got = decode_decimal(data, secondary_v1, 4, 2, rle=decode_rlev1)
     assert got.tolist() == mant.tolist()
+
+
+def test_decimal_varint_64bit_wrap_raises():
+    """A 10-byte varint can hold 70 bits: values past the 64-bit zigzag
+    range must raise (exact-path fallback), not wrap mod 2^64
+    (code-review r6)."""
+    from orc_rust_spark.codecs.decimal_codec import (
+        decode_varints_i64,
+        encode_varints_exact,
+    )
+
+    wide = encode_varints_exact([123 * 10**18])  # > 2^63, exactly 10 bytes
+    with pytest.raises(ValueError):
+        decode_varints_i64(wide, 1)
+    # truncated stream raises ValueError, not IndexError
+    ok = encode_varints_exact([1, 2, 3])
+    with pytest.raises(ValueError, match="ended early"):
+        decode_varints_i64(ok, 10)
+
+
+def test_rescale_trunc_and_i64min():
+    from orc_rust_spark.codecs.decimal_codec import rescale_exact, rescale_i64
+
+    m = np.array([-15, 15, -2**63], dtype=np.int64)
+    s2 = np.array([2, 2, 2], dtype=np.int64)
+    with pytest.raises(ValueError):  # int64.min cannot rescale in int64
+        rescale_i64(m, s2, 1)
+    got = rescale_i64(np.array([-15, 15]), np.array([2, 2]), 1)
+    assert got.tolist() == [-1, 1]  # trunc toward zero, not floor's -2
+    assert rescale_exact([-15, 15], [2, 2], 1) == [-1, 1]

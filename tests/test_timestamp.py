@@ -65,3 +65,31 @@ def test_roundtrip_random_ns(vals):
     ns = np.array([v for v in vals if not (-(10**9) < v < 0)] or [0], dtype=np.int64)
     data, secondary = encode_timestamp(ns)
     assert (decode_timestamp(data, secondary, ns.size) == ns).all()
+
+
+def test_far_future_timestamps_roundtrip_us_space():
+    """Spark timestamps past ~year 2262 overflow int64 in ns-space
+    (us*1000); the us-native split/combine must roundtrip them through
+    both the chunk engine and the ORC file writer (code-review r6).
+    (liborc cross-read is skipped here: Arrow's ns timestamps cannot
+    represent these instants at all.)"""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+
+    from orc_rust_spark.sources.orc_file import orc_to_table, write_orc
+
+    us = np.array([
+        32503680000000000,        # 3000-01-01
+        253402300799999999,       # 9999-12-31 23:59:59.999999
+        -62135596800000000,       # year 1
+        1700000000123456,         # a normal 2023 value
+    ], dtype=np.int64)
+    arr = pa.array(us, type=pa.int64()).cast(pa.timestamp("us"))
+    tbl = pa.table({"ts": arr})
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "far.orc")
+    write_orc(tbl, p, compression="zlib")
+    back = orc_to_table(p)
+    assert back.column("ts").cast(pa.timestamp("us")).combine_chunks().equals(arr)
