@@ -42,15 +42,19 @@ def _read_parallel(spark: SparkSession, sf_dir: str, table: str,
 _CACHE_EPOCH = "e7"  # e7: PATCHED_BASE entry width closest_fixed_bits fix
 
 
-def _interop_cache_path(sf_dir: str, name: str, ext: str) -> str:
-    """/tmp cache path keyed by engine-format epoch + sf tag + source
-    parquet size/mtime so neither a regenerated testdata dir nor a format
-    change ever hits a stale artifact. One rule for every cached interop
+def _interop_cache_path(sf_dir: str, name: str, ext: str,
+                        source: str = "lineitem") -> str:
+    """/tmp cache path keyed by engine-format epoch + sf tag + the SOURCE
+    table's parquet size/mtime so neither a regenerated testdata dir nor
+    a format change ever hits a stale artifact. ``source`` names the
+    table the artifact derives from — keying an events-derived cache on
+    lineitem's stats served stale bytes when only events.parquet was
+    regenerated (code-review r6). One rule for every cached interop
     artifact (ORC files, chunk tables, probes)."""
     import os
 
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    st = os.stat(f"{sf_dir}/lineitem.parquet")
+    st = os.stat(f"{sf_dir}/{source}.parquet")
     os.makedirs("/tmp/orc_rust_spark_interop", exist_ok=True)
     return (f"/tmp/orc_rust_spark_interop/{name}_{_CACHE_EPOCH}_{sf_tag}"
             f"_{st.st_size}_{int(st.st_mtime)}{ext}")
@@ -84,7 +88,25 @@ def _clean_interop_sink_dirs(prefix: str) -> str:
                 pass  # dead owner: reclaim
             except PermissionError:
                 continue  # alive under another uid: leave it
-        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            # legacy plain FILES matched the glob but rmtree's
+            # NotADirectoryError was silenced, so they survived every
+            # sweep (code-review r6)
+            try:
+                os.remove(old)
+            except OSError:
+                pass
+    # superseded-epoch cache artifacts (lineitem_*_e5_* after an e7 bump)
+    # otherwise accumulate multi-MB files forever (code-review r6)
+    for old in glob.glob("/tmp/orc_rust_spark_interop/*_e[0-9]*_*"):
+        if f"_{_CACHE_EPOCH}_" not in os.path.basename(old):
+            try:
+                os.remove(old) if os.path.isfile(old) else shutil.rmtree(
+                    old, ignore_errors=True)
+            except OSError:
+                pass
     os.makedirs("/tmp/orc_rust_spark_interop", exist_ok=True)
     return f"/tmp/orc_rust_spark_interop/{prefix}_{pid}_{uuid.uuid4().hex}"
 
@@ -402,7 +424,10 @@ def _lineitem_bloom_orc(sf_dir: str) -> str:
 
     orc_path = _interop_cache_path(sf_dir, "lineitem_bloom", ".orc")
     cols = ["l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate"]
-    if not os.path.exists(orc_path):
+    # gate on the LAST-written sidecar: an interrupt between write_table
+    # and the .probe write would otherwise poison the cache (exists()
+    # true, probe missing / file truncated — code-review r6)
+    if not os.path.exists(orc_path + ".probe"):
         tbl = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=cols)
         # bloom_filter_columns take TYPE-TREE ids: 1 = l_orderkey
         paorc.write_table(tbl, orc_path, compression="ZLIB",
@@ -453,7 +478,7 @@ def q_orc_file_write_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orc_path = _interop_cache_path(sf_dir, "lineitem_ours_idx", ".orc")
     cols = ["l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate"]
-    if not os.path.exists(orc_path):
+    if not os.path.exists(orc_path + ".probe"):  # last-written sidecar gate
         tbl = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=cols)
         write_orc(tbl, orc_path, compression="zlib", stripe_rows=100_000,
                   bloom_columns=["l_orderkey"])
@@ -566,6 +591,10 @@ def q_orcx_write_instant_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orc_rust_spark.sources.datasource import OrcRustDataSource
 
     spark.dataSource.register(OrcRustDataSource)
+    # set explicitly (not just inherited from whichever query ran before):
+    # the exercised datasource path must not depend on bench ordering
+    # (code-review r6)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     out = _clean_interop_sink_dirs("orcx_instant")
     ev = _read_parallel(spark, sf_dir, "events",
                         ["event_id", "ts", "user_id", "event_type"])
@@ -656,7 +685,7 @@ def _events_ts_orc(sf_dir: str) -> tuple[str, str, str]:
 
     from orc_rust_spark.sources.orc_file import write_orc
 
-    orc_path = _interop_cache_path(sf_dir, "events_ts_ours", ".orc")
+    orc_path = _interop_cache_path(sf_dir, "events_ts_ours", ".orc", source="events")
     if not os.path.exists(orc_path + ".bounds"):
         tbl = pq.read_table(
             f"{sf_dir}/events.parquet",
@@ -711,8 +740,9 @@ def q_streaming_orcx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orc_rust_spark.sources.datasource import OrcRustDataSource
 
     spark.dataSource.register(OrcRustDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     orc_path = _lineitem_bloom_orc(sf_dir)
-    base = f"/tmp/orc_rust_spark_stream/{uuid.uuid4().hex}"
+    base = _clean_interop_sink_dirs("stream_ingest")
     in_dir = os.path.join(base, "in")
     os.makedirs(in_dir)
     os.symlink(orc_path, os.path.join(in_dir, "lineitem.orc"))
@@ -805,7 +835,11 @@ def q_roundtrip_fsst_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(".html?lang="), F.col("lang"),
         ).alias("url"),
     )
-    sample = [r["url"] for r in src.select("url").limit(256).collect()]
+    # ordered sample: LIMIT without ordering is partition-order-dependent,
+    # so the trained FSST table (and compressed sizes) varied run to run
+    # (code-review r6)
+    sample = [r["url"] for r in
+              src.select("url").orderBy("doc_id").limit(256).collect()]
     table = train_fsst("".join(sample).encode())
     plan = {"url": {"fsst_table": table.serialize(), "block_codec": "zlib",
                     "force_codec": "fsst"}}
@@ -867,14 +901,20 @@ def _lineitem_chunks(spark: SparkSession, sf_dir: str):
     cols = ["l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate"]
     src = _read_parallel(spark, sf_dir, "lineitem", cols)
     cache = _interop_cache_path(sf_dir, "lineitem_chunks", ".parquet")
-    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+    # gate on the LAST-written sidecar (probe), mirroring the ORC caches
+    if not os.path.exists(cache + ".probe"):
         # row_index on every column -> point lookups decode only matching
         # 10k-row groups; bloom on the key column for equality pruning
         plan = {c: {"row_index": True, "block_codec": "zlib"} for c in cols}
         plan["l_orderkey"]["bloom"] = True
         encode_table(src, plan=plan, stripe_bytes=4 * 1024 * 1024).write.mode(
             "overwrite").parquet(cache)
-    return src.schema, spark.read.parquet(cache)
+        probe = src.agg(F.max("l_orderkey")).collect()[0][0]
+        with open(cache + ".probe", "w") as fh:
+            fh.write(str(int(probe)))
+    with open(cache + ".probe") as fh:
+        probe = int(fh.read())
+    return src.schema, spark.read.parquet(cache), probe
 
 
 def q_pruned_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -884,10 +924,8 @@ def q_pruned_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the 10k-row groups whose per-group stats may match."""
     from orc_rust_spark.operators.pruned_read import pruned_point_lookup_rg
 
-    schema, chunks = _lineitem_chunks(spark, sf_dir)
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    target = li.agg(F.max("l_orderkey")).collect()[0][0]
-    rows, _keys = pruned_point_lookup_rg(chunks, schema, "l_orderkey", int(target))
+    schema, chunks, probe = _lineitem_chunks(spark, sf_dir)
+    rows, _keys = pruned_point_lookup_rg(chunks, schema, "l_orderkey", probe)
     return rows
 
 
@@ -902,7 +940,7 @@ def q_pruned_predicate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         pruned_scan,
     )
 
-    schema, chunks = _lineitem_chunks(spark, sf_dir)
+    schema, chunks, probe = _lineitem_chunks(spark, sf_dir)
     pred = And(
         Or(Comparison("l_orderkey", "<", 1000), Comparison("l_orderkey", ">=", 14000)),
         Comparison("l_returnflag", "=", "R"),
@@ -957,8 +995,7 @@ def q_streaming_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cols = ["doc_id", "text", "lang", "source", "n_chars"]
     src = spark.read.parquet(f"{sf_dir}/documents.parquet").select(*cols)
-    out = f"/tmp/orc_rust_spark_stream/{uuid.uuid4().hex}"
-    shutil.rmtree(out, ignore_errors=True)
+    out = _clean_interop_sink_dirs("stream_encode")
     # the file stream source needs a DIRECTORY; symlink the (read-only)
     # testdata file into a scratch input dir
     in_dir = os.path.join(out, "in")
@@ -986,7 +1023,7 @@ def q_streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from orc_rust_spark.streaming.dedup_stream import streaming_dedup_summary
 
-    out = f"/tmp/orc_rust_spark_stream/{uuid.uuid4().hex}"
+    out = _clean_interop_sink_dirs("stream_dedup")
     in_dir = os.path.join(out, "in")
     os.makedirs(in_dir)
     os.symlink(f"{sf_dir}/documents.parquet", os.path.join(in_dir, "documents.parquet"))
@@ -1112,15 +1149,25 @@ IVF_PARAMS = dict(n_centroids=16, iters=5, seed=13, sample_rows=4096, k=5)
 IVF_NPROBE = 3
 
 
-def _ivf_centroids_for(sf_dir: str) -> list[list[float]]:
-    from orc_rust_spark.operators.similarity import (
-        ivf_sample_from_parquet,
-        train_ivf_centroids,
-    )
+_IVF_CENTROID_MEMO: dict[str, list[list[float]]] = {}
 
-    p = IVF_PARAMS
-    x = ivf_sample_from_parquet(f"{sf_dir}/embeddings.parquet", p["sample_rows"])
-    return train_ivf_centroids(x, p["n_centroids"], p["iters"], p["seed"])
+
+def _ivf_centroids_for(sf_dir: str) -> list[list[float]]:
+    """Memoized per sf_dir: training is deterministic given the file, and
+    retraining it inside every bench rep (and twice per oracle_sql build)
+    charged driver-side k-means to the timed lines (code-review r6)."""
+    if sf_dir not in _IVF_CENTROID_MEMO:
+        from orc_rust_spark.operators.similarity import (
+            ivf_sample_from_parquet,
+            train_ivf_centroids,
+        )
+
+        p = IVF_PARAMS
+        x = ivf_sample_from_parquet(f"{sf_dir}/embeddings.parquet",
+                                    p["sample_rows"])
+        _IVF_CENTROID_MEMO[sf_dir] = train_ivf_centroids(
+            x, p["n_centroids"], p["iters"], p["seed"])
+    return _IVF_CENTROID_MEMO[sf_dir]
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
