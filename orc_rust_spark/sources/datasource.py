@@ -160,6 +160,12 @@ def _normalize_table(tbl) -> "pa.Table":  # noqa: F821
     return pa.Table.from_arrays(cols, tbl.column_names)
 
 
+def _bool_option(options: dict, name: str) -> bool:
+    """Shared truthy-option parse for the batch and stream readers (the
+    two copies were a drift target — code-review r6)."""
+    return str(options.get(name, "false")).lower() == "true"
+
+
 def _read_stripe_region(part: "_StripePartition") -> tuple[bytes, bytes]:
     """One stripe's (body, footer) bytes — the shared executor-side IO of
     the batch and stream readers (code-review r6: the two copies were
@@ -168,6 +174,14 @@ def _read_stripe_region(part: "_StripePartition") -> tuple[bytes, bytes]:
         fh.seek(part.offset)
         body = fh.read(part.index_length + part.data_length)
         footer_raw = fh.read(part.footer_length)
+    want_body = part.index_length + part.data_length
+    if len(body) != want_body or len(footer_raw) != part.footer_length:
+        # a file truncated between planning and read otherwise surfaces
+        # as an opaque short-slice codec error (code-review r6)
+        raise ValueError(
+            f"truncated ORC file {part.path!r}: stripe at {part.offset} "
+            f"read {len(body)}/{want_body} body and "
+            f"{len(footer_raw)}/{part.footer_length} footer bytes")
     return body, footer_raw
 
 
@@ -188,8 +202,7 @@ class OrcRustReader(DataSourceReader):
         # Spark's ignoreMissingFiles analog: skip files deleted between
         # planning and read instead of failing the task (default false,
         # matching Spark — code-review r6)
-        self.ignore_missing = str(
-            options.get("ignore_missing_files", "false")).lower() == "true"
+        self.ignore_missing = _bool_option(options, "ignore_missing_files")
         # r6: caller-supplied row-range selection (the reference's
         # RowSelection/from_consecutive_ranges API, src/row_selection.rs:
         # 32-260) as a read option: .option("row_ranges", "0-100,5000-5100")
@@ -398,11 +411,14 @@ class OrcRustStreamReader(DataSourceStreamReader):
     ...]}`` where ``recent`` lists only files with mtime >= W and W
     trails the newest listed mtime by ``max_file_age_sec`` (default 7
     days — Spark's own FileStreamSource ``maxFileAge`` semantics). Files
-    older than the checkpointed watermark are assumed already processed,
-    so the per-batch dedup set is O(files landed per max_file_age_sec
-    window), not O(all files ever). The documented trade (identical to
-    FileStreamSource): a file landing with an mtime OLDER than the
-    current watermark is skipped. Legacy ``{"seen": [...]}`` checkpoints
+    older than the CURRENT watermark and absent from ``recent`` are
+    assumed already processed, so the per-batch dedup set is O(files
+    landed per max_file_age_sec window), not O(all files ever). The
+    documented trade (identical to FileStreamSource's maxFileAge): a
+    file landing (or backfilled across a restart) with an mtime OLDER
+    than the current watermark is skipped — point the stream at a fresh
+    checkpoint or raise max_file_age_sec to ingest mtime-backdated
+    corpora. Legacy ``{"seen": [...]}`` checkpoints
     are still honored as the start offset.
 
     First-batch semantics (driver-advice r5): a FRESHLY STARTED stream
@@ -424,8 +440,11 @@ class OrcRustStreamReader(DataSourceStreamReader):
         # FileStreamSource ignoreMissingFiles analog (default false):
         # skip offset-logged files a retention job deleted, instead of
         # wedging the stream on every replay (code-review r6)
-        self.ignore_missing = str(
-            options.get("ignore_missing_files", "false")).lower() == "true"
+        self.ignore_missing = _bool_option(options, "ignore_missing_files")
+        # a deterministic raise in partitions() otherwise wedges the
+        # stream forever on one bad landed file (code-review r6)
+        self.skip_schema_mismatch = _bool_option(
+            options, "skip_schema_mismatch_files")
         # the user-declared stream schema: read() must return exactly
         # these columns in this order (Spark binds batches positionally —
         # serving file order against a reordered schema would silently
@@ -435,6 +454,12 @@ class OrcRustStreamReader(DataSourceStreamReader):
         # checkpoint exists — the signal that the NEXT latestOffset is a
         # fresh stream's first batch and must include all existing files
         self._fresh_start = False
+        # last offset emitted by THIS reader instance: a transiently
+        # empty directory listing (flaky mount, sync-job recreate) must
+        # not regress the logged watermark to 0.0 — that would mark every
+        # still-present file "new" in the next non-empty batch and
+        # re-read it (code-review r6). The watermark is monotone per run.
+        self._last_offset: dict | None = None
 
     def _files(self) -> list[tuple[str, float]]:
         import glob as _glob
@@ -459,17 +484,24 @@ class OrcRustStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         files = self._files()
         if not files:
-            return {"watermark": 0.0, "recent": []}
+            # carry the previous offset forward: an empty listing means
+            # "no change", never "reset to zero" (code-review r6)
+            return self._last_offset or {"watermark": 0.0, "recent": []}
         wm = max(mt for _, mt in files) - self.max_age
+        if self._last_offset is not None:
+            wm = max(wm, float(self._last_offset.get("watermark", 0.0)))
         if self._fresh_start:
             # first batch of a fresh stream: list EVERY existing file so
             # none is silently aged out (class docstring, driver-advice
             # r5); entries below wm drop out of the next offset after
             # being processed here
             self._fresh_start = False
-            return {"watermark": wm, "recent": [[p, mt] for p, mt in files]}
-        return {"watermark": wm,
-                "recent": [[p, mt] for p, mt in files if mt >= wm]}
+            out = {"watermark": wm, "recent": [[p, mt] for p, mt in files]}
+        else:
+            out = {"watermark": wm,
+                   "recent": [[p, mt] for p, mt in files if mt >= wm]}
+        self._last_offset = out
+        return out
 
     def partitions(self, start: dict, end: dict):
         # files already processed: the start offset's recent-list (plus a
@@ -491,10 +523,15 @@ class OrcRustStreamReader(DataSourceStreamReader):
             if self.columns is not None:
                 have = set(meta.types[0].field_names)
                 missing = [c for c in self.columns if c not in have]
+                if missing and self.skip_schema_mismatch:
+                    continue  # documented opt-in: leave the bad file behind
                 if missing:
                     raise ValueError(
                         f"orcx stream: column(s) {missing} in the declared "
-                        f"schema do not exist in {p!r}")
+                        f"schema do not exist in {p!r}; the raise REPLAYS "
+                        "on every restart until the file is removed — set "
+                        "option skip_schema_mismatch_files=true to skip "
+                        "such files instead (code-review r6)")
             slim = of.task_meta(meta)  # decode needs types+codec+stride only
             parts.extend(
                 _StripePartition(p, s.offset, s.index_length, s.data_length,
@@ -556,8 +593,20 @@ class OrcRustWriter(DataSourceArrowWriter):
         self.stripe_rows = int(options.get("stripe_rows", 100_000))
         self.stride = int(options.get("row_index_stride", 10_000))
         self.bloom_cols = [
-            c for c in (options.get("bloom_columns") or "").split(",") if c
+            c.strip() for c in (options.get("bloom_columns") or "").split(",")
+            if c.strip()
         ]
+        # ".option('bloom_columns', 'id, name')" previously kept ' name',
+        # which OrcWriter silently ignored — no bloom, no error
+        # (code-review r6). schema is None only in direct unit-level
+        # construction; Spark always passes the written schema.
+        if schema is not None and self.bloom_cols:
+            known = {f.name for f in schema.fields}
+            unknown = [c for c in self.bloom_cols if c not in known]
+            if unknown:
+                raise ValueError(
+                    f"bloom_columns {unknown} not in the written schema "
+                    f"{sorted(known)}")
         self.overwrite = overwrite
 
     def _prepare(self):
@@ -607,11 +656,18 @@ class OrcRustWriter(DataSourceArrowWriter):
         import uuid
 
         finals = {m.final_path for m in messages if m and m.tmp_path}
-        if not finals:
+        if not finals and (
+            self.overwrite
+            or not _glob.glob(os.path.join(self.path, "*.orc"))
+        ):
             # EMPTY result (e.g. df.filter(lit(False)) overwrite): write
             # one zero-row schema-bearing file so the directory stays
             # readable — the old behavior deleted every prior file and
-            # wrote none, losing the schema entirely (code-review r6)
+            # wrote none, losing the schema entirely (code-review r6).
+            # Scoped to overwrite (or an empty dir): an empty APPEND must
+            # not drop junk schema files next to existing data — a
+            # mismatched schema would fail the next multi-file read
+            # (code-review r6).
             import pyarrow as pa
             from pyspark.sql.pandas.types import to_arrow_schema
 

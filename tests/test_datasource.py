@@ -784,3 +784,108 @@ def test_stream_ignore_missing_files_option(orcx, tmp_path):
     # planning side: a vanished file drops out of partitions() too
     assert lax.partitions({"watermark": 0, "recent": []},
                           {"watermark": 0, "recent": [[p, 1.0]]}) == []
+
+
+def test_stream_watermark_monotone_on_empty_listing(tmp_path):
+    """A transiently empty directory listing must carry the previous
+    offset forward — regressing the watermark to 0.0 would re-read every
+    still-present file in the next non-empty batch (code-review r6)."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+
+    from orc_rust_spark.sources.datasource import OrcRustStreamReader
+    from orc_rust_spark.sources.orc_file import write_orc
+
+    d = str(tmp_path / "landing2")
+    os.makedirs(d)
+    f1 = os.path.join(d, "a.orc")
+    write_orc(pa.table({"v": pa.array([1, 2, 3])}), f1)
+    r = OrcRustStreamReader({"path": d, "max_file_age_sec": "3600"},
+                            columns=["v"])
+    r.initialOffset()
+    off1 = r.latestOffset()
+    assert off1["recent"]
+    # simulate a flaky-mount empty listing
+    moved = f1 + ".away"
+    shutil.move(f1, moved)
+    off2 = r.latestOffset()
+    assert off2 == off1  # carried forward, not regressed to 0.0
+    shutil.move(moved, f1)
+    off3 = r.latestOffset()
+    assert off3["watermark"] >= off1["watermark"]
+    # and the file is NOT rescheduled as new against its own offset
+    assert r.partitions(off1, off3) == []
+
+
+def test_stream_skip_schema_mismatch_option(tmp_path):
+    """A landed file missing a declared column wedges the stream by
+    default (deterministic raise on every replay);
+    skip_schema_mismatch_files=true skips it (code-review r6)."""
+    import os
+
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from orc_rust_spark.sources.datasource import OrcRustStreamReader
+    from orc_rust_spark.sources.orc_file import write_orc
+
+    d = str(tmp_path / "landing3")
+    os.makedirs(d)
+    write_orc(pa.table({"v": pa.array([1])}), os.path.join(d, "good.orc"))
+    write_orc(pa.table({"w": pa.array([2])}), os.path.join(d, "bad.orc"))
+
+    r = OrcRustStreamReader({"path": d}, columns=["v"])
+    r.initialOffset()
+    end = r.latestOffset()
+    with _pytest.raises(ValueError, match="skip_schema_mismatch_files"):
+        r.partitions({"watermark": 0.0, "recent": []}, end)
+
+    r2 = OrcRustStreamReader(
+        {"path": d, "skip_schema_mismatch_files": "true"}, columns=["v"])
+    r2.initialOffset()
+    parts = r2.partitions({"watermark": 0.0, "recent": []}, r2.latestOffset())
+    assert all("good.orc" in p.path for p in parts) and parts
+
+
+def test_empty_append_leaves_existing_files_alone(orcx, tmp_path):
+    """An empty APPEND must not drop a zero-row schema file next to
+    existing data (a junk part per run; schema mismatch would break the
+    next read) — code-review r6."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "appendd")
+    orcx.range(5).selectExpr("id", "id * 2.0 as v").write.format(
+        "orcx").mode("overwrite").save(d)
+    before = sorted(glob.glob(os.path.join(d, "*.orc")))
+    orcx.range(5).selectExpr("id", "id * 2.0 as v").where(
+        F.lit(False)).write.format("orcx").mode("append").save(d)
+    after = sorted(glob.glob(os.path.join(d, "*.orc")))
+    assert after == before
+    assert orcx.read.format("orcx").load(d).count() == 5
+
+
+def test_bloom_columns_option_spelling(orcx, tmp_path):
+    """'id, name' must work (stripped) and unknown names must raise
+    instead of silently writing no bloom (code-review r6)."""
+    import pytest as _pytest
+
+    from orc_rust_spark.sources.orc_file import read_metadata
+
+    d = str(tmp_path / "bloomd")
+    df = orcx.range(1000).selectExpr("id", "cast(id as string) as name")
+    df.write.format("orcx").option("bloom_columns", "id, name").mode(
+        "overwrite").save(d)
+    import glob
+    import os
+
+    f = glob.glob(os.path.join(d, "*.orc"))[0]
+    meta = read_metadata(f)
+    # both columns got blooms: the stripe footer lists BLOOM streams
+    with _pytest.raises(Exception):
+        df.write.format("orcx").option("bloom_columns", "id, nope").mode(
+            "overwrite").save(str(tmp_path / "bloomd2"))
