@@ -142,14 +142,14 @@ def main() -> None:
         return (row["n"], row["h"])
 
     best = None
-    bad = 1
+    bad = 0  # ORs across reps: one mismatching rep fails the gate (code-review r6)
     src_digest = _digest(src)
     for _ in range(3):
         t0 = time.time()
         chunks_cached = encode_table(src, plan=plan)
         # encode pipes straight into decode -> no co-location shuffle needed
         decoded = decode_table(chunks_cached, WEBTEXT_SCHEMA, co_locate=False)
-        bad = 0 if _digest(decoded) == src_digest else 1
+        bad |= 0 if _digest(decoded) == src_digest else 1
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     queries["webtext_decode_verify"] = round(best, 3)
@@ -206,7 +206,11 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         queries[name] = round(best, 3)
-    extra["timing"] = f"min_of_{reps}"
+    # the webtext/steady-state lines above are min-of-3 (their own loops);
+    # the per-query sweep here is min-of-{reps} — record both so the
+    # committed artifact's protocol metadata matches what actually ran
+    # (code-review r6)
+    extra["timing"] = f"min_of_{reps} (webtext/steady-state lines min_of_3)"
 
     total = round(sum(queries.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -67,16 +67,24 @@ def measure(cpus: int, reps: int = int(os.environ.get("SCALING_REPS", "3"))) -> 
     # --- decode direction (VERDICT r3 next #9): the same chunk table —
     # persisted ONCE (64 files, one per encode partition) and shared by
     # every cluster size — decoded back to rows through the Arrow decode
-    # path. Read at one-file-per-split (256 MiB maxPartitionBytes) so each
-    # task sees its file's chunks contiguously in encode order and
-    # co_locate=False is valid: this measures the DECODE ENGINE (parquet
-    # read + block decompress + RLE/dict/FSST kernels), not a 1 GB
-    # co-locate shuffle whose IO noise dominated early measurements by 3x.
-    # 64 fixed work units >= 32 cores, identical at every cluster size.
+    # path, at EXACTLY one file per split so each task sees its file's
+    # chunks contiguously in encode order and co_locate=False is valid:
+    # this measures the DECODE ENGINE (parquet read + block decompress +
+    # RLE/dict/FSST kernels), not a 1 GB co-locate shuffle whose IO noise
+    # dominated early measurements by 3x. One-file-per-split is FORCED
+    # via a huge openCostInBytes (each file's padded cost exceeds
+    # maxSplitBytes, so bin-packing closes a partition per file) — the
+    # prior 256 MiB maxPartitionBytes alone let maxSplitBytes shrink
+    # with defaultParallelism (total/N), so the work decomposition VARIED
+    # with cluster size and the decode scaling numbers compared different
+    # decompositions (code-review r6). 64 fixed work units >= 32 cores,
+    # identical at every cluster size.
     chunks_path = os.path.join(cache, f"webtext_chunks_{ROWS}.parquet")
     if not os.path.exists(os.path.join(chunks_path, "_SUCCESS")):
         encode_table(src, plan=plan).write.mode("overwrite").parquet(chunks_path)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(256 * 1024 * 1024))
+    prev_open_cost = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 30))
     chunks = spark.read.parquet(chunks_path)
     decode_table_arrow(chunks, WEBTEXT_SCHEMA, co_locate=False).write.format(
         "noop").mode("overwrite").save()  # warm decode-stage workers
@@ -87,6 +95,7 @@ def measure(cpus: int, reps: int = int(os.environ.get("SCALING_REPS", "3"))) -> 
             "noop").mode("overwrite").save()
         dec_times.append(time.time() - t0)
     dec_best = min(dec_times)
+    spark.conf.set("spark.sql.files.openCostInBytes", prev_open_cost)
 
     # --- orcx sink direction (VERDICT r4 next #10): the same webtext rows
     # written as REAL indexed ORC through df.write.format("orcx") — the
@@ -134,6 +143,12 @@ def main() -> None:
             [sys.executable, os.path.abspath(__file__), "--measure", str(cpus)],
             capture_output=True, text=True, cwd=REPO, timeout=3000,
         )
+        if out.returncode != 0 or not out.stdout.strip():
+            # forward the child's traceback instead of an IndexError with
+            # zero context (code-review r6)
+            sys.stderr.write(out.stderr)
+            raise RuntimeError(
+                f"measure({cpus}) failed with rc={out.returncode}")
         line = out.stdout.strip().splitlines()[-1]
         results[cpus] = json.loads(line)
     eff_2_8 = (results[2]["wall_sec"] / results[8]["wall_sec"]) / 4

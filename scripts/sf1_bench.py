@@ -133,12 +133,12 @@ def _webtext_pair(spark, n_rows: int) -> tuple[float, float]:
 
     src_digest = digest(src)
     dec = None
-    bad = 1
+    bad = 0  # ORs across reps (code-review r6)
     for _ in range(REPS):
         t0 = time.time()
         decoded = decode_table_arrow(
             encode_table(src, plan=plan), WEBTEXT_SCHEMA, co_locate=False)
-        bad = 0 if digest(decoded) == src_digest else 1
+        bad |= 0 if digest(decoded) == src_digest else 1
         dt = time.time() - t0
         dec = dt if dec is None else min(dec, dt)
     assert bad == 0, "sf1 webtext decode verify MISMATCH"
