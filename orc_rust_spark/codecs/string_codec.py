@@ -43,11 +43,40 @@ def _as_large_binary(values) -> pa.LargeBinaryArray:
 
 
 def _flatten(arr: pa.LargeBinaryArray) -> tuple[bytes, np.ndarray]:
-    """-> (concatenated data bytes, per-value lengths int64)."""
+    """-> (concatenated data bytes, per-value lengths int64). Slices the
+    value buffer through a memoryview so a sliced array's payload is
+    copied once, not twice."""
     buffers = arr.buffers()  # [validity, offsets, data]
     offsets = np.frombuffer(buffers[1], dtype=np.int64, count=len(arr) + 1, offset=arr.offset * 8)
-    data = buffers[2].to_pybytes()[offsets[0] : offsets[-1]] if len(arr) else b""
+    data = (bytes(memoryview(buffers[2])[offsets[0]: offsets[-1]])
+            if len(arr) else b"")
     return data, np.diff(offsets)
+
+
+def sorted_dictionary(
+    dense: pa.Array, denc: pa.Array | None = None
+) -> tuple[np.ndarray, bytes, np.ndarray, int]:
+    """-> (per-value ranks into the SORTED dictionary, dict bytes,
+    per-symbol lengths, dict size) for a dense (null-free) binary array.
+
+    ORC dictionaries are sorted (src/array_decoder/string.rs:213-215);
+    all work stays in Arrow kernels — no per-distinct Python objects.
+    Shared by the chunk-table encoder and the ORC stripe writer so the
+    sorted-dictionary contract cannot drift between them. ``denc`` lets
+    the caller pass the selector's already-computed dictionary_encode of
+    the SAME array — it was the single most expensive encode kernel and
+    was otherwise paid twice per dict column (code-review r6)."""
+    if denc is None:
+        denc = dense.dictionary_encode()
+    indices = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = pa.compute.sort_indices(denc.dictionary).to_numpy().astype(np.int64)
+    rank = np.empty_like(order)
+    rank[order] = np.arange(order.size)
+    sorted_dict = denc.dictionary.take(pa.array(order))
+    if not pa.types.is_large_binary(sorted_dict.type):
+        sorted_dict = sorted_dict.cast(pa.large_binary())
+    dict_data, dict_lens = _flatten(sorted_dict)
+    return rank[indices], dict_data, dict_lens, len(sorted_dict)
 
 
 def _assemble(data: bytes, lengths: np.ndarray) -> pa.LargeBinaryArray:
@@ -80,24 +109,15 @@ def encode_string_dict(values) -> tuple[bytes, bytes, bytes, int]:
     """-> (DATA index stream, DICTIONARY_DATA bytes, LENGTH stream, dict_size).
 
     Dictionary entries are sorted (ORC spec); indexes are remapped through
-    the rank permutation.
-    """
+    the rank permutation — via the shared sorted_dictionary kernel (the
+    old Python-object argsort duplicate is gone; code-review r6)."""
     arr = _as_large_binary(values)
-    dict_arr = arr.dictionary_encode()
-    indices = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    dictionary = dict_arr.dictionary
-    dict_py = dictionary.to_pylist()
-    order = np.argsort(np.array(dict_py, dtype=object), kind="stable")
-    rank = np.empty_like(order)
-    rank[order] = np.arange(order.size)
-    sorted_dict = _as_large_binary(pa.array([dict_py[i] for i in order.tolist()]))
-    dict_data, dict_lengths = _flatten(sorted_dict)
-    new_indices = rank[indices]
+    ranks, dict_data, dict_lengths, n_dict = sorted_dictionary(arr)
     return (
-        encode_rlev2(new_indices, signed=False),
+        encode_rlev2(ranks, signed=False),
         dict_data,
         encode_rlev2(dict_lengths, signed=False),
-        len(dict_py),
+        n_dict,
     )
 
 

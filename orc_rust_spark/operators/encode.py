@@ -27,6 +27,7 @@ from ..codecs.float_plain import encode_float
 from ..codecs.fsst import FsstTable, fsst_encode
 from ..codecs.rle_v2 import encode_rlev2
 from ..codecs.selector import choose_string_codec, integer_chunk_stats, string_chunk_stats
+from ..codecs.string_codec import sorted_dictionary
 from ..codecs.timestamp_split import split_timestamp_us
 from ..sources import chunk_table as ct
 
@@ -43,30 +44,6 @@ def _flatten_large_binary(arr: pa.Array) -> tuple[bytes, np.ndarray]:
     data = (bytes(memoryview(arr.buffers()[2])[offs[0]: offs[-1]])
             if len(arr) else b"")
     return data, (offs - offs[0]).astype(np.int64)
-
-
-def sorted_dictionary(
-    dense: pa.Array, denc: pa.Array | None = None
-) -> tuple[np.ndarray, bytes, np.ndarray, int]:
-    """-> (per-value ranks into the SORTED dictionary, dict bytes,
-    per-symbol lengths, dict size) for a dense (null-free) binary array.
-
-    ORC dictionaries are sorted (src/array_decoder/string.rs:213-215);
-    all work stays in Arrow kernels — no per-distinct Python objects.
-    Shared by the chunk-table encoder and the ORC stripe writer so the
-    sorted-dictionary contract cannot drift between them. ``denc`` lets
-    the caller pass the selector's already-computed dictionary_encode of
-    the SAME array — it was the single most expensive encode kernel and
-    was otherwise paid twice per dict column (code-review r6)."""
-    if denc is None:
-        denc = dense.dictionary_encode()
-    indices = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    order = pa.compute.sort_indices(denc.dictionary).to_numpy().astype(np.int64)
-    rank = np.empty_like(order)
-    rank[order] = np.arange(order.size)
-    sorted_dict = denc.dictionary.take(pa.array(order))
-    dict_data, dict_offsets = _flatten_large_binary(sorted_dict)
-    return rank[indices], dict_data, np.diff(dict_offsets), len(sorted_dict)
 
 
 def _encode_string_column(
