@@ -157,10 +157,15 @@ def _mix_aggs(key, vals: dict) -> list:
 
 
 def _mix_sql(group_cols: str, vals: dict[str, str], from_table: str,
-             group_inner: str | None = None) -> str:
+             group_inner: str | None = None,
+             key: str = "l_orderkey") -> str:
     """DuckDB mirror of _mix_aggs: same moduli, same column names.
     ``group_inner`` carries aliasing expressions (e.g. ``l_returnflag AS
-    rf``) when the Spark-side group column name differs from the source."""
+    rf``) when the Spark-side group column name differs from the source.
+    ``key`` is the checksum-mix key expression — it must match the ``key``
+    column passed to the Spark-side ``_mix_aggs`` (VERDICT r6 wrong #2:
+    this was hardcoded to l_orderkey, which would silently build wrong
+    oracle SQL for the first non-lineitem caller)."""
     sel = [group_cols, "CAST(count(*) AS BIGINT) AS cnt"]
     for name in vals:
         sel.append(f"CAST(sum(v_{name}) AS BIGINT) AS sum_{name}")
@@ -170,8 +175,8 @@ def _mix_sql(group_cols: str, vals: dict[str, str], from_table: str,
            for name, expr in vals.items()]
     return (
         f"WITH t AS (SELECT {group_inner or group_cols}, "
-        f"CAST(l_orderkey % {_MIX_P1} AS BIGINT) AS k1, "
-        f"CAST(l_orderkey % {_MIX_P2} AS BIGINT) AS k2, "
+        f"CAST(({key}) % {_MIX_P1} AS BIGINT) AS k1, "
+        f"CAST(({key}) % {_MIX_P2} AS BIGINT) AS k2, "
         + ", ".join(pre) + f" FROM {from_table}) "
         f"SELECT {', '.join(sel)} FROM t GROUP BY {group_cols}"
     )
