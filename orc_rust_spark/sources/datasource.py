@@ -61,10 +61,22 @@ def _prefix_upper_bound(prefix: str) -> str | None:
         return None
     return "".join(cps[:-1]) + chr(ord(cps[-1]) + 1)
 
+from . import fsio
 from . import orc_file as of
 
 
 _expand_paths = of.expand_paths  # shared with orc_scan (one path-resolution rule)
+
+
+def _option_fs(options: dict):
+    """The orcx ``filesystem`` option: a base64-pickled pyarrow
+    FileSystem (fsio.fs_to_option) for URI schemes FileSystem.from_uri
+    can't resolve — Spark plans Python datasources in a separate worker
+    process, so driver-side fsio.register_filesystem calls aren't
+    visible here; the option IS the transport. s3://, hdfs://, gs://
+    need no option (from_uri resolves them anywhere)."""
+    v = options.get("filesystem")
+    return fsio.fs_from_option(v) if v else None
 
 _K_TO_DDL = {
     of.K_BOOLEAN: "boolean", of.K_BYTE: "byte", of.K_SHORT: "short",
@@ -166,11 +178,15 @@ def _bool_option(options: dict, name: str) -> bool:
     return str(options.get(name, "false")).lower() == "true"
 
 
-def _read_stripe_region(part: "_StripePartition") -> tuple[bytes, bytes]:
+def _read_stripe_region(part: "_StripePartition",
+                        fs=None) -> tuple[bytes, bytes]:
     """One stripe's (body, footer) bytes — the shared executor-side IO of
     the batch and stream readers (code-review r6: the two copies were
-    drifting targets for every short-read/missing-file fix)."""
-    with open(part.path, "rb") as fh:
+    drifting targets for every short-read/missing-file fix). ``fs`` is
+    the reader's driver-resolved filesystem (None = local fast path); it
+    reaches the executor inside the pickled reader, never by re-resolving
+    a scheme worker-side."""
+    with fsio.open_input(part.path, fs) as fh:
         fh.seek(part.offset)
         body = fh.read(part.index_length + part.data_length)
         footer_raw = fh.read(part.footer_length)
@@ -219,8 +235,11 @@ class OrcRustReader(DataSourceReader):
         # files); each InputPartition then carries its OWN file's task-slim
         # meta and __getstate__ drops this dict, so the reader pickled into
         # tasks is O(1) in file count — no per-stripe re-read of file tails
-        # and no O(files) closure (VERDICT r4 missing #2)
-        self.metas = of.read_metadatas(_expand_paths(self.path))
+        # and no O(files) closure (VERDICT r4 missing #2). The filesystem
+        # resolves here (planning) and rides the reader pickle to executors.
+        self._fs, fs_paths = of.resolve_scan(self.path,
+                                             filesystem=_option_fs(options))
+        self.metas = of.read_metadatas(fs_paths, filesystem=self._fs)
         # a user-declared scan schema naming a column no file has would
         # silently yield fewer columns than declared and fail executor-side
         # with an opaque arity mismatch — reject it up front instead
@@ -374,7 +393,7 @@ class OrcRustReader(DataSourceReader):
             return
         meta = part.meta  # parsed once on the driver, shipped in the split
         try:
-            body, footer_raw = _read_stripe_region(part)
+            body, footer_raw = _read_stripe_region(part, self._fs)
         except FileNotFoundError:
             if self.ignore_missing:
                 return  # deleted between planning and read: skip
@@ -434,6 +453,14 @@ class OrcRustStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("orcx stream requires a directory path")
+        # planning-time-resolved filesystem (None = local fast path);
+        # logged offsets store fs-native paths, which stay stable across
+        # restarts because resolution is scheme-deterministic
+        self._fs = _option_fs(options)
+        if self._fs is not None:
+            self._fspath = fsio.strip_scheme(self.path)
+        else:
+            self._fs, self._fspath = fsio.resolve(self.path)
         self.max_age = float(options.get("max_file_age_sec", 7 * 24 * 3600))
         if self.max_age <= 0:
             raise ValueError("max_file_age_sec must be > 0")
@@ -462,19 +489,16 @@ class OrcRustStreamReader(DataSourceStreamReader):
         self._last_offset: dict | None = None
 
     def _files(self) -> list[tuple[str, float]]:
-        import glob as _glob
-        import os
-
-        if os.path.isdir(self.path):
-            names = _glob.glob(os.path.join(self.path, "*.orc"))
-        else:
-            names = _glob.glob(self.path)
+        try:
+            names = fsio.list_files(self._fspath, self._fs)
+        except FileNotFoundError:
+            return []  # empty landing dir: "no change", handled by caller
         out = []
-        for p in sorted(names):
+        for p in names:
             try:
-                out.append((p, os.stat(p).st_mtime))
-            except OSError:
-                continue  # raced with a delete between glob and stat
+                out.append((p, fsio.file_mtime(p, self._fs)))
+            except (OSError, FileNotFoundError):
+                continue  # raced with a delete between list and stat
         return out
 
     def initialOffset(self) -> dict:
@@ -513,11 +537,9 @@ class OrcRustStreamReader(DataSourceStreamReader):
         new = [p for p, mt in end.get("recent", [])
                if p not in seen and mt >= start_wm]
         if self.ignore_missing:
-            import os as _os
-
-            new = [p for p in new if _os.path.exists(p)]
+            new = [p for p in new if fsio.exists(p, self._fs)]
         parts = []
-        metas = of.read_metadatas(new)  # driver-side, thread-pooled
+        metas = of.read_metadatas(new, filesystem=self._fs)  # driver-side
         for p in new:
             meta = metas[p]
             if self.columns is not None:
@@ -543,7 +565,7 @@ class OrcRustStreamReader(DataSourceStreamReader):
     def read(self, part: _StripePartition):
         meta = part.meta  # parsed once on the driver, shipped in the split
         try:
-            body, footer_raw = _read_stripe_region(part)
+            body, footer_raw = _read_stripe_region(part, self._fs)
         except FileNotFoundError:
             if self.ignore_missing:
                 return  # retention deleted it; the offset stays replayable
@@ -588,6 +610,13 @@ class OrcRustWriter(DataSourceArrowWriter):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("orcx write requires a path: .save('/dir')")
+        # planning-time-resolved; executors get the fs via the pickled
+        # writer (see _option_fs for non-from_uri schemes)
+        self._fs = _option_fs(options)
+        if self._fs is not None:
+            self._fspath = fsio.strip_scheme(self.path)
+        else:
+            self._fs, self._fspath = fsio.resolve(self.path)
         self.spark_schema = schema  # kept for the empty-result commit
         self.compression = options.get("compression", "zstd")
         self.stripe_rows = int(options.get("stripe_rows", 100_000))
@@ -610,15 +639,12 @@ class OrcRustWriter(DataSourceArrowWriter):
         self.overwrite = overwrite
 
     def _prepare(self):
-        import os
-
         # NOTE: overwrite deletion is deferred to commit() — deleting at
         # planning time would destroy the prior data even if the job
         # later fails (abort() could then only remove .inprogress files)
-        os.makedirs(self.path, exist_ok=True)
+        fsio.makedirs(self._fspath, self._fs)
 
     def write(self, iterator):
-        import os
         import uuid
 
         from pyspark import TaskContext
@@ -636,30 +662,31 @@ class OrcRustWriter(DataSourceArrowWriter):
             if writer is None:
                 pid = TaskContext.get().partitionId() if TaskContext.get() else 0
                 name = f"part-{pid:05d}-{uuid.uuid4().hex}.orc"
-                tmp = os.path.join(self.path, name + ".inprogress")
-                final = os.path.join(self.path, name)
+                tmp = fsio.join(self._fspath, name + ".inprogress")
+                final = fsio.join(self._fspath, name)
                 writer = of.OrcWriter(
                     tmp, b.schema, compression=self.compression,
                     stripe_rows=self.stripe_rows,
                     row_index_stride=self.stride,
-                    bloom_columns=self.bloom_cols or None)
+                    bloom_columns=self.bloom_cols or None,
+                    filesystem=self._fs)
             writer.write_batch(b)
             rows += b.num_rows
         if writer is None:
             return _OrcCommit(None, None, 0, 0)
         writer.close()
-        return _OrcCommit(tmp, final, rows, os.path.getsize(tmp))
+        return _OrcCommit(tmp, final, rows, fsio.file_size(tmp, self._fs))
 
     def commit(self, messages):
-        import glob as _glob
-        import os
         import uuid
 
+        def _existing_orc() -> list[str]:
+            if not fsio.is_dir(self._fspath, self._fs):
+                return []
+            return fsio.list_files(self._fspath, self._fs, suffix=".orc")
+
         finals = {m.final_path for m in messages if m and m.tmp_path}
-        if not finals and (
-            self.overwrite
-            or not _glob.glob(os.path.join(self.path, "*.orc"))
-        ):
+        if not finals and (self.overwrite or not _existing_orc()):
             # EMPTY result (e.g. df.filter(lit(False)) overwrite): write
             # one zero-row schema-bearing file so the directory stays
             # readable — the old behavior deleted every prior file and
@@ -674,10 +701,10 @@ class OrcRustWriter(DataSourceArrowWriter):
             arrow_schema = to_arrow_schema(self.spark_schema)
             empty = pa.table({f.name: pa.nulls(0, type=f.type)
                               for f in arrow_schema})
-            p = os.path.join(self.path,
-                             f"part-00000-{uuid.uuid4().hex}.orc")
+            p = fsio.join(self._fspath,
+                          f"part-00000-{uuid.uuid4().hex}.orc")
             of.write_orc(empty, p, compression=self.compression,
-                         row_index_stride=0)
+                         row_index_stride=0, filesystem=self._fs)
             finals = {p}
         # surface the new generation FIRST (uuid names cannot collide with
         # the old files), THEN drop the stale ones — the reverse order
@@ -685,28 +712,28 @@ class OrcRustWriter(DataSourceArrowWriter):
         # (only invisible .inprogress files would remain)
         for m in messages:
             if m and m.tmp_path:
-                os.rename(m.tmp_path, m.final_path)
+                fsio.rename(m.tmp_path, m.final_path, self._fs)
         if self.overwrite:
-            for p in _glob.glob(os.path.join(self.path, "*.orc")):
+            for p in _existing_orc():
                 if p not in finals:
-                    os.remove(p)
+                    fsio.delete(p, self._fs)
             # dead task attempts (crashed/speculative executors that never
             # returned a commit message) leave orphan .inprogress files no
             # message ever names; in overwrite mode this job owns the dir,
             # so reclaim them (append mode leaves them: a concurrent
             # append job's live tmps are indistinguishable by name)
-            for p in _glob.glob(os.path.join(self.path, "*.orc.inprogress")):
-                try:
-                    os.remove(p)
-                except OSError:
-                    pass
+            if fsio.is_dir(self._fspath, self._fs):
+                for p in fsio.list_files(self._fspath, self._fs,
+                                         suffix=".orc.inprogress"):
+                    try:
+                        fsio.delete(p, self._fs)
+                    except OSError:
+                        pass
 
     def abort(self, messages):
-        import os
-
         for m in messages:
-            if m and m.tmp_path and os.path.exists(m.tmp_path):
-                os.remove(m.tmp_path)
+            if m and m.tmp_path and fsio.exists(m.tmp_path, self._fs):
+                fsio.delete(m.tmp_path, self._fs)
 
 
 class OrcRustDataSource(DataSource):
@@ -718,7 +745,9 @@ class OrcRustDataSource(DataSource):
         return "orcx"
 
     def schema(self) -> str:
-        meta = of.read_metadata(_expand_paths(self.options["path"])[0])
+        fs, paths = of.resolve_scan(self.options["path"],
+                                    filesystem=_option_fs(self.options))
+        meta = of.read_metadata(paths[0], filesystem=fs)
         root = meta.types[0]
         return ", ".join(
             f"{_esc_ddl(n)} {_ddl_of(meta.types, c)}"

@@ -1,0 +1,180 @@
+"""The engine's ORC IO through a NON-local filesystem (VERDICT r6
+missing #1 / next #2): every byte the reader, writer, orcx datasource,
+and stream reader move must go through the fsio seam — the reference's
+ChunkReader contract (src/reader/mod.rs:27-46,163-203) — so object-store
+URLs work wherever a local path works.
+
+The non-local backend here is a pyarrow SubTreeFileSystem mounted under
+a test scheme (``subfs://``). Its paths are NOT valid OS paths (they are
+subtree-relative), so any remaining builtin ``open()``/``glob`` call on
+a path from this filesystem fails loudly instead of silently passing —
+and the fs object pickles, so it rides Spark task closures into real
+executors exactly like an S3FileSystem would."""
+
+import os
+import sys
+
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from orc_rust_spark.sources import fsio
+from orc_rust_spark.sources import orc_file as of
+
+SCHEME = "subfs"
+
+
+@pytest.fixture()
+def subfs(tmp_path):
+    import pyarrow.fs as pafs
+
+    fs = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    fsio.register_filesystem(SCHEME, fs)
+    yield fs
+    fsio.unregister_filesystem(SCHEME)
+
+
+def _table(n=25_000):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    return pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array([f"page {i} body text" for i in range(n)]),
+        "lang": pa.array(rng.choice(["en", "de", "fr"], n).tolist()),
+    })
+
+
+def test_resolve_coordinate_rules(subfs):
+    assert fsio.resolve("/a/b.orc") == (None, "/a/b.orc")
+    assert fsio.resolve("file:///a/b.orc") == (None, "/a/b.orc")
+    fs, p = fsio.resolve(f"{SCHEME}://x/y.orc")
+    assert fs is subfs and p == "x/y.orc"
+    assert fsio.is_uri("s3://b/k") and not fsio.is_uri("/b/k")
+    assert fsio.join(f"{SCHEME}://x", "a", "b.orc") == f"{SCHEME}://x/a/b.orc"
+    assert fsio.join("x/y", "a.orc") == "x/y/a.orc"
+
+
+def test_unknown_scheme_routes_to_pyarrow_from_uri():
+    with pytest.raises(Exception):  # pyarrow: unrecognized/unsupported URI
+        fsio.resolve("no-such-scheme-xyz://bucket/key")
+
+
+def test_write_read_roundtrip_through_subfs(subfs):
+    tbl = _table()
+    fsio.makedirs("corpus", subfs)
+    uri = f"{SCHEME}://corpus/part-0.orc"
+    of.write_orc(tbl, uri, compression="zstd",
+                 bloom_columns=["doc_id"])
+    # tail parse, full decode, and point lookup all through the fs
+    meta = of.read_metadata(uri)
+    assert meta.number_of_rows == tbl.num_rows
+    back = of.orc_to_table(uri)
+    assert back.cast(tbl.schema).equals(tbl)
+    hit, decoded, total = of.orc_point_lookup(uri, "doc_id", 12345)
+    assert hit.num_rows == 1 and hit.column("doc_id")[0].as_py() == 12345
+    assert decoded < total  # bloom/stats pruning still works through fs
+    # and the bytes on the backing store really are ORC
+    import pyarrow.orc as paorc
+    assert paorc.ORCFile(
+        subfs.open_input_file("corpus/part-0.orc")).nrows == tbl.num_rows
+
+
+def test_expand_paths_lists_directories_through_subfs(subfs):
+    tbl = _table(1000)
+    fsio.makedirs("d", subfs)
+    of.write_orc(tbl.slice(0, 500), f"{SCHEME}://d/a.orc")
+    of.write_orc(tbl.slice(500), f"{SCHEME}://d/b.orc")
+    subfs.open_output_stream("d/ignored.txt").close()
+    fs, paths = of.resolve_scan(f"{SCHEME}://d")
+    assert fs is subfs and paths == ["d/a.orc", "d/b.orc"]
+    with pytest.raises(NotImplementedError):
+        of.resolve_scan(f"{SCHEME}://d/*.orc")  # no globs on object stores
+
+
+def test_orc_scan_through_subfs_in_spark_executors(spark, subfs):
+    tbl = _table()
+    fsio.makedirs("scan", subfs)
+    of.write_orc(tbl, f"{SCHEME}://scan/p0.orc", stripe_rows=5_000)
+    of.write_orc(tbl, f"{SCHEME}://scan/p1.orc", stripe_rows=5_000)
+    df = of.orc_scan(spark, f"{SCHEME}://scan",
+                     "doc_id long, text string, lang string")
+    got = df.groupBy("lang").count().orderBy("lang").collect()
+    import collections
+    want = collections.Counter(tbl.column("lang").to_pylist() * 2)
+    assert [(r["lang"], r["count"]) for r in got] == sorted(want.items())
+
+
+def test_orc_scan_readahead_depths_agree(spark, subfs):
+    tbl = _table(30_000)
+    fsio.makedirs("ra", subfs)
+    of.write_orc(tbl, f"{SCHEME}://ra/p0.orc", stripe_rows=4_000)
+    ddl = "doc_id long, text string, lang string"
+    base = of.orc_scan(spark, f"{SCHEME}://ra", ddl,
+                       readahead=1).orderBy("doc_id").collect()
+    deep = of.orc_scan(spark, f"{SCHEME}://ra", ddl,
+                       readahead=4).orderBy("doc_id").collect()
+    assert base == deep and len(base) == tbl.num_rows
+    with pytest.raises(ValueError):
+        of.orc_scan(spark, f"{SCHEME}://ra", ddl, readahead=0)
+
+
+def test_orcx_write_commit_and_read_through_subfs(spark, subfs):
+    """Spark plans Python datasources in a separate worker process where
+    driver-side register_filesystem isn't visible — the documented
+    transport for a non-from_uri scheme is the ``filesystem`` option
+    (base64-pickled fs, exactly what rides the task pickle anyway)."""
+    from orc_rust_spark.sources.datasource import OrcRustDataSource
+
+    spark.dataSource.register(OrcRustDataSource)
+    fs_opt = fsio.fs_to_option(subfs)
+    sdf = spark.range(0, 20_000).selectExpr(
+        "id as doc_id", "concat('t', id) as text")
+    uri = f"{SCHEME}://sink"
+    sdf.write.format("orcx").mode("append") \
+        .option("filesystem", fs_opt) \
+        .option("compression", "zstd").save(uri)
+    # two-phase commit finished: no .inprogress left behind, files visible
+    names = fsio.list_files("sink", subfs)
+    assert names and all(n.endswith(".orc") for n in names)
+    assert fsio.list_files("sink", subfs, suffix=".inprogress") == []
+    back = spark.read.format("orcx").option("filesystem", fs_opt).load(uri)
+    assert back.count() == 20_000
+    assert back.agg({"doc_id": "sum"}).first()[0] == 19_999 * 20_000 // 2
+    # overwrite drops the old generation through the fs too
+    spark.range(0, 7).selectExpr("id as doc_id", "'x' as text") \
+        .coalesce(1).write.format("orcx").mode("overwrite") \
+        .option("filesystem", fs_opt).save(uri)
+    assert spark.read.format("orcx").option("filesystem", fs_opt) \
+        .load(uri).count() == 7
+    assert len(fsio.list_files("sink", subfs)) == 1
+
+
+def test_orcx_stream_reader_lists_and_reads_through_subfs(subfs):
+    """Driver-side stream machinery (listing, offsets, partitions) and
+    the executor-side stripe read, driven directly against the fs."""
+    from orc_rust_spark.sources.datasource import (OrcRustStreamReader,
+                                                   _read_stripe_region)
+
+    fsio.makedirs("land", subfs)
+    of.write_orc(_table(2_000), f"{SCHEME}://land/f1.orc", stripe_rows=1_000)
+    r = OrcRustStreamReader({"path": f"{SCHEME}://land"})
+    start = r.initialOffset()
+    end = r.latestOffset()
+    assert [p for p, _ in end["recent"]] == ["land/f1.orc"]
+    parts = r.partitions(start, end)
+    assert len(parts) == 2  # two stripes
+    body, footer = _read_stripe_region(parts[0], r._fs)
+    tbl = of.decode_stripe(body, footer, parts[0].meta, parts[0].rows)
+    assert tbl.num_rows == 1_000
+
+
+def test_local_paths_still_use_builtin_open(tmp_path):
+    """The local fast path must stay on builtins (fs is None), keeping
+    the hot bench path byte-identical to the pre-abstraction code."""
+    p = str(tmp_path / "x.orc")
+    of.write_orc(_table(100), p)
+    fs, paths = of.resolve_scan(str(tmp_path))
+    assert fs is None and paths == [p]
+    assert isinstance(fsio.open_input(p, None), type(open(p, "rb")))

@@ -827,9 +827,9 @@ def test_orc_scan_dir_and_driver_side_metadata(spark, tmp_path, monkeypatch):
     calls = []
     real = of.read_metadata
 
-    def counting(path):
+    def counting(path, filesystem=None):
         calls.append(path)
-        return real(path)
+        return real(path, filesystem=filesystem)
 
     monkeypatch.setattr(of, "read_metadata", counting)
     df = of.orc_scan(spark, str(d), schema="id long, f double")
