@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .checkpointing import eager_checkpoint
 from .text_analysis import fingerprint_col
 
 MERSENNE61 = (1 << 61) - 1
@@ -394,20 +395,21 @@ def neardup_components(
     decrease, so an unchanged sum IS the fixpoint); at 100 TB the
     edge list is the only shuffled relation and labels shuffle with it on
     the same key. Each iteration's label frame is materialized with
-    ``localCheckpoint(eager=True)`` — iterative plans otherwise nest one
+    ``eager_checkpoint`` — iterative plans otherwise nest one
     join tree per round and blow up the optimizer (measured: analyzer
     heap OOM at ~11 rounds) — the same durability trade cosine_topk
     documents: executor loss mid-computation fails the run rather than
-    recomputing."""
+    recomputing, unless a session checkpoint dir makes it reliable."""
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct()
+    edges = eager_checkpoint(edges)
     labels = (
         edges.select(F.col("a").alias("id")).distinct()
         .withColumn("lab", F.col("id"))
-        .localCheckpoint(eager=True)
     )
+    labels = eager_checkpoint(labels)
     # convergence probe: labels only ever DECREASE, so for NUMERIC ids the
     # fixpoint is reached exactly when sum(lab) stops falling — one scan
     # of the new labels instead of a join against the old ones. For
@@ -448,7 +450,8 @@ def neardup_components(
         stepped = labels.join(prop, "id", "left").select(
             "id", F.least(
                 F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
-            ).alias("lab")).localCheckpoint(eager=True)
+            ).alias("lab"))
+        stepped = eager_checkpoint(stepped)
         # pointer doubling: follow lab -> label(lab) once per round, so
         # chains shrink geometrically and convergence is O(log diameter)
         # rather than O(diameter) edge-hops
@@ -460,8 +463,8 @@ def neardup_components(
             .select("id", F.least(
                 F.col("lab"), F.coalesce(F.col("lab2"), F.col("lab"))
             ).alias("lab"))
-            .localCheckpoint(eager=True)
         )
+        new_labels = eager_checkpoint(new_labels)
         if lab_numeric:
             cur_sum = _label_sum(new_labels)
             converged = cur_sum == prev_sum

@@ -17,6 +17,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .checkpointing import eager_checkpoint
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -216,7 +218,10 @@ def cosine_topk(
     alternative trade (keep broadcasts until session end) pins the packed
     corpus in executor storage; for an exact-scoring operator whose scale
     ceiling is ~16M vectors anyway, bounded-memory-per-call wins. Use
-    ``lsh_topk`` / ``ivf_topk`` where fault-tolerant lineage matters.
+    ``lsh_topk`` / ``ivf_topk`` where fault-tolerant lineage matters —
+    or configure ``spark.sparkContext.setCheckpointDir(...)`` (r7): the
+    candidate stage then checkpoints RELIABLY to that filesystem and
+    survives executor loss (see checkpointing.eager_checkpoint).
     """
     import pandas as pd
 
@@ -268,7 +273,7 @@ def cosine_topk(
     # destroyed immediately — executor storage returns to baseline
     # instead of pinning the packed corpus until session end (VERDICT r4
     # next #7)
-    cand = cand.localCheckpoint(eager=True)
+    cand = eager_checkpoint(cand)
     _destroy_blocks(bcs)
     q = src.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
                    _safe_norm(F.col(vec_col)).alias("qn"))
@@ -565,7 +570,8 @@ def embedding_neardup_pairs(
     localCheckpoint + broadcast destroy bounds executor storage per call
     but makes the truncated lineage non-recoverable after executor loss;
     prefer minhash/simhash or the LSH family where lineage-level fault
-    tolerance matters at scale.
+    tolerance matters at scale, or set a session checkpoint dir to make
+    the materialization reliable (see checkpointing.eager_checkpoint).
     """
     import pandas as pd
 
@@ -602,7 +608,7 @@ def embedding_neardup_pairs(
     cand = vectors.mapInPandas(candidates, schema="id_a long, id_b long")
     # same residency rule as cosine_topk: candidates are bounded (output-
     # sized), so checkpoint them and release the corpus blocks right away
-    cand = cand.localCheckpoint(eager=True)
+    cand = eager_checkpoint(cand)
     _destroy_blocks(bcs)
     a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
                        _safe_norm(F.col(vec_col)).alias("na"))

@@ -415,3 +415,51 @@ def test_pack_drops_null_embeddings(spark):
     got = cosine_topk(vectors, k=1, block_rows=8).collect()
     by_q = {r.vec_id: r.neighbor_id for r in got}
     assert by_q[0] == 2  # alignment preserved after the null row
+
+
+def test_reliable_checkpoint_dir_honored(spark, tmp_path):
+    """With a session checkpoint dir set, cosine_topk / neardup_components
+    materialize via RELIABLE checkpoint() — files land in the dir and the
+    results are unchanged (VERDICT r6 next #8: the documented executor-
+    loss trade of localCheckpoint becomes opt-out on real clusters)."""
+    import os
+
+    from orc_rust_spark.operators.checkpointing import (
+        eager_checkpoint, has_reliable_checkpoint_dir)
+    from orc_rust_spark.operators.dedup import neardup_components
+    from orc_rust_spark.operators.similarity import cosine_topk
+
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+            (3, [0.1, 0.9])]
+    vectors = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+
+    base_top = {(r.vec_id, r.neighbor_id)
+                for r in cosine_topk(vectors, k=1).collect()}
+    base_comp = {(r.id, r.component)
+                 for r in neardup_components(pairs).collect()}
+
+    sc = spark.sparkContext
+    assert not has_reliable_checkpoint_dir(vectors)
+    ckdir = str(tmp_path / "ck")
+    sc.setCheckpointDir(ckdir)
+    try:
+        assert has_reliable_checkpoint_dir(vectors)
+        df = eager_checkpoint(vectors)
+        assert df.count() == 4
+        # reliable checkpoints write RDD files under the configured dir
+        found = [f for root, _, fs in os.walk(ckdir) for f in fs]
+        assert found, "no checkpoint files written to the configured dir"
+        top = {(r.vec_id, r.neighbor_id)
+               for r in cosine_topk(vectors, k=1).collect()}
+        comp = {(r.id, r.component)
+                for r in neardup_components(pairs).collect()}
+        assert top == base_top
+        assert comp == base_comp
+    finally:
+        # session-scoped fixture: later tests expect the local trade back
+        scala_none = getattr(getattr(sc._jvm, "scala.None$"), "MODULE$")
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(scala_none)
+    assert not has_reliable_checkpoint_dir(vectors)
