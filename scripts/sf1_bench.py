@@ -156,12 +156,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     _build_sf1(spark)
 
+    from orc_rust_spark.operators.dedup import neardup_components
+
     out: dict[str, dict] = {"sf1_queries": {}, "sf01_queries": {}}
+    rounds: dict[str, int | None] = {}
     for name in ("roundtrip_lineitem", "minhash_lsh_neardup",
-                 "ann_ivf_multiprobe"):
+                 "minhash_dedup_clusters", "ann_ivf_multiprobe"):
         fn = entry.queries()[name]
         out["sf01_queries"][name] = _timed(fn, spark, SF01)
+        if name == "minhash_dedup_clusters":
+            rounds["sf01"] = neardup_components.last_rounds
         out["sf1_queries"][name] = _timed(fn, spark, SF1_DIR)
+        if name == "minhash_dedup_clusters":
+            # the 100 TB claim is O(log component-diameter) rounds ×
+            # one edge shuffle per round: at 10x rows the rounds count
+            # must stay flat (VERDICT r6 next #4)
+            rounds["sf1"] = neardup_components.last_rounds
+    out["components_rounds"] = rounds
 
     e01, d01 = _webtext_pair(spark, 480_000)
     e1, d1 = _webtext_pair(spark, WEBTEXT_SF1_ROWS)
@@ -176,7 +187,11 @@ def main() -> None:
     }
     out["reps"] = REPS
     out["cpus"] = cpus
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    if "--out" in sys.argv:  # committed-artifact protocol (BENCH_rNN_sf1)
+        with open(sys.argv[sys.argv.index("--out") + 1], "w") as fh:
+            fh.write(line + "\n")
     spark.stop()
 
 
