@@ -219,3 +219,17 @@ def _require_file(info, fs_path: str) -> None:
 
     if info.type == pafs.FileType.NotFound:
         raise FileNotFoundError(fs_path)
+
+
+def latency_filesystem(root: str, latency_s: float):
+    """A pyarrow filesystem over ``root`` whose every input open sleeps
+    ``latency_s`` first — a deterministic local stand-in for object-store
+    round-trip latency (S3 first-byte is commonly 10-100 ms). Picklable,
+    so it rides orc_scan's task closure like any fsio filesystem; used to
+    MEASURE that the in-task stripe readahead actually hides fetch
+    latency (the reference's async-reader overlap claim,
+    src/async_arrow_reader.rs:75-190, as a testable number instead of an
+    architecture note)."""
+    from .latencyfs import make_latency_filesystem
+
+    return make_latency_filesystem(root, latency_s)

@@ -178,3 +178,53 @@ def test_local_paths_still_use_builtin_open(tmp_path):
     fs, paths = of.resolve_scan(str(tmp_path))
     assert fs is None and paths == [p]
     assert isinstance(fsio.open_input(p, None), type(open(p, "rb")))
+
+
+def test_readahead_hides_injected_fetch_latency(spark, tmp_path):
+    """The in-task readahead must actually OVERLAP stripe fetches — the
+    reference's async-reader behavior (src/async_arrow_reader.rs:75-190)
+    as a measured number, not an architecture note. A latency filesystem
+    (fsio.latency_filesystem) sleeps 120 ms per input open; 12 stripes
+    on a local[4] session give each task ~3 sequential opens at depth 1
+    (~360 ms serial latency per task) vs ~1 open-time at depth 4. The
+    wall-clock ratio must show the overlap with a wide safety margin."""
+    import time
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from orc_rust_spark.sources.orc_file import OrcWriter, orc_scan
+
+    n = 24_000
+    tbl = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "name": pa.array([f"r{i % 31}" for i in range(n)]),
+    })
+    path = str(tmp_path / "lat.orc")
+    w = OrcWriter(path, tbl.schema, compression="zstd", stripe_rows=2_000)
+    w.write_table(tbl)
+    w.close()
+
+    lat = 0.12
+    fsio.register_filesystem(
+        "slowfs", fsio.latency_filesystem(str(tmp_path), lat))
+    try:
+        def run(depth):
+            df = orc_scan(spark, "slowfs://lat.orc", "id long, name string",
+                          readahead=depth)
+            t0 = time.time()
+            row = df.agg(F.count(F.lit(1)).alias("n"),
+                         F.sum("id").alias("s")).collect()[0]
+            assert (row["n"], row["s"]) == (n, n * (n - 1) // 2)
+            return time.time() - t0
+
+        run(1)  # warm python workers so JIT/fork cost isn't in either side
+        t1 = min(run(1) for _ in range(2))
+        t4 = min(run(4) for _ in range(2))
+    finally:
+        fsio.unregister_filesystem("slowfs")
+    # 3 serial opens vs overlapped opens per task: expect ~2.5-3x; assert
+    # a conservative 1.4x so scheduler noise can't flake the test, and
+    # that depth-1 actually paid the serial latency floor
+    assert t1 >= 3 * lat, f"depth-1 scan too fast ({t1:.3f}s) — latency not injected?"
+    assert t4 < t1 / 1.4, f"readahead hid no latency: depth1={t1:.3f}s depth4={t4:.3f}s"
