@@ -179,17 +179,22 @@ def _bool_option(options: dict, name: str) -> bool:
 
 
 def _read_stripe_region(part: "_StripePartition",
-                        fs=None) -> tuple[bytes, bytes]:
+                        fs=None,
+                        io_retries: int = 2) -> tuple[bytes, bytes]:
     """One stripe's (body, footer) bytes — the shared executor-side IO of
     the batch and stream readers (code-review r6: the two copies were
     drifting targets for every short-read/missing-file fix). ``fs`` is
     the reader's driver-resolved filesystem (None = local fast path); it
     reaches the executor inside the pickled reader, never by re-resolving
-    a scheme worker-side."""
-    with fsio.open_input(part.path, fs) as fh:
-        fh.seek(part.offset)
-        body = fh.read(part.index_length + part.data_length)
-        footer_raw = fh.read(part.footer_length)
+    a scheme worker-side. Transient fetch errors retry in-task
+    (``.option("io_retries", n)``; fsio.call_with_io_retries)."""
+    def _fetch():
+        with fsio.open_input(part.path, fs) as fh:
+            fh.seek(part.offset)
+            return (fh.read(part.index_length + part.data_length),
+                    fh.read(part.footer_length))
+
+    body, footer_raw = fsio.call_with_io_retries(_fetch, io_retries)
     want_body = part.index_length + part.data_length
     if len(body) != want_body or len(footer_raw) != part.footer_length:
         # a file truncated between planning and read otherwise surfaces
@@ -219,6 +224,8 @@ class OrcRustReader(DataSourceReader):
         # planning and read instead of failing the task (default false,
         # matching Spark — code-review r6)
         self.ignore_missing = _bool_option(options, "ignore_missing_files")
+        # transient-fetch retry depth (r7; see _read_stripe_region)
+        self.io_retries = int(options.get("io_retries", 2))
         # r6: caller-supplied row-range selection (the reference's
         # RowSelection/from_consecutive_ranges API, src/row_selection.rs:
         # 32-260) as a read option: .option("row_ranges", "0-100,5000-5100")
@@ -239,7 +246,8 @@ class OrcRustReader(DataSourceReader):
         # resolves here (planning) and rides the reader pickle to executors.
         self._fs, fs_paths = of.resolve_scan(self.path,
                                              filesystem=_option_fs(options))
-        self.metas = of.read_metadatas(fs_paths, filesystem=self._fs)
+        self.metas = of.read_metadatas(fs_paths, filesystem=self._fs,
+                                       io_retries=self.io_retries)
         # a user-declared scan schema naming a column no file has would
         # silently yield fewer columns than declared and fail executor-side
         # with an opaque arity mismatch — reject it up front instead
@@ -393,7 +401,8 @@ class OrcRustReader(DataSourceReader):
             return
         meta = part.meta  # parsed once on the driver, shipped in the split
         try:
-            body, footer_raw = _read_stripe_region(part, self._fs)
+            body, footer_raw = _read_stripe_region(part, self._fs,
+                                                   self.io_retries)
         except FileNotFoundError:
             if self.ignore_missing:
                 return  # deleted between planning and read: skip
@@ -461,6 +470,7 @@ class OrcRustStreamReader(DataSourceStreamReader):
             self._fspath = fsio.strip_scheme(self.path)
         else:
             self._fs, self._fspath = fsio.resolve(self.path)
+        self.io_retries = int(options.get("io_retries", 2))
         self.max_age = float(options.get("max_file_age_sec", 7 * 24 * 3600))
         if self.max_age <= 0:
             raise ValueError("max_file_age_sec must be > 0")
@@ -565,7 +575,8 @@ class OrcRustStreamReader(DataSourceStreamReader):
     def read(self, part: _StripePartition):
         meta = part.meta  # parsed once on the driver, shipped in the split
         try:
-            body, footer_raw = _read_stripe_region(part, self._fs)
+            body, footer_raw = _read_stripe_region(part, self._fs,
+                                                   self.io_retries)
         except FileNotFoundError:
             if self.ignore_missing:
                 return  # retention deleted it; the offset stays replayable

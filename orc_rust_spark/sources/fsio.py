@@ -221,6 +221,38 @@ def _require_file(info, fs_path: str) -> None:
         raise FileNotFoundError(fs_path)
 
 
+# errors that no retry can fix — the listed file is gone or unreadable by
+# policy, so surface immediately instead of sleeping through the budget
+_PERMANENT_IO = (FileNotFoundError, PermissionError, IsADirectoryError,
+                 NotADirectoryError)
+
+
+def call_with_io_retries(fn, retries: int, backoff_s: float = 0.1):
+    """Run ``fn()`` retrying TRANSIENT IO failures (OSError that is not a
+    permanent not-found/permission class) with exponential backoff —
+    the analog of the retry layer the reference gets from its OpenDAL
+    object-store backends (src/reader/mod.rs ChunkReader impls). At
+    100 TB an S3 throttle (503 SlowDown surfacing as OSError) on one of
+    millions of stripe fetches should cost one short sleep, not a whole
+    Spark task retry that re-decodes every stripe the task already
+    finished. ``retries=0`` is a plain call. Local-disk errors are
+    almost always permanent — at the default depth they add ~0.3 s
+    before the real error surfaces, never a wrong result."""
+    import time as _time
+
+    attempt = 0
+    while True:
+        try:
+            return fn()
+        except _PERMANENT_IO:
+            raise
+        except OSError:
+            if attempt >= retries:
+                raise
+            _time.sleep(backoff_s * (2 ** attempt))
+            attempt += 1
+
+
 def latency_filesystem(root: str, latency_s: float):
     """A pyarrow filesystem over ``root`` whose every input open sleeps
     ``latency_s`` first — a deterministic local stand-in for object-store

@@ -85,3 +85,38 @@ class LatencyFileSystemHandler(pafs.FileSystemHandler):
 
 def make_latency_filesystem(root: str, latency_s: float) -> pafs.PyFileSystem:
     return pafs.PyFileSystem(LatencyFileSystemHandler(root, latency_s))
+
+
+# per-process open counters for the flaky filesystem: the failure budget
+# must survive the handler's pickle round-trip into a Spark python worker
+# (instance state would reset per task and never stop failing)
+_FLAKY_OPENS: dict[tuple[str, str], int] = {}
+
+
+class FlakyFileSystemHandler(LatencyFileSystemHandler):
+    """Fails the first ``fail_opens`` input opens of each path (per process)
+    with a transient-looking OSError — deterministic object-store
+    throttling (S3 503 SlowDown) for testing fsio.call_with_io_retries."""
+
+    def __init__(self, root: str, fail_opens: int):
+        super().__init__(root, 0.0)
+        self.fail_opens = int(fail_opens)
+
+    def _maybe_fail(self, path: str) -> None:
+        key = (self.root, path)
+        n = _FLAKY_OPENS.get(key, 0)
+        _FLAKY_OPENS[key] = n + 1
+        if n < self.fail_opens:
+            raise OSError(f"simulated transient throttle #{n + 1} on {path}")
+
+    def open_input_stream(self, path):
+        self._maybe_fail(path)
+        return self._base().open_input_stream(path)
+
+    def open_input_file(self, path):
+        self._maybe_fail(path)
+        return self._base().open_input_file(path)
+
+
+def make_flaky_filesystem(root: str, fail_opens: int) -> pafs.PyFileSystem:
+    return pafs.PyFileSystem(FlakyFileSystemHandler(root, fail_opens))

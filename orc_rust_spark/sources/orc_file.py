@@ -284,22 +284,26 @@ def task_meta(meta: "OrcMeta") -> "OrcMeta":
 
 
 def read_metadatas(paths: list[str], max_workers: int = 16,
-                   filesystem=None) -> dict[str, "OrcMeta"]:
+                   filesystem=None,
+                   io_retries: int = 2) -> dict[str, "OrcMeta"]:
     """Tail-parse many files' metadata concurrently — the driver-side
     planning pass over a many-file dataset is IO-bound (one seek+read of
     a 16 KiB tail per file), so a thread pool turns an O(files) serial
     scan into O(files / workers). Result order follows ``paths``."""
     from concurrent.futures import ThreadPoolExecutor
 
+    def one(p):
+        return read_metadata(p, filesystem=filesystem,
+                             io_retries=io_retries)
+
     if len(paths) <= 1:
-        return {p: read_metadata(p, filesystem=filesystem) for p in paths}
+        return {p: one(p) for p in paths}
     with ThreadPoolExecutor(max_workers=min(max_workers, len(paths))) as ex:
-        metas = ex.map(lambda p: read_metadata(p, filesystem=filesystem),
-                       paths)
-        return dict(zip(paths, metas))
+        return dict(zip(paths, ex.map(one, paths)))
 
 
-def read_metadata(path: str, filesystem=None) -> OrcMeta:
+def read_metadata(path: str, filesystem=None,
+                  io_retries: int = 2) -> OrcMeta:
     """Parse the file tail (PostScript/Footer/Metadata) into an OrcMeta.
 
     Corruption-hardened (r6 fuzz pass): any low-level failure inside the
@@ -307,9 +311,15 @@ def read_metadata(path: str, filesystem=None) -> OrcMeta:
     tail, a type confusion from a mutated protobuf wire type, a short
     buffer — surfaces as ``ValueError("corrupt or non-ORC file ...")``
     instead of leaking codec/TypeError internals; 300-mutation fuzz in
-    tests/test_orc_interop.py asserts no other exception type escapes."""
+    tests/test_orc_interop.py asserts no other exception type escapes.
+
+    Transient IO errors (object-store throttling as a bare OSError)
+    retry ``io_retries`` times first (fsio.call_with_io_retries) — the
+    cost on a genuinely corrupt compressed payload whose codec raises
+    OSError is a bounded re-read before the same wrapped error."""
     try:
-        return _read_metadata_impl(path, filesystem)
+        return fsio.call_with_io_retries(
+            lambda: _read_metadata_impl(path, filesystem), io_retries)
     except (NotImplementedError, ValueError, FileNotFoundError,
             PermissionError, IsADirectoryError):
         # filesystem errors pass through untouched so callers can still
@@ -2533,7 +2543,8 @@ def prune_stripes(meta: OrcMeta, column: str, lo=None, hi=None,
 def orc_scan(spark, path: str, schema, predicate=None,
              columns: list[str] | None = None,
              row_ranges=None,
-             readahead: int = 1) -> "pyspark.sql.DataFrame":  # noqa: F821
+             readahead: int = 1,
+             io_retries: int = 2) -> "pyspark.sql.DataFrame":  # noqa: F821
     """Distributed ORC scan: one task per stripe (the reference's byte-range
     split model, src/arrow_reader.rs:358-372) — each task seeks to its
     stripe, fetches only that byte range, and decodes with this engine's
@@ -2567,17 +2578,25 @@ def orc_scan(spark, path: str, schema, predicate=None,
     scheduled; inside a stripe only intersecting 10k-row groups are
     seek-decoded (composed with ``predicate`` keeps through the same AND
     algebra), and rows are sliced exactly.
+
+    ``io_retries``: transient IO failures during a stripe fetch (object-
+    store throttling surfacing as OSError) retry in-task with exponential
+    backoff instead of failing the Spark task; permanent not-found/
+    permission errors surface immediately (fsio.call_with_io_retries).
     """
     import pickle as _pickle
 
     if not 1 <= int(readahead) <= 8:
         raise ValueError(f"readahead must be in [1, 8], got {readahead}")
     readahead = int(readahead)
+    if not 0 <= int(io_retries) <= 8:
+        raise ValueError(f"io_retries must be in [0, 8], got {io_retries}")
+    io_retries = int(io_retries)
     # driver, once, thread-pooled; fs resolves HERE and rides the task
     # closure (pyarrow filesystems pickle), so s3://hdfs:// scans need no
     # worker-side scheme state
     fs, paths = resolve_scan(path)
-    metas = read_metadatas(paths, filesystem=fs)
+    metas = read_metadatas(paths, filesystem=fs, io_retries=io_retries)
     for meta in metas.values():
         _validate_projection(meta, columns)
     if row_ranges is not None:
@@ -2629,12 +2648,18 @@ def orc_scan(spark, path: str, schema, predicate=None,
 
         meta_cache: dict[str, OrcMeta] = {}  # unpickle once per file per task
 
-        def fetch(row):
+        def fetch_once(row):
             with fsio.open_input(row["path"], fs) as fh:
                 fh.seek(row["offset"])
                 body = fh.read(row["index_length"] + row["data_length"])
                 footer_raw = fh.read(row["footer_length"])
             return body, footer_raw
+
+        def fetch(row):
+            # transient object-store errors (throttling) retry in-task
+            # instead of failing the whole Spark task (fsio contract)
+            return fsio.call_with_io_retries(
+                lambda: fetch_once(row), io_retries)
 
         rows = (row for b in batches for row in b.to_pylist())
         cur = next(rows, None)

@@ -228,3 +228,62 @@ def test_readahead_hides_injected_fetch_latency(spark, tmp_path):
     # that depth-1 actually paid the serial latency floor
     assert t1 >= 3 * lat, f"depth-1 scan too fast ({t1:.3f}s) — latency not injected?"
     assert t4 < t1 / 1.4, f"readahead hid no latency: depth1={t1:.3f}s depth4={t4:.3f}s"
+
+
+def test_io_retries_recover_transient_open_failures(spark, tmp_path):
+    """Transient fetch errors (object-store throttling as OSError) must
+    retry IN-TASK (fsio.call_with_io_retries — the reference's OpenDAL
+    retry layer) instead of failing the Spark task; permanent not-found
+    errors surface immediately; retries=0 is a plain call."""
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from orc_rust_spark.sources import latencyfs
+    from orc_rust_spark.sources.orc_file import OrcWriter, orc_scan
+
+    n = 8_000
+    tbl = pa.table({"id": pa.array(np.arange(n, dtype=np.int64))})
+    w = OrcWriter(str(tmp_path / "flaky.orc"), tbl.schema,
+                  compression="zstd", stripe_rows=4_000)
+    w.write_table(tbl)
+    w.close()
+
+    fsio.register_filesystem(
+        "flaky", latencyfs.make_flaky_filesystem(str(tmp_path), 2))
+    try:
+        df = orc_scan(spark, "flaky://flaky.orc", "id long", io_retries=3)
+        row = df.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("id").alias("s")).collect()[0]
+        assert (row["n"], row["s"]) == (n, n * (n - 1) // 2)
+    finally:
+        fsio.unregister_filesystem("flaky")
+
+    # helper-level contracts (no Spark): transient recovers, budget
+    # exhaustion re-raises, permanent never retries
+    calls = {"n": 0}
+
+    def flaky_twice():
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise OSError("transient")
+        return "ok"
+
+    assert fsio.call_with_io_retries(flaky_twice, 2, backoff_s=0.001) == "ok"
+    calls["n"] = 0
+    with _pytest.raises(OSError):
+        fsio.call_with_io_retries(flaky_twice, 1, backoff_s=0.001)
+
+    seen = {"n": 0}
+
+    def gone():
+        seen["n"] += 1
+        raise FileNotFoundError("permanent")
+
+    with _pytest.raises(FileNotFoundError):
+        fsio.call_with_io_retries(gone, 5, backoff_s=0.001)
+    assert seen["n"] == 1  # no retry on permanent errors
+
+    with _pytest.raises(ValueError):
+        orc_scan(spark, str(tmp_path / "flaky.orc"), "id long",
+                 io_retries=-1)

@@ -827,9 +827,9 @@ def test_orc_scan_dir_and_driver_side_metadata(spark, tmp_path, monkeypatch):
     calls = []
     real = of.read_metadata
 
-    def counting(path, filesystem=None):
+    def counting(path, filesystem=None, io_retries=2):
         calls.append(path)
-        return real(path, filesystem=filesystem)
+        return real(path, filesystem=filesystem, io_retries=io_retries)
 
     monkeypatch.setattr(of, "read_metadata", counting)
     df = of.orc_scan(spark, str(d), schema="id long, f double")
