@@ -820,6 +820,48 @@ def q_streaming_orcx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_orcx_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ORC SINK (writeStream.format("orcx"), r7): documents
+    stream micro-batch by micro-batch INTO real indexed ORC files through
+    the per-batch-manifest exactly-once commit protocol
+    (datasource.OrcRustStreamWriter), then the batch orcx reader
+    aggregates them back — the write-side complement of
+    streaming_orcx_ingest, closing the read+write x batch+stream matrix
+    the reference only covers for batch (src/writer/stripe.rs)."""
+    import os
+
+    from orc_rust_spark.sources.datasource import OrcRustDataSource
+
+    spark.dataSource.register(OrcRustDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    base = _clean_interop_sink_dirs("stream_sink")
+    out = os.path.join(base, "out")
+    in_dir = os.path.join(base, "in")  # FileStreamSource wants a DIR
+    os.makedirs(in_dir)
+    os.symlink(f"{sf_dir}/documents.parquet",
+               os.path.join(in_dir, "documents.parquet"))
+    q = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long")
+        .parquet(in_dir)
+        .writeStream.format("orcx")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .option("compression", "zstd")
+        .trigger(availableNow=True)
+        .start(out)
+    )
+    q.awaitTermination()
+    df = spark.read.format("orcx").load(out)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("doc_id").alias("sum_id"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 def q_roundtrip_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-RLE roundtrip (E11, reference src/encoding/byte.rs): int8
     columns derived from lineitem encode through the byte-RLE state
@@ -1286,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_extract": q_multimodal_extract,
         "streaming_encode": q_streaming_encode,
         "streaming_orcx_ingest": q_streaming_orcx_ingest,
+        "streaming_orcx_sink": q_streaming_orcx_sink,
         "streaming_stateful_dedup": q_streaming_stateful_dedup,
         "dedup_exact": q_dedup_exact,
         "word_jaccard_pairs": q_word_jaccard_pairs,
@@ -1748,6 +1791,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, "
             "min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok "
             "FROM lineitem GROUP BY l_returnflag",
+        "streaming_orcx_sink":
+            "SELECT lang, "
+            "CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_id, "
+            "CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars, "
+            "min(doc_id) AS min_id, max(doc_id) AS max_id "
+            "FROM documents GROUP BY lang",
         "multimodal_extract":
             "SELECT doc_id AS media_id, "
             "CAST((doc_id*7919)%4080+16 AS INT) AS width, "

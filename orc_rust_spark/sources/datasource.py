@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     GreaterThan,
@@ -747,6 +748,93 @@ class OrcRustWriter(DataSourceArrowWriter):
                 fsio.delete(m.tmp_path, self._fs)
 
 
+class OrcRustStreamWriter(OrcRustWriter, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("orcx")``: the streaming ORC sink —
+    every microbatch's tasks stream their batches into one indexed
+    ``*.orc.inprogress`` file each (the inherited task-side write), and
+    the driver publishes per batch with EXACTLY-ONCE semantics across
+    restarts:
+
+    A microbatch can be re-run with the same ``batchId`` when the engine
+    fails between sink commit and checkpoint write. Task file names are
+    uuids (the batch id is not known executor-side), so replay dedup is
+    driver-side: each commit writes an atomic per-batch manifest
+    (``_orcx_batches/<batchId>.json``, rename-published, never matched
+    by the readers' ``*.orc`` listing) naming the batch's published
+    files. A re-run of the same batch first deletes every file the
+    previous attempt's manifest names, then republishes — at most one
+    attempt's files are ever visible, whatever the crash point:
+
+    - crash before the manifest replace: the old manifest still names
+      the old (now partially deleted) files; the next replay re-deletes
+      the remainder and publishes fresh.
+    - crash mid-publish: the new manifest names all intended files;
+      replay deletes the published subset and republishes.
+
+    Dead task attempts leave orphan ``.inprogress`` files that no commit
+    message names — invisible to readers, reclaimed by any later batch
+    OVERWRITE (complete output mode) like the batch writer's append mode.
+    """
+
+    _BATCH_DIR = "_orcx_batches"
+
+    def _manifest(self, batch_id: int) -> str:
+        return fsio.join(self._fspath, self._BATCH_DIR,
+                         f"{int(batch_id):020d}.json")
+
+    def _read_manifest(self, batch_id: int) -> list[str]:
+        import json
+
+        p = self._manifest(batch_id)
+        if not fsio.exists(p, self._fs):
+            return []
+        with fsio.open_input(p, self._fs) as fh:
+            names = json.loads(bytes(fh.read()).decode("utf-8"))
+        return [fsio.join(self._fspath, n) for n in names]
+
+    def _write_manifest(self, batch_id: int, finals: list[str]) -> None:
+        import json
+        import posixpath
+
+        fsio.makedirs(fsio.join(self._fspath, self._BATCH_DIR), self._fs)
+        p = self._manifest(batch_id)
+        tmp = p + ".inprogress"
+        payload = json.dumps(
+            sorted(posixpath.basename(f) for f in finals)).encode("utf-8")
+        out = fsio.open_output(tmp, self._fs)
+        out.write(payload)
+        out.close()
+        if fsio.exists(p, self._fs):
+            fsio.delete(p, self._fs)  # object-store move won't overwrite
+        fsio.rename(tmp, p, self._fs)
+
+    def commit(self, messages, batchId):  # noqa: N803 (Spark API name)
+        # 1. replay dedup: drop whatever a previous attempt of THIS batch
+        #    published (exactly-once across restarts)
+        for stale in self._read_manifest(batchId):
+            if fsio.exists(stale, self._fs):
+                fsio.delete(stale, self._fs)
+        finals = [m.final_path for m in messages if m and m.tmp_path]
+        # 2. manifest BEFORE publish: whatever the crash point, some
+        #    manifest always names every file that might be visible
+        self._write_manifest(batchId, finals)
+        # 3. publish
+        for m in messages:
+            if m and m.tmp_path:
+                fsio.rename(m.tmp_path, m.final_path, self._fs)
+        if self.overwrite:
+            # complete output mode: this batch replaces the directory
+            keep = set(finals)
+            for p in fsio.list_files(self._fspath, self._fs, suffix=".orc"):
+                if p not in keep:
+                    fsio.delete(p, self._fs)
+
+    def abort(self, messages, batchId):  # noqa: N803
+        for m in messages:
+            if m and m.tmp_path and fsio.exists(m.tmp_path, self._fs):
+                fsio.delete(m.tmp_path, self._fs)
+
+
 class OrcRustDataSource(DataSource):
     """``spark.read.format("orcx")`` / ``df.write.format("orcx")`` over
     this engine's reader and indexed writer."""
@@ -777,3 +865,8 @@ class OrcRustDataSource(DataSource):
     def streamReader(self, schema) -> OrcRustStreamReader:
         names = list(schema.fieldNames()) if hasattr(schema, "fieldNames") else None
         return OrcRustStreamReader(dict(self.options), columns=names)
+
+    def streamWriter(self, schema, overwrite: bool) -> OrcRustStreamWriter:
+        w = OrcRustStreamWriter(dict(self.options), schema, overwrite)
+        w._prepare()  # driver-side mkdir
+        return w

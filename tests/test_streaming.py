@@ -132,3 +132,98 @@ def test_streaming_dedup_null_text_and_normalization(spark, tmp_path):
     got = sorted(r.text for r in spark.read.parquet(out_dir).select("text").collect())
     # nulls filtered (mirroring batch exact_dedup), normalized dups merged
     assert got == ["Alpha  Doc", "beta doc"]
+
+
+def test_orcx_stream_writer_end_to_end(spark, tmp_path):
+    """df.writeStream.format("orcx"): each microbatch publishes real
+    indexed ORC files through the two-phase-commit + per-batch-manifest
+    protocol, and the batch reader sees exactly the streamed rows."""
+    from orc_rust_spark.sources.datasource import OrcRustDataSource
+
+    spark.dataSource.register(OrcRustDataSource)
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "orc_sink")
+    ck = str(tmp_path / "ck")
+    webtext_df(spark, 300, num_partitions=2, seed=5).select(
+        "url", "lang").write.mode("append").parquet(input_dir)
+
+    src = spark.readStream.schema(
+        "url string, lang string").parquet(input_dir)
+    q = (src.writeStream.format("orcx")
+         .option("checkpointLocation", ck)
+         .option("compression", "zstd")
+         .trigger(availableNow=True).start(out_dir))
+    q.awaitTermination(120)
+
+    back = spark.read.format("orcx").load(out_dir)
+    assert back.count() == 300
+    assert back.select("url").distinct().count() == \
+        webtext_df(spark, 300, num_partitions=2, seed=5) \
+        .select("url").distinct().count()
+
+    # a second batch appends (no manifest/batch collision, reader unions)
+    webtext_df(spark, 100, num_partitions=1, seed=6).select(
+        "url", "lang").write.mode("append").parquet(input_dir)
+    q2 = (spark.readStream.schema("url string, lang string")
+          .parquet(input_dir).writeStream.format("orcx")
+          .option("checkpointLocation", ck)
+          .trigger(availableNow=True).start(out_dir))
+    q2.awaitTermination(120)
+    assert spark.read.format("orcx").load(out_dir).count() == 400
+    # manifests are invisible to the .orc listing
+    import glob
+    assert glob.glob(os.path.join(out_dir, "_orcx_batches", "*.json"))
+
+
+def test_orcx_stream_writer_replayed_batch_is_exactly_once(spark, tmp_path):
+    """The failure mode the manifest protocol exists for: a microbatch
+    re-run with the SAME batchId (engine died between sink commit and
+    checkpoint write) must replace the earlier attempt's files, never
+    duplicate them — whatever order the crash interleaved."""
+    import pyarrow as pa
+
+    from orc_rust_spark.sources.datasource import (OrcRustDataSource,
+                                                   OrcRustStreamWriter)
+
+    spark.dataSource.register(OrcRustDataSource)
+
+    out_dir = str(tmp_path / "sink")
+    w = OrcRustStreamWriter({"path": out_dir}, None, overwrite=False)
+    w._prepare()
+
+    def attempt(vals):
+        batch = pa.record_batch({"id": pa.array(vals, type=pa.int64())})
+        return w.write(iter([batch]))
+
+    # attempt 1 of batch 7 commits fully
+    m1 = attempt([1, 2, 3])
+    w.commit([m1], 7)
+    files1 = sorted(os.listdir(out_dir))
+    # replay of batch 7 (same offsets, new task attempt) commits again
+    m2 = attempt([1, 2, 3])
+    w.commit([m2], 7)
+    orc_files = [f for f in os.listdir(out_dir) if f.endswith(".orc")]
+    assert len(orc_files) == 1 and orc_files[0] != files1[0]
+    assert spark.read.format("orcx").load(out_dir).count() == 3
+
+    # a crash mid-commit: replay attempt 3 ran step 1 (deleted the
+    # prior attempt's published files) and step 2 (manifest now names
+    # its own, never-published files), then died before step 3's
+    # publish. Replay 4 must still converge to one visible generation.
+    m3 = attempt([1, 2, 3])
+    for stale in w._read_manifest(7):
+        os.remove(stale)            # step 1 of the crashed attempt
+    w._write_manifest(7, [m3.final_path])  # step 2; step 3 never ran
+    m4 = attempt([1, 2, 3])
+    w.commit([m4], 7)
+    orc_files = [f for f in os.listdir(out_dir) if f.endswith(".orc")]
+    assert len(orc_files) == 1
+    assert spark.read.format("orcx").load(out_dir).count() == 3
+    # the unpublished attempt-3 tmp remains invisible to readers
+    assert all(not f.endswith(".orc")
+               for f in os.listdir(out_dir) if "inprogress" in f)
+
+    # abort removes the aborted attempt's tmp
+    m5 = attempt([9])
+    w.abort([m5], 8)
+    assert not os.path.exists(m5.tmp_path)
