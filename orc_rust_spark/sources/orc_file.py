@@ -283,19 +283,49 @@ def task_meta(meta: "OrcMeta") -> "OrcMeta":
                    [], meta.row_index_stride)
 
 
+#: file count at which orc_scan moves the planning tail-parse from the
+#: driver's thread pool to a Spark job (env-overridable). At 16 driver
+#: threads and ~10 ms per object-store tail round-trip, a million-file
+#: corpus would spend ~10 minutes of wall-clock planning on the driver
+#: alone; distributed, it scales with the cluster.
+DISTRIBUTED_PLAN_THRESHOLD = int(os.environ.get(
+    "ORCX_DISTRIBUTED_PLAN_THRESHOLD", "512"))
+
+
 def read_metadatas(paths: list[str], max_workers: int = 16,
                    filesystem=None,
-                   io_retries: int = 2) -> dict[str, "OrcMeta"]:
-    """Tail-parse many files' metadata concurrently — the driver-side
-    planning pass over a many-file dataset is IO-bound (one seek+read of
-    a 16 KiB tail per file), so a thread pool turns an O(files) serial
-    scan into O(files / workers). Result order follows ``paths``."""
+                   io_retries: int = 2,
+                   spark=None) -> dict[str, "OrcMeta"]:
+    """Tail-parse many files' metadata concurrently — the planning pass
+    over a many-file dataset is IO-bound (one seek+read of a 16 KiB tail
+    per file), so a thread pool turns an O(files) serial scan into
+    O(files / workers). Result order follows ``paths``.
+
+    With ``spark`` given and >= DISTRIBUTED_PLAN_THRESHOLD files, the
+    parse runs as a Spark job instead — one task per ~64 files, each
+    returning its (path, OrcMeta) pairs — so planning latency scales
+    with the cluster, not the driver's thread pool (the driver still
+    holds the collected metas either way: they are task-slim and the
+    split construction needs them all). The orcx DataSource cannot take
+    this path (Spark plans Python datasources in a worker process with
+    no SparkSession); orc_scan does."""
     from concurrent.futures import ThreadPoolExecutor
 
     def one(p):
         return read_metadata(p, filesystem=filesystem,
                              io_retries=io_retries)
 
+    if spark is not None and len(paths) >= max(DISTRIBUTED_PLAN_THRESHOLD, 2):
+        fs, ret = filesystem, io_retries  # closure-captured, picklable
+
+        def parse(p):
+            return p, read_metadata(p, filesystem=fs, io_retries=ret)
+
+        n_tasks = max(1, min(len(paths) // 64 + 1,
+                             spark.sparkContext.defaultParallelism * 4))
+        got = dict(spark.sparkContext.parallelize(paths, n_tasks)
+                   .map(parse).collect())
+        return {p: got[p] for p in paths}
     if len(paths) <= 1:
         return {p: one(p) for p in paths}
     with ThreadPoolExecutor(max_workers=min(max_workers, len(paths))) as ex:
@@ -2596,7 +2626,8 @@ def orc_scan(spark, path: str, schema, predicate=None,
     # closure (pyarrow filesystems pickle), so s3://hdfs:// scans need no
     # worker-side scheme state
     fs, paths = resolve_scan(path)
-    metas = read_metadatas(paths, filesystem=fs, io_retries=io_retries)
+    metas = read_metadatas(paths, filesystem=fs, io_retries=io_retries,
+                           spark=spark)
     for meta in metas.values():
         _validate_projection(meta, columns)
     if row_ranges is not None:

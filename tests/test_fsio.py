@@ -287,3 +287,41 @@ def test_io_retries_recover_transient_open_failures(spark, tmp_path):
     with _pytest.raises(ValueError):
         orc_scan(spark, str(tmp_path / "flaky.orc"), "id long",
                  io_retries=-1)
+
+
+def test_distributed_planning_matches_driver_side(spark, tmp_path, monkeypatch):
+    """Past DISTRIBUTED_PLAN_THRESHOLD files, orc_scan's planning tail
+    parse runs as a Spark job (one task per file batch) — the metas and
+    the scan results must be identical to the driver-threadpool path,
+    including through a registered non-local filesystem."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    n_files, rows_per = 6, 500
+    for i in range(n_files):
+        tbl = pa.table({"id": pa.array(
+            np.arange(i * rows_per, (i + 1) * rows_per, dtype=np.int64))})
+        of.write_orc(tbl, str(tmp_path / f"f{i}.orc"), compression="zstd")
+
+    paths = [str(tmp_path / f"f{i}.orc") for i in range(n_files)]
+    serial = of.read_metadatas(paths)
+    monkeypatch.setattr(of, "DISTRIBUTED_PLAN_THRESHOLD", 4)
+    dist = of.read_metadatas(paths, spark=spark)
+    assert list(dist) == list(serial)
+    for p in paths:
+        assert dist[p].number_of_rows == serial[p].number_of_rows
+        assert len(dist[p].stripes) == len(serial[p].stripes)
+        assert dist[p].compression == serial[p].compression
+
+    # end-to-end through the distributed-planning path + a subfs URI
+    import pyarrow.fs as pafs
+    fsio.register_filesystem(
+        "planfs", pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem()))
+    try:
+        df = of.orc_scan(spark, "planfs://", "id long")
+        row = df.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("id").alias("s")).collect()[0]
+        total = n_files * rows_per
+        assert (row["n"], row["s"]) == (total, total * (total - 1) // 2)
+    finally:
+        fsio.unregister_filesystem("planfs")
