@@ -777,6 +777,7 @@ class OrcRustStreamWriter(OrcRustWriter, DataSourceStreamArrowWriter):
     """
 
     _BATCH_DIR = "_orcx_batches"
+    _MANIFEST_KEEP = 16  # >> the 1-2 batches Spark can ever replay
 
     def _manifest(self, batch_id: int) -> str:
         return fsio.join(self._fspath, self._BATCH_DIR,
@@ -828,6 +829,24 @@ class OrcRustStreamWriter(OrcRustWriter, DataSourceStreamArrowWriter):
             for p in fsio.list_files(self._fspath, self._fs, suffix=".orc"):
                 if p not in keep:
                     fsio.delete(p, self._fs)
+        # 4. manifest retention: only a batch the checkpoint has not yet
+        # recorded can ever replay — that is the most recent one or two —
+        # so manifests more than _MANIFEST_KEEP batches old are dead
+        # weight a long-running stream would otherwise accumulate forever
+        # (one tiny file per microbatch). Sorted zero-padded names make
+        # "older" a string compare.
+        cutoff = int(batchId) - self._MANIFEST_KEEP
+        if cutoff > 0:
+            bdir = fsio.join(self._fspath, self._BATCH_DIR)
+            for p in fsio.list_files(bdir, self._fs, suffix=".json"):
+                import posixpath
+
+                stem = posixpath.basename(p).rsplit(".", 1)[0]
+                if stem.isdigit() and int(stem) < cutoff:
+                    try:
+                        fsio.delete(p, self._fs)
+                    except OSError:
+                        pass  # concurrent cleanup / transient: next batch
 
     def abort(self, messages, batchId):  # noqa: N803
         for m in messages:

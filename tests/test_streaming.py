@@ -227,3 +227,30 @@ def test_orcx_stream_writer_replayed_batch_is_exactly_once(spark, tmp_path):
     m5 = attempt([9])
     w.abort([m5], 8)
     assert not os.path.exists(m5.tmp_path)
+
+
+def test_orcx_stream_writer_manifest_retention(tmp_path):
+    """A long-running stream must not accumulate one manifest per
+    microbatch forever: commits prune manifests more than _MANIFEST_KEEP
+    batches old (only the newest 1-2 batches can ever replay)."""
+    import pyarrow as pa
+
+    from orc_rust_spark.sources.datasource import OrcRustStreamWriter
+
+    out_dir = str(tmp_path / "sink")
+    w = OrcRustStreamWriter({"path": out_dir}, None, overwrite=False)
+    w._prepare()
+    keep = OrcRustStreamWriter._MANIFEST_KEEP
+    for b in range(keep + 5):
+        batch = pa.record_batch({"id": pa.array([b], type=pa.int64())})
+        m = w.write(iter([batch]))
+        w.commit([m], b)
+    mdir = os.path.join(out_dir, "_orcx_batches")
+    stems = sorted(int(f.split(".")[0]) for f in os.listdir(mdir)
+                   if f.endswith(".json"))
+    assert stems[0] == 4  # batches 0-3 pruned (cutoff = last - keep)
+    assert stems[-1] == keep + 4
+    assert len(stems) <= keep + 1
+    # data files are untouched by retention
+    orc = [f for f in os.listdir(out_dir) if f.endswith(".orc")]
+    assert len(orc) == keep + 5
