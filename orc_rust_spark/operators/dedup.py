@@ -27,25 +27,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .checkpointing import eager_checkpoint
+from .checkpointing import eager_checkpoint, release_checkpoint
 from .text_analysis import fingerprint_col
 
 MERSENNE61 = (1 << 61) - 1
-
-
-def _release_local_checkpoint(df: DataFrame) -> None:
-    """Best-effort release of a ``localCheckpoint(eager=True)`` frame's
-    storage blocks. ``Dataset.unpersist`` is a no-op here — checkpoint
-    RDDs are cached directly, never registered with the CacheManager —
-    so this reaches the materialized RDD through the analyzed
-    ``LogicalRDD`` (verified on pyspark 4.1.2: storage info drops to
-    zero). Falls back silently to ContextCleaner reclamation if the
-    internal shape ever changes. Only call on frames no LIVE DataFrame
-    still depends on lazily (the blocks are the truncated lineage)."""
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
 
 
 def _tokens(text: Column) -> Column:
@@ -480,8 +465,8 @@ def neardup_components(
         # blocks (old labels + this round's intermediate) can be freed
         # now rather than at ContextCleaner GC time — up to max_iters
         # O(nodes) frames would otherwise linger
-        _release_local_checkpoint(stepped)
-        _release_local_checkpoint(labels)
+        release_checkpoint(stepped)
+        release_checkpoint(labels)
         labels = new_labels
         if converged:
             neardup_components.last_rounds = rounds
@@ -491,7 +476,7 @@ def neardup_components(
             f"neardup_components did not converge in {max_iters} iterations "
             "(component diameter exceeds the ceiling; raise max_iters)")
     # the returned frame depends only on the final labels checkpoint
-    _release_local_checkpoint(edges)
+    release_checkpoint(edges)
     return labels.select("id", F.col("lab").alias("component"))
 
 

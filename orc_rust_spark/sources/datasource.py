@@ -173,6 +173,17 @@ def _normalize_table(tbl) -> "pa.Table":  # noqa: F821
     return pa.Table.from_arrays(cols, tbl.column_names)
 
 
+def _io_retries_option(options: dict) -> int:
+    """Shared [0, 8] range guard for the io_retries option (mirrors
+    orc_scan's check — an out-of-range value would otherwise be silently
+    accepted: -1 means never-retry, 100 means 2^100-scaled backoff;
+    code-review r7)."""
+    v = int(options.get("io_retries", 2))
+    if not 0 <= v <= 8:
+        raise ValueError(f"io_retries must be in [0, 8], got {v}")
+    return v
+
+
 def _bool_option(options: dict, name: str) -> bool:
     """Shared truthy-option parse for the batch and stream readers (the
     two copies were a drift target — code-review r6)."""
@@ -226,7 +237,7 @@ class OrcRustReader(DataSourceReader):
         # matching Spark — code-review r6)
         self.ignore_missing = _bool_option(options, "ignore_missing_files")
         # transient-fetch retry depth (r7; see _read_stripe_region)
-        self.io_retries = int(options.get("io_retries", 2))
+        self.io_retries = _io_retries_option(options)
         # r6: caller-supplied row-range selection (the reference's
         # RowSelection/from_consecutive_ranges API, src/row_selection.rs:
         # 32-260) as a read option: .option("row_ranges", "0-100,5000-5100")
@@ -471,7 +482,7 @@ class OrcRustStreamReader(DataSourceStreamReader):
             self._fspath = fsio.strip_scheme(self.path)
         else:
             self._fs, self._fspath = fsio.resolve(self.path)
-        self.io_retries = int(options.get("io_retries", 2))
+        self.io_retries = _io_retries_option(options)
         self.max_age = float(options.get("max_file_age_sec", 7 * 24 * 3600))
         if self.max_age <= 0:
             raise ValueError("max_file_age_sec must be > 0")
@@ -837,11 +848,18 @@ class OrcRustStreamWriter(OrcRustWriter, DataSourceStreamArrowWriter):
         # "older" a string compare.
         cutoff = int(batchId) - self._MANIFEST_KEEP
         if cutoff > 0:
-            bdir = fsio.join(self._fspath, self._BATCH_DIR)
-            for p in fsio.list_files(bdir, self._fs, suffix=".json"):
-                import posixpath
+            import posixpath
 
-                stem = posixpath.basename(p).rsplit(".", 1)[0]
+            bdir = fsio.join(self._fspath, self._BATCH_DIR)
+            # prune published manifests AND orphaned .json.inprogress
+            # tmps a crash inside _write_manifest left behind
+            # (code-review r7) — the stem before the first '.' is the
+            # batch id either way
+            stale = (fsio.list_files(bdir, self._fs, suffix=".json")
+                     + fsio.list_files(bdir, self._fs,
+                                       suffix=".json.inprogress"))
+            for p in stale:
+                stem = posixpath.basename(p).split(".", 1)[0]
                 if stem.isdigit() and int(stem) < cutoff:
                     try:
                         fsio.delete(p, self._fs)

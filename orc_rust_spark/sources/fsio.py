@@ -135,13 +135,22 @@ def file_size(fs_path: str, fs=None) -> int:
 
 def file_mtime(fs_path: str, fs=None) -> float:
     """Modification time as a float epoch (the streaming watermark unit).
-    Raises FileNotFoundError like os.stat when the file is gone."""
+    Raises FileNotFoundError like os.stat when the file is gone, and
+    NotImplementedError for filesystems that don't report mtimes
+    (permitted by the FileInfo contract) — silently mapping those to 0.0
+    would disable the stream reader's age watermark and grow its offsets
+    without bound (code-review r7)."""
     if fs is None:
         return os.stat(fs_path).st_mtime
     info = fs.get_file_info(fs_path)
     _require_file(info, fs_path)
     mt = info.mtime
-    return mt.timestamp() if mt is not None else 0.0
+    if mt is None:
+        raise NotImplementedError(
+            f"{type(fs).__name__} reports no mtime for {fs_path!r}; the "
+            "streaming source's age watermark needs one — use a "
+            "filesystem that populates FileInfo.mtime")
+    return mt.timestamp()
 
 
 def exists(fs_path: str, fs=None) -> bool:

@@ -2698,9 +2698,13 @@ def orc_scan(spark, path: str, schema, predicate=None,
             return
         with _cf.ThreadPoolExecutor(max_workers=readahead) as pool:
             # queue of (row, future) keeps fetches completion-ordered:
-            # popleft always belongs to the oldest outstanding stripe
+            # popleft always belongs to the oldest outstanding stripe.
+            # INVARIANT (code-review r7): at most ``readahead`` fetches
+            # are in flight while one stripe decodes — prefilling past
+            # that held readahead+1 bodies resident, one more than the
+            # documented bound and one more than the pre-r7 depth-1 code.
             pending = _collections.deque([(cur, pool.submit(fetch, cur))])
-            while len(pending) < readahead + 1:
+            while len(pending) < readahead:
                 nxt = next(rows, None)
                 if nxt is None:
                     break

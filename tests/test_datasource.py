@@ -889,3 +889,21 @@ def test_bloom_columns_option_spelling(orcx, tmp_path):
     with _pytest.raises(Exception):
         df.write.format("orcx").option("bloom_columns", "id, nope").mode(
             "overwrite").save(str(tmp_path / "bloomd2"))
+
+
+def test_orcx_io_retries_option_range_guard(tmp_path):
+    """Out-of-range io_retries must be rejected at planning, matching
+    orc_scan's guard (code-review r7: -1 silently meant never-retry)."""
+    import pytest as _pytest
+
+    from orc_rust_spark.sources import orc_file as of
+    from orc_rust_spark.sources.datasource import (OrcRustReader,
+                                                   OrcRustStreamReader)
+
+    p = str(tmp_path / "x.orc")
+    of.write_orc(__import__("pyarrow").table({"id": [1, 2, 3]}), p)
+    with _pytest.raises(ValueError, match="io_retries"):
+        OrcRustReader({"path": p, "io_retries": "-1"})
+    with _pytest.raises(ValueError, match="io_retries"):
+        OrcRustStreamReader({"path": str(tmp_path), "io_retries": "100"})
+    assert OrcRustReader({"path": p, "io_retries": "3"}).io_retries == 3

@@ -219,15 +219,18 @@ def test_readahead_hides_injected_fetch_latency(spark, tmp_path):
             return time.time() - t0
 
         run(1)  # warm python workers so JIT/fork cost isn't in either side
-        t1 = min(run(1) for _ in range(2))
-        t4 = min(run(4) for _ in range(2))
+        t1 = min(run(1) for _ in range(3))
+        t4 = min(run(4) for _ in range(3))
     finally:
         fsio.unregister_filesystem("slowfs")
-    # 3 serial opens vs overlapped opens per task: expect ~2.5-3x; assert
-    # a conservative 1.4x so scheduler noise can't flake the test, and
-    # that depth-1 actually paid the serial latency floor
+    # 3 serial opens vs overlapped opens per task: expect ~2.5-3x.
+    # Min-of-3 with a 1.25x gate keeps this robust on the documented
+    # ~3x-variance box (code-review r7): the sleeps dominate both sides
+    # (>=360 ms vs ~120 ms of injected latency per task), so scheduler
+    # noise would have to add >200 ms to the FASTEST of three depth-4
+    # runs while sparing depth-1 to flake it
     assert t1 >= 3 * lat, f"depth-1 scan too fast ({t1:.3f}s) — latency not injected?"
-    assert t4 < t1 / 1.4, f"readahead hid no latency: depth1={t1:.3f}s depth4={t4:.3f}s"
+    assert t4 < t1 / 1.25, f"readahead hid no latency: depth1={t1:.3f}s depth4={t4:.3f}s"
 
 
 def test_io_retries_recover_transient_open_failures(spark, tmp_path):

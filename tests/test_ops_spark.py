@@ -297,13 +297,13 @@ def test_release_local_checkpoint_frees_blocks(spark):
     cached directly, never via the CacheManager); the helper reaches the
     materialized LogicalRDD and actually frees them — otherwise every
     connected-components round leaks an O(nodes) frame until driver GC."""
-    from orc_rust_spark.operators.dedup import _release_local_checkpoint
+    from orc_rust_spark.operators.checkpointing import release_checkpoint
 
     sc = spark.sparkContext
     before = len(sc._jsc.sc().getRDDStorageInfo())
     df = spark.range(10000).localCheckpoint(eager=True)
     assert len(sc._jsc.sc().getRDDStorageInfo()) == before + 1
-    _release_local_checkpoint(df)
+    release_checkpoint(df)
     assert len(sc._jsc.sc().getRDDStorageInfo()) == before
 
 
@@ -452,6 +452,13 @@ def test_reliable_checkpoint_dir_honored(spark, tmp_path):
         # reliable checkpoints write RDD files under the configured dir
         found = [f for root, _, fs in os.walk(ckdir) for f in fs]
         assert found, "no checkpoint files written to the configured dir"
+        # releasing a superseded frame deletes its rdd-checkpoint dir —
+        # long label-propagation runs must not leak one frame per round
+        # to the checkpoint filesystem (code-review r7)
+        from orc_rust_spark.operators.checkpointing import release_checkpoint
+        release_checkpoint(df)
+        import glob as _glob
+        assert _glob.glob(os.path.join(ckdir, "*", "rdd-*")) == []
         top = {(r.vec_id, r.neighbor_id)
                for r in cosine_topk(vectors, k=1).collect()}
         comp = {(r.id, r.component)
