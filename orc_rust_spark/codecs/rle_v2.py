@@ -409,9 +409,14 @@ def _read_delta(buf, pos: int, signed: bool) -> tuple[np.ndarray, int]:
     base = ((base_u >> 1) ^ -(base_u & 1)) if signed else base_u
     if base >= 1 << 63:
         base -= 1 << 64
+    # the delta-base varint is ALWAYS present, even for a declared run
+    # length of 1 (old Hive ORIGINAL writers emit such runs — decimal.orc
+    # scale stream): skipping it desynchronized the stream and every
+    # following run parsed as garbage (reference read_delta_values reads
+    # it unconditionally, src/encoding/integer/rle_v2/delta.rs:73-92)
+    delta_base, pos = read_signed_varint(buf, pos)
     if n == 1:
         return np.array([base], dtype=np.int64), pos
-    delta_base, pos = read_signed_varint(buf, pos)
     if width == 0:  # fixed delta
         vals = base + delta_base * np.arange(n, dtype=np.int64)
         return vals, pos

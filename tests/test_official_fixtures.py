@@ -1,0 +1,69 @@
+"""Differential decode of the OFFICIAL Apache ORC example corpus.
+
+The reference's integration suite (tests/integration/main.rs) decodes
+these same files and compares against feather snapshots; our oracle is
+pyarrow's liborc on the same bytes: every fixture BOTH readers can
+decode must match bit-identically after casting to liborc's schema.
+
+This sweep found and pinned three real bugs in r7:
+- writer-tz conversion used pytz's 32-bit tables (LMT before 1901-12-13,
+  no DST after 2038-01-19) — testDate1900 was 7m02s off, testDate2038 an
+  hour off; fixed with stdlib zoneinfo (64-bit TZif, matches chrono-tz).
+- RLEv2 delta runs of declared length 1 (old Hive ORIGINAL writers)
+  still carry the delta-base varint; skipping it desynchronized the
+  stream (decimal.orc's scale stream decoded garbage).
+- pre-Hive-0.13 "unlimited" decimals omit precision/scale from the type;
+  liborc defaults them to (38, 6) — presenting at declared scale 0
+  truncated 1.2 to 1 (orc_split_elim.orc, orc-file-11-format.orc).
+"""
+
+import glob
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DATA = "/root/reference/tests/integration/data"
+
+# fixtures liborc itself cannot read in this container (no oracle), or
+# that use features that are out of contracted scope — each with why
+SKIP = {
+    # pyarrow/liborc raise on these (no oracle available):
+    "TestOrcFile.testTimestamp.orc": "liborc ArrowNotImplementedError",
+    "TestOrcFile.testWithoutCompressionBlockSize.orc":
+        "liborc ArrowNotImplementedError",
+    "zero.orc": "liborc OSError (not a valid ORC file?)",
+    # ORCv2 preview format (UNSTABLE-PRE-2.0) — outside the v1 spec this
+    # engine implements and absent from the reference's suite too:
+    "decimal64_v2.orc": "ORCv2 preview decimal64 encoding",
+    "decimal64_v2_cplusplus.orc": "ORCv2 preview decimal64 encoding",
+    # sub-microsecond timestamps: the engine's documented guard refuses
+    # silent precision loss on Spark's us grid (the reference decodes to
+    # arrow ns, which Spark cannot represent) — union coverage of this
+    # file lives in test_union_write.py:
+    "TestOrcFile.testUnionAndTimestamp.orc": "sub-us timestamp guard",
+    # year-1 timestamps overflow the ns range the writer-tz path needs:
+    "timestamps_0001.orc": "pre-1677 instants outside ns-space",
+}
+
+
+def _fixtures():
+    return sorted(
+        os.path.basename(p) for p in glob.glob(f"{DATA}/*.orc"))
+
+
+@pytest.mark.parametrize("name", _fixtures())
+def test_matches_liborc(name):
+    import pyarrow.orc as paorc
+
+    from orc_rust_spark.sources.orc_file import orc_to_table
+
+    if name in SKIP:
+        pytest.skip(SKIP[name])
+    path = f"{DATA}/{name}"
+    ref = paorc.ORCFile(path).read()
+    ours = orc_to_table(path)
+    assert ours.num_rows == ref.num_rows
+    assert ours.cast(ref.schema).equals(ref), f"value mismatch in {name}"
