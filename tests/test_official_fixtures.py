@@ -44,8 +44,11 @@ SKIP = {
     # arrow ns, which Spark cannot represent) — union coverage of this
     # file lives in test_union_write.py:
     "TestOrcFile.testUnionAndTimestamp.orc": "sub-us timestamp guard",
-    # year-1 timestamps overflow the ns range the writer-tz path needs:
-    "timestamps_0001.orc": "pre-1677 instants outside ns-space",
+    # year-1 timestamp: OUR us decode is exact (-62135769600000000 us =
+    # 0001-01-01T00:00:00) while liborc's ns representation silently
+    # WRAPS int64 (-6795537378871345152 ns) — the oracle is wrong here,
+    # so there is nothing to compare against:
+    "timestamps_0001.orc": "liborc ns value wraps int64; ours exact in us",
 }
 
 
