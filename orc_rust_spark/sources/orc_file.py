@@ -716,7 +716,35 @@ def decode_stripe(buf: bytes, footer_raw: bytes, meta: OrcMeta, n_rows: int,
 
     The stripe footer lists ALL streams in file order — index-region
     streams (ROW_INDEX/BLOOM) first, then data streams — so offsets are
-    walked across the whole region (src/stripe.rs:154-182 analog)."""
+    walked across the whole region (src/stripe.rs:154-182 analog).
+
+    Corruption-hardened like read_metadata (r7, driven by the official
+    corrupt/ fixtures): low-level failures from truncated/contradictory
+    streams (an Arrow offsets error from a missing dictionary blob, an
+    IndexError from out-of-range column encodings) surface as
+    ``ValueError("corrupt ORC stripe ...")`` instead of leaking internal
+    exception types; genuine ValueErrors/NotImplementedErrors (count
+    mismatches, unsupported kinds) pass through untouched."""
+    try:
+        return _decode_stripe_impl(buf, footer_raw, meta, n_rows, columns)
+    except NotImplementedError:
+        raise
+    except ValueError as ex:
+        # pyarrow's ArrowInvalid SUBCLASSES ValueError — an Arrow
+        # validation error from contradictory streams is corruption, not
+        # one of this engine's own diagnostics
+        if type(ex).__module__.startswith("pyarrow"):
+            raise ValueError(
+                f"corrupt ORC stripe: {type(ex).__name__}: {ex}") from ex
+        raise
+    except Exception as ex:
+        raise ValueError(
+            f"corrupt ORC stripe: {type(ex).__name__}: {ex}") from ex
+
+
+def _decode_stripe_impl(buf: bytes, footer_raw: bytes, meta: OrcMeta,
+                        n_rows: int,
+                        columns: list[str] | None = None) -> pa.Table:
     stream_list, encodings, tz = _read_stripe_footer(footer_raw, meta.compression)
     streams: dict[tuple[int, int], bytes] = {}
     pos = 0

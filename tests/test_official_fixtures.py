@@ -70,3 +70,20 @@ def test_matches_liborc(name):
     ours = orc_to_table(path)
     assert ours.num_rows == ref.num_rows
     assert ours.cast(ref.schema).equals(ref), f"value mismatch in {name}"
+
+
+CORRUPT = sorted(
+    os.path.basename(p) for p in glob.glob(f"{DATA}/corrupt/*.orc"))
+
+
+@pytest.mark.parametrize("name", CORRUPT)
+def test_corrupt_fixture_raises_cleanly(name):
+    """The official corrupt/ fixtures (missing dictionary streams,
+    negative lengths, out-of-range encodings) must surface as the
+    engine's corrupt-file ValueError contract — never an internal
+    IndexError or a leaked pyarrow validation error (r7; same contract
+    the tail-parser fuzz pins for metadata)."""
+    from orc_rust_spark.sources.orc_file import orc_to_table
+
+    with pytest.raises(ValueError, match="corrupt"):
+        orc_to_table(f"{DATA}/corrupt/{name}")
