@@ -526,11 +526,16 @@ def _writer_epoch_delta_ns(tz: str) -> int:
     return local - ORC_EPOCH_UTC_SECONDS * 1_000_000_000
 
 
-def _ts_us(secs: np.ndarray, nanos_enc: np.ndarray, tz: str, kind: int) -> np.ndarray:
-    """(seconds, encoded nanos) -> int64 microseconds.
+def _ts_us(secs: np.ndarray, nanos_enc: np.ndarray, tz: str, kind: int,
+           unit: str = "us") -> np.ndarray:
+    """(seconds, encoded nanos) -> int64 in ``unit`` ("us" or "ns").
 
-    - sub-microsecond precision raises (the reference errors on precision
-      loss: decode_timestamp's ensure! nanoseconds % unit == 0)
+    - unit="us" (the Spark grid): sub-microsecond precision raises (the
+      reference errors on precision loss the same way: decode_timestamp's
+      ensure! nanoseconds % unit == 0). unit="ns" is the reference's
+      DEFAULT Arrow unit (schema.rs:35) for local liborc-parity reads —
+      full nanosecond fidelity, range limited to 1677-2262 like any ns
+      int64.
     - K_TIMESTAMP mirrors the reference's writer-timezone semantics
       (src/array_decoder/timestamp.rs:80-141,236-285): the stored seconds
       are relative to the ORC epoch IN THE WRITER's timezone, and the
@@ -543,15 +548,19 @@ def _ts_us(secs: np.ndarray, nanos_enc: np.ndarray, tz: str, kind: int) -> np.nd
         import pandas as pd
 
         ns = combine_timestamp_ns(secs, nanos_enc)
-        if ns.size and int(np.count_nonzero(ns % 1000)):
+        if unit == "us" and ns.size and int(np.count_nonzero(ns % 1000)):
             raise ValueError(
                 "ORC timestamp has sub-microsecond precision; decoding to "
-                "Spark's us-precision timestamps would silently alter values"
+                "Spark's us-precision timestamps would silently alter "
+                "values (pass timestamp_unit='ns' for local full-fidelity "
+                "reads)"
             )
         inst = ns + _writer_epoch_delta_ns(tz)
         idx = pd.DatetimeIndex(inst.astype("datetime64[ns]"))
         wall = idx.tz_localize("UTC").tz_convert(_tzinfo(tz)).tz_localize(None)
-        return wall.asi8 // 1000
+        return wall.asi8 if unit == "ns" else wall.asi8 // 1000
+    if unit == "ns":
+        return combine_timestamp_ns(secs, nanos_enc)
     # UTC path combines in us-space: the ns combine wrapped int64 past
     # ~year 2262 while ORC (and Spark's us grid) represent such
     # timestamps fine (code-review r6); sub-us precision raises inside
@@ -563,7 +572,8 @@ from ..codecs.util import int32_offsets as _int32_offsets  # shared helper
 
 def _decode_column(col_id: int, t: OrcType, streams: dict, encodings, n: int,
                    comp: str, name: str, tz: str = "UTC",
-                   types: list[OrcType] | None = None) -> pa.Array:
+                   types: list[OrcType] | None = None,
+                   unit: str = "us") -> pa.Array:
     _trace_decode(name)
 
     def get(kind):
@@ -589,7 +599,7 @@ def _decode_column(col_id: int, t: OrcType, streams: dict, encodings, n: int,
     if k == K_STRUCT:
         children = [
             _decode_column(cid, types[cid], streams, encodings, n_dense, comp,
-                           f"{name}.{fname}", tz, types)
+                           f"{name}.{fname}", tz, types, unit)
             for cid, fname in zip(t.subtypes, t.field_names)
         ]
         dense = pa.StructArray.from_arrays(children, t.field_names)
@@ -598,7 +608,8 @@ def _decode_column(col_id: int, t: OrcType, streams: dict, encodings, n: int,
         lengths = rle(get(S_LENGTH), n_dense, signed=False)
         cid = t.subtypes[0]
         child = _decode_column(cid, types[cid], streams, encodings,
-                               int(lengths.sum()), comp, f"{name}.item", tz, types)
+                               int(lengths.sum()), comp, f"{name}.item", tz,
+                               types, unit)
         dense = pa.ListArray.from_arrays(_int32_offsets(lengths), child)
         return _respace(dense, not_null)
     if k == K_MAP:
@@ -606,9 +617,9 @@ def _decode_column(col_id: int, t: OrcType, streams: dict, encodings, n: int,
         n_child = int(lengths.sum())
         kid, vid = t.subtypes[0], t.subtypes[1]
         keys = _decode_column(kid, types[kid], streams, encodings, n_child,
-                              comp, f"{name}.key", tz, types)
+                              comp, f"{name}.key", tz, types, unit)
         items = _decode_column(vid, types[vid], streams, encodings, n_child,
-                               comp, f"{name}.value", tz, types)
+                               comp, f"{name}.value", tz, types, unit)
         dense = pa.MapArray.from_arrays(_int32_offsets(lengths), keys, items)
         return _respace(dense, not_null)
     if k == K_UNION:
@@ -624,7 +635,8 @@ def _decode_column(col_id: int, t: OrcType, streams: dict, encodings, n: int,
             sel = tags == i
             n_child = int(sel.sum())
             child = _decode_column(cid, types[cid], streams, encodings,
-                                   n_child, comp, f"{name}.{i}", tz, types)
+                                   n_child, comp, f"{name}.{i}", tz, types,
+                                   unit)
             idx = np.zeros(n_dense, dtype=np.int64)
             idx[sel] = np.arange(n_child)
             fields.append(child.take(pa.array(idx, type=pa.int64(), mask=~sel)))
@@ -655,8 +667,8 @@ def _decode_column(col_id: int, t: OrcType, streams: dict, encodings, n: int,
     if k in (K_TIMESTAMP, K_TIMESTAMP_INSTANT):
         secs = rle(data, n_dense, signed=True)
         nanos = rle(get(S_SECONDARY), n_dense, signed=False)
-        us = _ts_us(secs, nanos, tz, k)
-        dense = pa.array(us, type=pa.int64()).cast(pa.timestamp("us"))
+        vals = _ts_us(secs, nanos, tz, k, unit)
+        dense = pa.array(vals, type=pa.int64()).cast(pa.timestamp(unit))
         return _respace(dense, not_null)
     if k == K_DECIMAL:
         try:
@@ -711,7 +723,8 @@ def _decode_column(col_id: int, t: OrcType, streams: dict, encodings, n: int,
 
 
 def decode_stripe(buf: bytes, footer_raw: bytes, meta: OrcMeta, n_rows: int,
-                  columns: list[str] | None = None) -> pa.Table:
+                  columns: list[str] | None = None,
+                  timestamp_unit: str = "us") -> pa.Table:
     """One stripe's raw bytes (index+data regions) + its footer -> Table.
 
     The stripe footer lists ALL streams in file order — index-region
@@ -726,7 +739,8 @@ def decode_stripe(buf: bytes, footer_raw: bytes, meta: OrcMeta, n_rows: int,
     exception types; genuine ValueErrors/NotImplementedErrors (count
     mismatches, unsupported kinds) pass through untouched."""
     try:
-        return _decode_stripe_impl(buf, footer_raw, meta, n_rows, columns)
+        return _decode_stripe_impl(buf, footer_raw, meta, n_rows, columns,
+                                    timestamp_unit)
     except NotImplementedError:
         raise
     except ValueError as ex:
@@ -744,7 +758,8 @@ def decode_stripe(buf: bytes, footer_raw: bytes, meta: OrcMeta, n_rows: int,
 
 def _decode_stripe_impl(buf: bytes, footer_raw: bytes, meta: OrcMeta,
                         n_rows: int,
-                        columns: list[str] | None = None) -> pa.Table:
+                        columns: list[str] | None = None,
+                        timestamp_unit: str = "us") -> pa.Table:
     stream_list, encodings, tz = _read_stripe_footer(footer_raw, meta.compression)
     streams: dict[tuple[int, int], bytes] = {}
     pos = 0
@@ -758,7 +773,7 @@ def _decode_stripe_impl(buf: bytes, footer_raw: bytes, meta: OrcMeta,
             continue  # projection: unprojected streams are never decoded
         cols[name] = _decode_column(
             child_id, meta.types[child_id], streams, encodings, n_rows,
-            meta.compression, name, tz, meta.types,
+            meta.compression, name, tz, meta.types, timestamp_unit,
         )
     if not cols:
         # empty projection (count(*)-style scans request NO columns): a
@@ -1496,11 +1511,15 @@ def _validate_projection(meta: OrcMeta, columns: list[str] | None) -> None:
 
 
 def orc_to_table(path: str, columns: list[str] | None = None,
-                 filesystem=None) -> pa.Table:
+                 filesystem=None, timestamp_unit: str = "us") -> pa.Table:
     """Decode a whole ORC file with this engine's codecs -> pa.Table.
     ``columns`` projects to the named root columns (ProjectionMask analog,
     src/projection.rs:24-78). ``path`` may be a ``scheme://`` URI; pass
-    ``filesystem`` to skip resolution (path then fs-native)."""
+    ``filesystem`` to skip resolution (path then fs-native).
+    ``timestamp_unit``: "us" (default, the Spark grid — sub-us precision
+    raises) or "ns" (the reference's default Arrow unit, schema.rs:35 —
+    full fidelity for local liborc-parity reads; the Spark-facing scan
+    paths stay us because Spark has no ns timestamps)."""
     if filesystem is None:
         filesystem, path = fsio.resolve(path)
     meta = read_metadata(path, filesystem=filesystem)
@@ -1512,7 +1531,8 @@ def orc_to_table(path: str, columns: list[str] | None = None,
             body = fh.read(st.index_length + st.data_length)
             footer_raw = fh.read(st.footer_length)
             parts.append(decode_stripe(body, footer_raw, meta, st.number_of_rows,
-                                       columns=columns))
+                                       columns=columns,
+                                       timestamp_unit=timestamp_unit))
     if parts:
         if parts[0].num_columns == 0:
             # empty projection: pa.concat_tables LOSES rows on

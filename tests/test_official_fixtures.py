@@ -39,11 +39,11 @@ SKIP = {
     # engine implements and absent from the reference's suite too:
     "decimal64_v2.orc": "ORCv2 preview decimal64 encoding",
     "decimal64_v2_cplusplus.orc": "ORCv2 preview decimal64 encoding",
-    # sub-microsecond timestamps: the engine's documented guard refuses
-    # silent precision loss on Spark's us grid (the reference decodes to
-    # arrow ns, which Spark cannot represent) — union coverage of this
-    # file lives in test_union_write.py:
-    "TestOrcFile.testUnionAndTimestamp.orc": "sub-us timestamp guard",
+    # sub-microsecond timestamps + a union column: covered by the
+    # dedicated ns-unit test below (timestamp_unit="ns" matches liborc
+    # bit-identically; the union column is a tagged struct by design —
+    # its semantics are cross-checked in test_union_write.py):
+    "TestOrcFile.testUnionAndTimestamp.orc": "see test_union_ts_ns_unit",
     # year-1 timestamp: OUR us decode is exact (-62135769600000000 us =
     # 0001-01-01T00:00:00) while liborc's ns representation silently
     # WRAPS int64 (-6795537378871345152 ns) — the oracle is wrong here,
@@ -87,3 +87,31 @@ def test_corrupt_fixture_raises_cleanly(name):
 
     with pytest.raises(ValueError, match="corrupt"):
         orc_to_table(f"{DATA}/corrupt/{name}")
+
+
+def test_union_ts_ns_unit():
+    """timestamp_unit="ns" (r7): the reference's DEFAULT Arrow unit
+    (schema.rs:35) for local liborc-parity reads. The sub-us guard that
+    protects Spark's us grid does not apply at ns, so the full
+    testUnionAndTimestamp file decodes — time and decimal columns match
+    liborc bit-identically; the union column is our documented
+    tagged-struct expansion (Spark has no union type), so only its tag
+    arity and row count are checked here (semantics in
+    test_union_write.py)."""
+    import pyarrow.orc as paorc
+    import pytest as _pytest
+
+    from orc_rust_spark.sources.orc_file import orc_to_table
+
+    path = f"{DATA}/TestOrcFile.testUnionAndTimestamp.orc"
+    ref = paorc.ORCFile(path).read()
+    ours = orc_to_table(path, timestamp_unit="ns")
+    assert ours.num_rows == ref.num_rows
+    for col in ("time", "decimal"):
+        a = ref.column(col).combine_chunks()
+        b = ours.column(col).combine_chunks().cast(a.type)
+        assert a.equals(b), f"{col} mismatch at ns"
+    assert ours.column("union").type.num_fields == 3  # tag + 2 variants
+    # and the us-grid guard still protects the default path
+    with _pytest.raises(ValueError, match="sub-microsecond"):
+        orc_to_table(path)
