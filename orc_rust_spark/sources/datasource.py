@@ -79,49 +79,15 @@ def _option_fs(options: dict):
     v = options.get("filesystem")
     return fsio.fs_from_option(v) if v else None
 
-_K_TO_DDL = {
-    of.K_BOOLEAN: "boolean", of.K_BYTE: "byte", of.K_SHORT: "short",
-    of.K_INT: "int", of.K_LONG: "long", of.K_FLOAT: "float",
-    of.K_DOUBLE: "double", of.K_STRING: "string", of.K_VARCHAR: "string",
-    of.K_CHAR: "string", of.K_BINARY: "binary",
-    of.K_TIMESTAMP: "timestamp_ntz", of.K_TIMESTAMP_INSTANT: "timestamp",
-    of.K_DATE: "date",
-}
-
-
 def _esc_ddl(name: str) -> str:
-    """Backtick-escape an identifier for Spark DDL — ORC column names may
-    legally contain spaces/colons/commas, which would break or mis-parse
-    an unescaped schema string (code-review r6)."""
-    return "`" + name.replace("`", "``") + "`"
+    """Backtick-escape an identifier for Spark DDL (shared rule in
+    orc_file._esc_ddl_name; kept as an alias for existing callers)."""
+    return of._esc_ddl_name(name)
 
 
-def _ddl_of(types: list, tid: int) -> str:
-    t = types[tid]
-    k = t.kind
-    if k == of.K_DECIMAL:
-        return f"decimal({t.precision or 38},{t.scale})"
-    if k == of.K_LIST:
-        return f"array<{_ddl_of(types, t.subtypes[0])}>"
-    if k == of.K_MAP:
-        return f"map<{_ddl_of(types, t.subtypes[0])},{_ddl_of(types, t.subtypes[1])}>"
-    if k == of.K_STRUCT:
-        inner = ",".join(
-            f"{_esc_ddl(n)}:{_ddl_of(types, c)}"
-            for c, n in zip(t.subtypes, t.field_names)
-        )
-        return f"struct<{inner}>"
-    if k == of.K_UNION:
-        # Spark has no union type: tagged-struct expansion (decode side
-        # produces matching struct<tag:int8, f0, f1, ...>)
-        inner = ",".join(
-            [f"tag:byte"] + [f"f{i}:{_ddl_of(types, c)}"
-                             for i, c in enumerate(t.subtypes)]
-        )
-        return f"struct<{inner}>"
-    if k in _K_TO_DDL:
-        return _K_TO_DDL[k]
-    raise NotImplementedError(f"ORC kind {k} has no Spark mapping")
+_ddl_of = of.ddl_of_type  # one ORC-kind -> Spark-DDL rule (r7: moved to
+                          # orc_file so orc_scan's schema inference and
+                          # the datasource can never drift)
 
 
 @dataclass

@@ -271,6 +271,61 @@ def expand_paths(path: str) -> list[str]:
     return resolve_scan(path)[1]
 
 
+_KIND_TO_DDL = {
+    K_BOOLEAN: "boolean", K_BYTE: "byte", K_SHORT: "short",
+    K_INT: "int", K_LONG: "long", K_FLOAT: "float",
+    K_DOUBLE: "double", K_STRING: "string", K_VARCHAR: "string",
+    K_CHAR: "string", K_BINARY: "binary",
+    K_TIMESTAMP: "timestamp_ntz", K_TIMESTAMP_INSTANT: "timestamp",
+    K_DATE: "date",
+}
+
+
+def _esc_ddl_name(name: str) -> str:
+    """Backtick-escape an identifier for Spark DDL — ORC column names may
+    legally contain spaces/colons/commas."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def ddl_of_type(types: list["OrcType"], tid: int) -> str:
+    """One ORC type node -> Spark DDL (shared by orc_scan's schema
+    inference and the orcx DataSource's schema())."""
+    t = types[tid]
+    k = t.kind
+    if k == K_DECIMAL:
+        return f"decimal({t.precision or 38},{t.scale})"
+    if k == K_LIST:
+        return f"array<{ddl_of_type(types, t.subtypes[0])}>"
+    if k == K_MAP:
+        return (f"map<{ddl_of_type(types, t.subtypes[0])},"
+                f"{ddl_of_type(types, t.subtypes[1])}>")
+    if k == K_STRUCT:
+        inner = ",".join(
+            f"{_esc_ddl_name(n)}:{ddl_of_type(types, c)}"
+            for c, n in zip(t.subtypes, t.field_names))
+        return f"struct<{inner}>"
+    if k == K_UNION:
+        # Spark has no union type: tagged-struct expansion matches the
+        # decode side's struct<tag:int8, f0, f1, ...>
+        inner = ",".join(
+            ["tag:byte"] + [f"f{i}:{ddl_of_type(types, c)}"
+                            for i, c in enumerate(t.subtypes)])
+        return f"struct<{inner}>"
+    if k in _KIND_TO_DDL:
+        return _KIND_TO_DDL[k]
+    raise NotImplementedError(f"ORC kind {k} has no Spark mapping")
+
+
+def schema_ddl(meta: "OrcMeta", columns: list[str] | None = None) -> str:
+    """File metadata -> Spark DDL schema string (root struct fields,
+    optionally projected to ``columns`` in file order)."""
+    root = meta.types[0]
+    return ", ".join(
+        f"{_esc_ddl_name(n)} {ddl_of_type(meta.types, c)}"
+        for c, n in zip(root.subtypes, root.field_names)
+        if columns is None or n in columns)
+
+
 def task_meta(meta: "OrcMeta") -> "OrcMeta":
     """The slice of a file's metadata a DECODE task needs: type tree,
     compression codec, row-index stride. The per-stripe lists
@@ -2639,7 +2694,7 @@ def prune_stripes(meta: OrcMeta, column: str, lo=None, hi=None,
     return keep
 
 
-def orc_scan(spark, path: str, schema, predicate=None,
+def orc_scan(spark, path: str, schema=None, predicate=None,
              columns: list[str] | None = None,
              row_ranges=None,
              readahead: int = 1,
@@ -2699,6 +2754,11 @@ def orc_scan(spark, path: str, schema, predicate=None,
                            spark=spark)
     for meta in metas.values():
         _validate_projection(meta, columns)
+    if schema is None:
+        # infer from the first file's type tree (the orcx datasource's
+        # schema() rule), honoring the projection — r7 usability parity
+        # with the reference reader, which never needs a caller schema
+        schema = schema_ddl(next(iter(metas.values())), columns)
     if row_ranges is not None:
         if len(metas) != 1:
             raise ValueError(

@@ -328,3 +328,23 @@ def test_distributed_planning_matches_driver_side(spark, tmp_path, monkeypatch):
         assert (row["n"], row["s"]) == (total, total * (total - 1) // 2)
     finally:
         fsio.unregister_filesystem("planfs")
+
+
+def test_orc_scan_infers_schema(spark, tmp_path):
+    """orc_scan(schema=None) infers the Spark schema from the file's
+    type tree (r7 — the orcx datasource's schema() rule, shared code so
+    they can't drift), including with a projection."""
+    from pyspark.sql import functions as F
+
+    from orc_rust_spark.sources.orc_file import orc_scan, write_orc
+
+    tbl = _table(2_000)
+    p = str(tmp_path / "infer.orc")
+    write_orc(tbl, p, compression="zstd")
+    df = orc_scan(spark, p)
+    assert df.columns == ["doc_id", "text", "lang"]
+    assert dict(df.dtypes)["doc_id"] == "bigint"
+    assert df.count() == 2_000
+    proj = orc_scan(spark, p, columns=["lang", "doc_id"])
+    assert set(proj.columns) == {"doc_id", "lang"}
+    assert proj.agg(F.sum("doc_id")).collect()[0][0] == sum(range(2_000))
