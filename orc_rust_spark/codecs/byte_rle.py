@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .util import frombuffer_exact
+
 MIN_REPEAT = 3
 MAX_RUN = 130
 MAX_LITERALS = 128
@@ -83,7 +85,7 @@ def decode_byte_rle(buf, n: int, exact: bool = True) -> np.ndarray:
         else:
             ln = 256 - h
             take = min(ln, n - got)
-            out[got : got + take] = np.frombuffer(buf, dtype=np.uint8, count=take, offset=pos)
+            out[got : got + take] = frombuffer_exact(buf, np.uint8, take, offset=pos)
             pos += ln
         got += ln
     if got != n and exact:

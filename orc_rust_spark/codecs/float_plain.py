@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .util import frombuffer_exact
+
 
 def encode_float(values: np.ndarray) -> bytes:
     v = np.ascontiguousarray(values)
@@ -16,4 +18,4 @@ def encode_float(values: np.ndarray) -> bytes:
 
 
 def decode_float(buf, n: int, dtype=np.float64) -> np.ndarray:
-    return np.frombuffer(buf, dtype=np.dtype(dtype).newbyteorder("<"), count=n)
+    return frombuffer_exact(buf, np.dtype(dtype).newbyteorder("<"), n)

@@ -79,8 +79,18 @@ def _unpack_secs_nanos(stored_secs: np.ndarray, enc_nanos: np.ndarray):
 
 
 def combine_timestamp_ns(stored_secs: np.ndarray, enc_nanos: np.ndarray) -> np.ndarray:
-    """(orc_seconds, encoded_nanos) -> int64 nanos since unix epoch."""
+    """(orc_seconds, encoded_nanos) -> int64 nanos since unix epoch.
+
+    Raises on values outside the int64-ns range (~1677-2262): the multiply
+    would otherwise wrap silently, the exact corruption the us-space
+    combine was fixed to avoid (code-review r6/r7). The bound is
+    conservative by one second at each end."""
     secs, nanos = _unpack_secs_nanos(stored_secs, enc_nanos)
+    lim = np.iinfo(np.int64).max // NANOS_PER_SECOND  # 9_223_372_036
+    if secs.size and (int(secs.min()) < -lim or int(secs.max()) >= lim):
+        raise ValueError(
+            "ORC timestamp outside the ns-representable range "
+            "(~1677-2262); decode with timestamp_unit='us' instead")
     return secs * np.int64(NANOS_PER_SECOND) + nanos
 
 

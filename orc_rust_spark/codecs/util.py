@@ -20,6 +20,27 @@ import numpy as np
 U64 = np.uint64
 I64 = np.int64
 
+
+class CorruptStream(ValueError):
+    """A stream is shorter than its own header/metadata promised.
+
+    Distinct type so the stripe-decode corruption guard can wrap it into
+    the documented ``ValueError("corrupt ORC stripe ...")`` contract — a
+    bare builtins ValueError from np.frombuffer is indistinguishable from
+    the engine's own diagnostics (code-review r7)."""
+
+
+def frombuffer_exact(buf, dtype, count: int, offset: int = 0) -> np.ndarray:
+    """np.frombuffer that raises CorruptStream (not numpy's builtins
+    ValueError) when ``buf`` is too short for ``count`` items."""
+    dt = np.dtype(dtype)
+    need = offset + count * dt.itemsize
+    if len(buf) < need:
+        raise CorruptStream(
+            f"truncated stream: need {need} bytes for {count} x {dt}, "
+            f"have {len(buf)}")
+    return np.frombuffer(buf, dtype=dt, count=count, offset=offset)
+
 # --- zigzag ---------------------------------------------------------------
 
 
@@ -235,7 +256,7 @@ def bitunpack(buf, n: int, width: int) -> np.ndarray:
     """Unpack ``n`` uint64 values packed MSB-first at ``width`` bits each."""
     if width == 0 or n == 0:
         return np.zeros(n, dtype=np.uint64)
-    raw = np.frombuffer(buf, dtype=np.uint8, count=(n * width + 7) // 8)
+    raw = frombuffer_exact(buf, np.uint8, (n * width + 7) // 8)
     if width == 8:
         return raw[:n].astype(np.uint64)
     if width == 16:

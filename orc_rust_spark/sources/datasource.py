@@ -240,23 +240,8 @@ class OrcRustReader(DataSourceReader):
         # multi-file scans: same-NAMED columns must also agree on TYPE, or
         # the batch conversion fails executor-side with an opaque error
         # after half the job ran (code-review r6) — reject at planning
-        if len(self.metas) > 1:
-            ref_path = next(iter(self.metas))
-            ref = self.metas[ref_path]
-            ref_ddl = {n: _ddl_of(ref.types, c)
-                       for c, n in zip(ref.types[0].subtypes,
-                                       ref.types[0].field_names)}
-            for p, meta in self.metas.items():
-                for c, n in zip(meta.types[0].subtypes,
-                                meta.types[0].field_names):
-                    if self.columns is not None and n not in self.columns:
-                        continue
-                    d = _ddl_of(meta.types, c)
-                    if n in ref_ddl and d != ref_ddl[n]:
-                        raise ValueError(
-                            f"orcx: column {n!r} is {d} in {p!r} but "
-                            f"{ref_ddl[n]} in {ref_path!r}; multi-file "
-                            "scans need consistent column types")
+        # (r7: shared rule with orc_scan's schema inference)
+        of.validate_consistent_types(self.metas, self.columns, what="orcx")
         # (column, lo, hi) bounds + IN-list value sets + null predicates
         # from pushed filters
         self.bounds: dict[str, list] = {}
@@ -850,11 +835,9 @@ class OrcRustDataSource(DataSource):
         fs, paths = of.resolve_scan(self.options["path"],
                                     filesystem=_option_fs(self.options))
         meta = of.read_metadata(paths[0], filesystem=fs)
-        root = meta.types[0]
-        return ", ".join(
-            f"{_esc_ddl(n)} {_ddl_of(meta.types, c)}"
-            for c, n in zip(root.subtypes, root.field_names)
-        )
+        # the one ORC-kind -> Spark-DDL rule (code-review r7: this body
+        # was a line-for-line copy of schema_ddl and would drift again)
+        return of.schema_ddl(meta)
 
     def reader(self, schema) -> OrcRustReader:
         names = list(schema.fieldNames()) if hasattr(schema, "fieldNames") else None

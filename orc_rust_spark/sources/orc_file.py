@@ -37,6 +37,7 @@ from ..codecs.float_plain import decode_float
 from ..codecs.rle_v1 import decode_rlev1
 from ..codecs.rle_v2 import decode_rlev2
 from ..codecs.timestamp_split import combine_timestamp_ns, combine_timestamp_us
+from ..codecs.util import CorruptStream
 
 MAGIC = b"ORC"
 
@@ -324,6 +325,33 @@ def schema_ddl(meta: "OrcMeta", columns: list[str] | None = None) -> str:
         f"{_esc_ddl_name(n)} {ddl_of_type(meta.types, c)}"
         for c, n in zip(root.subtypes, root.field_names)
         if columns is None or n in columns)
+
+
+def validate_consistent_types(metas: dict, columns: list[str] | None = None,
+                              what: str = "orc_scan") -> None:
+    """Multi-file scans: same-NAMED (projected) columns must agree on
+    TYPE across files, or batches decode to Arrow schemas that don't
+    match the declared one and the job dies executor-side with an opaque
+    conversion error after partially running. Reject at planning instead
+    (code-review r6 for the orcx datasource; r7 unified here so
+    orc_scan's schema inference gets the same guard)."""
+    if len(metas) <= 1:
+        return
+    it = iter(metas.items())
+    ref_path, ref = next(it)
+    ref_ddl = {n: ddl_of_type(ref.types, c)
+               for c, n in zip(ref.types[0].subtypes,
+                               ref.types[0].field_names)}
+    for p, meta in it:
+        for c, n in zip(meta.types[0].subtypes, meta.types[0].field_names):
+            if columns is not None and n not in columns:
+                continue
+            d = ddl_of_type(meta.types, c)
+            if n in ref_ddl and d != ref_ddl[n]:
+                raise ValueError(
+                    f"{what}: column {n!r} is {d} in {p!r} but "
+                    f"{ref_ddl[n]} in {ref_path!r}; multi-file scans "
+                    "need consistent column types")
 
 
 def task_meta(meta: "OrcMeta") -> "OrcMeta":
@@ -793,11 +821,34 @@ def decode_stripe(buf: bytes, footer_raw: bytes, meta: OrcMeta, n_rows: int,
     ``ValueError("corrupt ORC stripe ...")`` instead of leaking internal
     exception types; genuine ValueErrors/NotImplementedErrors (count
     mismatches, unsupported kinds) pass through untouched."""
+    _validate_ts_unit(timestamp_unit)
+    return _corrupt_guarded(_decode_stripe_impl, buf, footer_raw, meta,
+                            n_rows, columns, timestamp_unit)
+
+
+def _validate_ts_unit(unit: str) -> None:
+    # any other pyarrow unit (ms/s) would silently mislabel decoded int64s
+    # by 1000x downstream (code-review r7) — refuse at the entry points
+    if unit not in ("us", "ns"):
+        raise ValueError(
+            f"timestamp_unit must be 'us' or 'ns', got {unit!r}")
+
+
+def _corrupt_guarded(fn, *args, **kwargs):
+    """Run a stripe-decode impl mapping low-level corruption failures to
+    the documented ``ValueError("corrupt ORC stripe ...")`` contract.
+    Shared by decode_stripe and decode_stripe_pruned (code-review r7: the
+    predicate/seek path previously leaked raw IndexErrors)."""
     try:
-        return _decode_stripe_impl(buf, footer_raw, meta, n_rows, columns,
-                                    timestamp_unit)
+        return fn(*args, **kwargs)
     except NotImplementedError:
         raise
+    except CorruptStream as ex:
+        # the codecs' own truncated-buffer diagnostic (np.frombuffer would
+        # otherwise raise a builtins ValueError the module check below
+        # cannot distinguish from engine diagnostics — code-review r7)
+        raise ValueError(
+            f"corrupt ORC stripe: {type(ex).__name__}: {ex}") from ex
     except ValueError as ex:
         # pyarrow's ArrowInvalid SUBCLASSES ValueError — an Arrow
         # validation error from contradictory streams is corruption, not
@@ -1352,6 +1403,24 @@ def decode_stripe_pruned(
     predicates: list[dict] | None = None,
     row_ranges: list[tuple[int, int]] | None = None,
 ) -> tuple[pa.Table, int, int]:
+    """Corruption-guarded entry for the predicate/seek decode path — same
+    ``ValueError("corrupt ORC stripe ...")`` contract as decode_stripe
+    (code-review r7: this path previously leaked raw IndexErrors).
+    Semantics documented on the impl below."""
+    return _corrupt_guarded(
+        _decode_stripe_pruned_impl, buf, footer_raw, meta, n_rows,
+        column=column, eq=eq, lo=lo, hi=hi, columns=columns,
+        not_null=not_null, predicates=predicates, row_ranges=row_ranges)
+
+
+def _decode_stripe_pruned_impl(
+    buf: bytes, footer_raw: bytes, meta: OrcMeta, n_rows: int,
+    column: str | None = None, eq=None, lo=None, hi=None,
+    columns: list[str] | None = None,
+    not_null: bool | None = None,
+    predicates: list[dict] | None = None,
+    row_ranges: list[tuple[int, int]] | None = None,
+) -> tuple[pa.Table, int, int]:
     """Decode only the row groups of this stripe whose ROW_INDEX stats /
     bloom filter may satisfy the predicate on ``column`` — and only the
     ``columns`` projection (reference semantics: unprojected streams are
@@ -1575,6 +1644,7 @@ def orc_to_table(path: str, columns: list[str] | None = None,
     raises) or "ns" (the reference's default Arrow unit, schema.rs:35 —
     full fidelity for local liborc-parity reads; the Spark-facing scan
     paths stay us because Spark has no ns timestamps)."""
+    _validate_ts_unit(timestamp_unit)
     if filesystem is None:
         filesystem, path = fsio.resolve(path)
     meta = read_metadata(path, filesystem=filesystem)
@@ -1598,8 +1668,17 @@ def orc_to_table(path: str, columns: list[str] | None = None,
     # a schema-less pa.table({}) broke downstream concat/column access —
     # code-review r6, execution-confirmed)
     root = meta.types[0]
+
+    def _t(cid):
+        t = _arrow_type_of(meta.types, cid)
+        # honor timestamp_unit here too, or concatenating per-file ns
+        # reads breaks solely because one file was empty (code-review r7)
+        if timestamp_unit == "ns" and pa.types.is_timestamp(t):
+            t = pa.timestamp("ns", t.tz)
+        return t
+
     return pa.table({
-        name: pa.nulls(0, type=_arrow_type_of(meta.types, cid))
+        name: pa.nulls(0, type=_t(cid))
         for cid, name in zip(root.subtypes, root.field_names)
         if columns is None or name in columns
     })
@@ -2754,7 +2833,16 @@ def orc_scan(spark, path: str, schema=None, predicate=None,
                            spark=spark)
     for meta in metas.values():
         _validate_projection(meta, columns)
+    # same-named columns must agree on type across files whether the
+    # schema is inferred or caller-supplied — either way mismatched files
+    # fail executor-side with an opaque Arrow error (code-review r7)
+    validate_consistent_types(metas, columns)
     if schema is None:
+        if columns is not None and not columns:
+            raise ValueError(
+                "orc_scan: columns=[] (a count(*)-style scan) cannot "
+                "infer a schema — Spark DDL has no zero-column form; "
+                "pass an explicit schema or project at least one column")
         # infer from the first file's type tree (the orcx datasource's
         # schema() rule), honoring the projection — r7 usability parity
         # with the reference reader, which never needs a caller schema

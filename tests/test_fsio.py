@@ -348,3 +348,35 @@ def test_orc_scan_infers_schema(spark, tmp_path):
     proj = orc_scan(spark, p, columns=["lang", "doc_id"])
     assert set(proj.columns) == {"doc_id", "lang"}
     assert proj.agg(F.sum("doc_id")).collect()[0][0] == sum(range(2_000))
+
+
+def test_orc_scan_empty_projection_needs_explicit_schema(spark, tmp_path):
+    """columns=[] with schema inference used to emit an empty DDL string
+    and die in Spark's parser — reject with a clear message instead
+    (code-review r7)."""
+    from orc_rust_spark.sources.orc_file import orc_scan, write_orc
+
+    p = str(tmp_path / "cnt.orc")
+    write_orc(_table(100), p)
+    with pytest.raises(ValueError, match="columns"):
+        orc_scan(spark, p, columns=[])
+
+
+def test_orc_scan_rejects_cross_file_type_flip(spark, tmp_path):
+    """Two files whose same-named column disagrees on type fail at
+    PLANNING with the shared consistency message, whether the schema is
+    inferred or explicit (code-review r7)."""
+    import pyarrow as pa
+
+    from orc_rust_spark.sources.orc_file import orc_scan, write_orc
+
+    d = tmp_path / "mix"
+    d.mkdir()
+    write_orc(pa.table({"v": pa.array([1, 2], type=pa.int64())}),
+              str(d / "a.orc"))
+    write_orc(pa.table({"v": pa.array(["x"], type=pa.string())}),
+              str(d / "b.orc"))
+    with pytest.raises(ValueError, match="consistent column types"):
+        orc_scan(spark, str(d))
+    with pytest.raises(ValueError, match="consistent column types"):
+        orc_scan(spark, str(d), "v bigint")

@@ -1533,3 +1533,84 @@ def test_projection_unknown_column_raises(tmp_path):
         orc_to_table(path, columns=["a", "pricee"])
     # valid projections still narrow
     assert orc_to_table(path, columns=["b"]).column_names == ["b"]
+
+
+# --- r7 second-review regression pins ---------------------------------------
+
+
+def test_timestamp_unit_validated_at_entry(tmp_path):
+    """timestamp_unit other than us/ns (e.g. 'ms') used to silently
+    mislabel decoded microsecond int64s by 1000x (code-review r7)."""
+    from orc_rust_spark.sources.orc_file import write_orc
+
+    path = str(tmp_path / "u.orc")
+    write_orc(pa.table({"ts": pa.array([1_700_000_000_000_000],
+                                       type=pa.timestamp("us"))}), path)
+    with pytest.raises(ValueError, match="timestamp_unit"):
+        orc_to_table(path, timestamp_unit="ms")
+    assert orc_to_table(path, timestamp_unit="ns").column("ts").type == \
+        pa.timestamp("ns")
+
+
+def test_zero_stripe_file_honors_ns_unit(tmp_path):
+    """An empty file's declared-schema fallback must carry the requested
+    unit, or concatenating per-file ns reads breaks solely because one
+    file had no stripes (code-review r7)."""
+    from orc_rust_spark.sources.orc_file import write_orc
+
+    path = str(tmp_path / "empty.orc")
+    write_orc(pa.table({"ts": pa.array([], type=pa.timestamp("us")),
+                        "v": pa.array([], type=pa.int64())}), path)
+    ns = orc_to_table(path, timestamp_unit="ns")
+    assert ns.num_rows == 0
+    assert ns.column("ts").type == pa.timestamp("ns")
+    assert orc_to_table(path).column("ts").type == pa.timestamp("us")
+
+
+def test_pruned_decode_wraps_corruption(tmp_path):
+    """The predicate/seek decode path must surface truncated streams as
+    the documented ValueError('corrupt ORC stripe ...'), exactly like the
+    full-decode path — it previously leaked raw IndexError / numpy
+    ValueError (code-review r7)."""
+    from orc_rust_spark.sources.orc_file import (
+        decode_stripe,
+        decode_stripe_pruned,
+        read_metadata,
+    )
+
+    _, path = _rg_file(tmp_path, bloom=False, n=20000)
+    meta = read_metadata(path)
+    st = meta.stripes[0]
+    with open(path, "rb") as fh:
+        fh.seek(st.offset)
+        body = fh.read(st.index_length + st.data_length)
+        fr = fh.read(st.footer_length)
+    # keep the index region (so group-seek engages) but truncate the data
+    # region hard — every decode route must map the failure
+    cut = body[: st.index_length + (st.data_length // 16)]
+    with pytest.raises(ValueError, match="corrupt ORC stripe"):
+        decode_stripe_pruned(cut, fr, meta, st.number_of_rows,
+                             "id", lo=5_000, hi=15_000)
+    with pytest.raises(ValueError, match="corrupt ORC stripe"):
+        decode_stripe(cut, fr, meta, st.number_of_rows)
+
+
+def test_multi_file_inconsistent_types_rejected(tmp_path):
+    """orc_scan's planning (and its r7 schema inference) uses the same
+    cross-file type-consistency guard as the orcx datasource — a type
+    flip between files fails at planning, not executor-side
+    (code-review r7)."""
+    from orc_rust_spark.sources.orc_file import (
+        read_metadata,
+        validate_consistent_types,
+        write_orc,
+    )
+
+    p1, p2 = str(tmp_path / "a.orc"), str(tmp_path / "b.orc")
+    write_orc(pa.table({"v": pa.array([1, 2], type=pa.int64())}), p1)
+    write_orc(pa.table({"v": pa.array(["x"], type=pa.string())}), p2)
+    metas = {p: read_metadata(p) for p in (p1, p2)}
+    with pytest.raises(ValueError, match="consistent column types"):
+        validate_consistent_types(metas)
+    # projecting AWAY the clashing column passes
+    validate_consistent_types(metas, columns=["nope"])

@@ -93,3 +93,24 @@ def test_far_future_timestamps_roundtrip_us_space():
     write_orc(tbl, p, compression="zlib")
     back = orc_to_table(p)
     assert back.column("ts").cast(pa.timestamp("us")).combine_chunks().equals(arr)
+
+
+def test_combine_ns_out_of_range_raises():
+    """ns-space combine raises on values past ~2262 instead of silently
+    wrapping int64 (code-review r7 — the us path got this in r6)."""
+    import pytest
+
+    from orc_rust_spark.codecs.timestamp_split import (
+        ORC_EPOCH_SECONDS,
+        combine_timestamp_ns,
+    )
+
+    for unix_secs in (16_725_225_600,        # year 2500
+                      -62_135_596_800):      # year 1
+        stored = np.array([unix_secs - ORC_EPOCH_SECONDS], dtype=np.int64)
+        with pytest.raises(ValueError, match="ns-representable"):
+            combine_timestamp_ns(stored, np.zeros(1, dtype=np.int64))
+    # boundary-adjacent values inside the range still decode
+    ok = np.array([9_000_000_000 - ORC_EPOCH_SECONDS], dtype=np.int64)
+    assert combine_timestamp_ns(ok, np.zeros(1, dtype=np.int64))[0] == \
+        9_000_000_000 * 10**9

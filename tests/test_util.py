@@ -75,3 +75,19 @@ def test_zigzag_roundtrip(values):
 def test_varint_roundtrip(value):
     got, _ = util.read_varint(util.write_varint(value), 0)
     assert got == value
+
+
+def test_frombuffer_exact_truncation_is_corrupt_stream():
+    """Truncated streams raise the engine's CorruptStream (a ValueError
+    subclass the stripe guard wraps into the corrupt-file contract), not
+    numpy's bare builtins ValueError (code-review r7)."""
+    import pytest
+
+    from orc_rust_spark.codecs.util import CorruptStream, frombuffer_exact
+
+    with pytest.raises(CorruptStream, match="truncated stream"):
+        frombuffer_exact(b"\x01\x02", np.int64, 1)
+    with pytest.raises(CorruptStream, match="truncated stream"):
+        frombuffer_exact(b"\x00" * 4, np.uint8, 2, offset=3)
+    out = frombuffer_exact(b"\x01\x00\x02\x00", "<u2", 2)
+    assert out.tolist() == [1, 2]
