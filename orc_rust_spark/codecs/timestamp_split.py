@@ -86,12 +86,26 @@ def combine_timestamp_ns(stored_secs: np.ndarray, enc_nanos: np.ndarray) -> np.n
     combine was fixed to avoid (code-review r6/r7). The bound is
     conservative by one second at each end."""
     secs, nanos = _unpack_secs_nanos(stored_secs, enc_nanos)
+    _check_nanos_range(nanos)
     lim = np.iinfo(np.int64).max // NANOS_PER_SECOND  # 9_223_372_036
     if secs.size and (int(secs.min()) < -lim or int(secs.max()) >= lim):
         raise ValueError(
             "ORC timestamp outside the ns-representable range "
             "(~1677-2262); decode with timestamp_unit='us' instead")
     return secs * np.int64(NANOS_PER_SECOND) + nanos
+
+
+def _check_nanos_range(nanos: np.ndarray) -> None:
+    """A decoded sub-second component outside [0, 1e9) can only come from
+    a corrupt SECONDARY stream (the encoding's mult is at most 10^8 and
+    valid writers never store >= 1e9) — without this check the combine
+    below could wrap int64 silently even with the seconds bound in place
+    (code-review r7)."""
+    if nanos.size and (int(nanos.min()) < 0
+                       or int(nanos.max()) > 999_999_999):
+        raise ValueError(
+            "corrupt ORC timestamp SECONDARY stream: sub-second component "
+            "outside [0, 1e9)")
 
 
 def combine_timestamp_us(stored_secs: np.ndarray, enc_nanos: np.ndarray) -> np.ndarray:
@@ -101,6 +115,7 @@ def combine_timestamp_us(stored_secs: np.ndarray, enc_nanos: np.ndarray) -> np.n
     would silently alter values); unlike the ns-space combine it does not
     wrap for timestamps past ~year 2262 (code-review r6)."""
     secs, nanos = _unpack_secs_nanos(stored_secs, enc_nanos)
+    _check_nanos_range(nanos)
     if nanos.size and int(np.count_nonzero(nanos % 1000)):
         raise ValueError(
             "ORC timestamp has sub-microsecond precision; decoding to "

@@ -79,16 +79,6 @@ def _option_fs(options: dict):
     v = options.get("filesystem")
     return fsio.fs_from_option(v) if v else None
 
-def _esc_ddl(name: str) -> str:
-    """Backtick-escape an identifier for Spark DDL (shared rule in
-    orc_file._esc_ddl_name; kept as an alias for existing callers)."""
-    return of._esc_ddl_name(name)
-
-
-_ddl_of = of.ddl_of_type  # one ORC-kind -> Spark-DDL rule (r7: moved to
-                          # orc_file so orc_scan's schema inference and
-                          # the datasource can never drift)
-
 
 @dataclass
 class _StripePartition(InputPartition):

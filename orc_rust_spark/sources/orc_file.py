@@ -630,7 +630,19 @@ def _ts_us(secs: np.ndarray, nanos_enc: np.ndarray, tz: str, kind: int,
         # ns-native; such files are bounded to the ns-representable range)
         import pandas as pd
 
-        ns = combine_timestamp_ns(secs, nanos_enc)
+        try:
+            ns = combine_timestamp_ns(secs, nanos_enc)
+        except ValueError as ex:
+            if "ns-representable" not in str(ex):
+                raise
+            # the generic message advises timestamp_unit='us', which
+            # cannot help HERE: writer-tz wall-clock math is ns-native
+            # at any requested unit (code-review r7)
+            raise ValueError(
+                f"writer-timezone ({tz}) ORC timestamps outside the "
+                "ns-representable range (~1677-2262) cannot be decoded: "
+                "the wall-clock conversion is ns-native regardless of "
+                "timestamp_unit") from ex
         if unit == "us" and ns.size and int(np.count_nonzero(ns % 1000)):
             raise ValueError(
                 "ORC timestamp has sub-microsecond precision; decoding to "
@@ -842,6 +854,12 @@ def _corrupt_guarded(fn, *args, **kwargs):
     try:
         return fn(*args, **kwargs)
     except NotImplementedError:
+        raise
+    except (TypeError, AttributeError):
+        # caller-argument mistakes (an uncomparable predicate value, a
+        # malformed row_ranges shape) surface raw — labeling them
+        # "corrupt ORC stripe" would send the operator chasing file
+        # integrity instead of the call site (code-review r7)
         raise
     except CorruptStream as ex:
         # the codecs' own truncated-buffer diagnostic (np.frombuffer would
@@ -1619,6 +1637,23 @@ def _arrow_type_of(types: list[OrcType], cid: int) -> pa.DataType:
     return _K_TO_ARROW[k]
 
 
+def _retype_ts(t: pa.DataType, unit: str) -> pa.DataType:
+    """Rebuild an Arrow type with every timestamp — nested struct/list/map
+    children included — at ``unit`` (code-review r7: the zero-stripe
+    fallback's top-level-only mapping missed nested timestamps)."""
+    if pa.types.is_timestamp(t):
+        return pa.timestamp(unit, t.tz)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return pa.list_(_retype_ts(t.value_type, unit))
+    if pa.types.is_map(t):
+        return pa.map_(_retype_ts(t.key_type, unit),
+                       _retype_ts(t.item_type, unit))
+    if pa.types.is_struct(t):
+        return pa.struct([pa.field(f.name, _retype_ts(f.type, unit))
+                          for f in t])
+    return t
+
+
 def _validate_projection(meta: OrcMeta, columns: list[str] | None) -> None:
     """Reject projection names absent from the file's root schema — a
     misspelled entry would otherwise yield a silently narrower table (or
@@ -1671,11 +1706,10 @@ def orc_to_table(path: str, columns: list[str] | None = None,
 
     def _t(cid):
         t = _arrow_type_of(meta.types, cid)
-        # honor timestamp_unit here too, or concatenating per-file ns
-        # reads breaks solely because one file was empty (code-review r7)
-        if timestamp_unit == "ns" and pa.types.is_timestamp(t):
-            t = pa.timestamp("ns", t.tz)
-        return t
+        # honor timestamp_unit here too — RECURSIVELY, nested children
+        # included — or concatenating per-file ns reads breaks solely
+        # because one file was empty (code-review r7, twice)
+        return _retype_ts(t, "ns") if timestamp_unit == "ns" else t
 
     return pa.table({
         name: pa.nulls(0, type=_t(cid))
@@ -2518,6 +2552,16 @@ class OrcWriter:
                 mask = (np.asarray(arr.is_valid()) if arr.null_count else None)
                 us = (arr.cast(pa.int64()).fill_null(0)
                       .to_numpy(zero_copy_only=False).astype(np.int64))
+                lim = np.iinfo(np.int64).max // 1000
+                if us.size and (int(us.min()) < -lim or int(us.max()) > lim):
+                    # us*1000 below would wrap int64 and write silently
+                    # WRONG instants (code-review r7) — the wall-clock
+                    # shift is ns-native, so such values need UTC
+                    raise ValueError(
+                        f"timestamp column {name!r} has values outside "
+                        "the ns-representable range (~1677-2262); a "
+                        "non-UTC writer_timezone cannot represent them — "
+                        "write with writer_timezone='UTC'")
                 idx = pd.DatetimeIndex((us * 1000).astype("datetime64[ns]"))
                 inst = idx.tz_localize(
                     _tzinfo(self.writer_timezone), ambiguous=True,

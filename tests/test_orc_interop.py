@@ -1670,3 +1670,82 @@ def test_stripe_decode_corruption_fuzz(tmp_path):
         for o in attempt(bytes(b)):
             tally[o] += 1
     assert tally["clean"] > 0, "no mutation corrupted anything?"
+
+
+def test_zero_stripe_nested_timestamp_honors_ns_unit(tmp_path):
+    """The empty-file unit fix must reach NESTED timestamps too — an
+    empty struct<ts> sibling must concat with a non-empty ns read
+    (code-review r7, second pass)."""
+    from orc_rust_spark.sources.orc_file import write_orc
+
+    typ = pa.struct([("ts", pa.timestamp("us")), ("v", pa.int64())])
+    full, empty = str(tmp_path / "f.orc"), str(tmp_path / "e.orc")
+    write_orc(pa.table({"s": pa.array(
+        [{"ts": 1_700_000_000_000_000, "v": 1}], type=typ)}), full)
+    write_orc(pa.table({"s": pa.array([], type=typ)}), empty)
+    parts = [orc_to_table(p, timestamp_unit="ns") for p in (full, empty)]
+    assert parts[1].schema.field("s").type.field("ts").type == \
+        pa.timestamp("ns")
+    cat = pa.concat_tables(parts)  # raised a schema mismatch before
+    assert cat.num_rows == 1
+
+
+def test_writer_tz_out_of_ns_range(tmp_path):
+    """Out-of-ns-range instants under a non-UTC writer_timezone: the
+    WRITER refuses (us*1000 previously wrapped int64 and stored a 1754
+    value for year 1 — silent wrong data, code-review r7 second pass),
+    and the READ path's error names writer-timezone instead of advising
+    the timestamp_unit the caller already passed."""
+    import numpy as np
+
+    from orc_rust_spark.sources.orc_file import K_TIMESTAMP, _ts_us, write_orc
+    from orc_rust_spark.codecs.timestamp_split import ORC_EPOCH_SECONDS
+
+    tbl = pa.table({"ts": pa.array([-62_135_596_800_000_000],  # year 1
+                                   type=pa.timestamp("us"))})
+    with pytest.raises(ValueError, match="writer_timezone='UTC'"):
+        write_orc(tbl, str(tmp_path / "tz.orc"),
+                  writer_timezone="America/Los_Angeles")
+    # same values write fine as UTC (the us-native path)
+    write_orc(tbl, str(tmp_path / "utc.orc"))
+    assert orc_to_table(str(tmp_path / "utc.orc")).num_rows == 1
+    # read side (a foreign writer could still produce such a file)
+    stored = np.array([-62_135_596_800 - ORC_EPOCH_SECONDS], dtype=np.int64)
+    for unit in ("us", "ns"):
+        with pytest.raises(ValueError, match="writer-timezone"):
+            _ts_us(stored, np.zeros(1, dtype=np.int64),
+                   "America/Los_Angeles", K_TIMESTAMP, unit)
+
+
+def test_pruned_uncomparable_probe_keeps_not_crashes(tmp_path):
+    """A probe value outside every stats family must KEEP all groups
+    (three-valued contract, _stats_comparable) — and if a TypeError ever
+    does escape a decode impl, the corruption guard re-raises it raw
+    instead of mislabeling it 'corrupt ORC stripe' (code-review r7,
+    second pass)."""
+    from orc_rust_spark.sources.orc_file import (
+        _corrupt_guarded,
+        decode_stripe_pruned,
+        read_metadata,
+    )
+
+    _, path = _rg_file(tmp_path, bloom=False, n=20000)
+    meta = read_metadata(path)
+    st = meta.stripes[0]
+    with open(path, "rb") as fh:
+        fh.seek(st.offset)
+        body = fh.read(st.index_length + st.data_length)
+        fr = fh.read(st.footer_length)
+
+    class Odd:  # comparable to nothing the stats hold
+        pass
+
+    out, kept, total = decode_stripe_pruned(
+        body, fr, meta, st.number_of_rows, "id", lo=Odd(), hi=Odd())
+    assert kept == total and out.num_rows == st.number_of_rows
+
+    def boom():
+        raise TypeError("caller mistake")
+
+    with pytest.raises(TypeError, match="caller mistake"):
+        _corrupt_guarded(boom)

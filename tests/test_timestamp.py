@@ -114,3 +114,23 @@ def test_combine_ns_out_of_range_raises():
     ok = np.array([9_000_000_000 - ORC_EPOCH_SECONDS], dtype=np.int64)
     assert combine_timestamp_ns(ok, np.zeros(1, dtype=np.int64))[0] == \
         9_000_000_000 * 10**9
+
+
+def test_corrupt_secondary_stream_nanos_rejected():
+    """A decoded sub-second component outside [0, 1e9) can only come
+    from a corrupt SECONDARY stream; both combines refuse it instead of
+    wrapping int64 past the seconds bound (code-review r7, second
+    pass)."""
+    import pytest
+
+    from orc_rust_spark.codecs.timestamp_split import (
+        combine_timestamp_ns,
+        combine_timestamp_us,
+    )
+
+    # enc = nanos << 3 with zero trailing-zero code -> nanos = 2e9
+    bad = np.array([2_000_000_000 << 3], dtype=np.int64)
+    secs = np.zeros(1, dtype=np.int64)
+    for combine in (combine_timestamp_ns, combine_timestamp_us):
+        with pytest.raises(ValueError, match="corrupt"):
+            combine(secs, bad)
