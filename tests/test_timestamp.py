@@ -47,22 +47,27 @@ def test_negative_seconds_orc763():
     assert (combine_timestamp_ns(secs, enc) == ns).all()
 
 
-def test_orc763_boundary_asymmetry_documented():
-    # The second just below the UNIX epoch with nanos > 999_999 cannot
-    # round-trip under the reference's ORC-763 decode rule
-    # (src/encoding/timestamp.rs:138-144): decode adjusts seconds-1 only when
-    # the *stored* seconds are negative, but the writer-side inverse of -1s
-    # lands on stored seconds == 0. Decoded value comes back +1s.
-    ns = np.array([-1], dtype=np.int64)
+def test_epoch_boundary_roundtrips_liborc_convention():
+    # Through r6 the writer used the Java floor+ORC-763 convention, whose
+    # inverse of the (-1s, 0) range lands on stored seconds == 0 and
+    # decodes +1s off — a differential write fuzz vs liborc caught it
+    # (r7). The split now truncates toward zero with a SIGNED sub-second,
+    # exactly what C++ liborc writes (measured: -1 us stores enc -6),
+    # and every value round-trips.
+    ns = np.array([-1, -1000, -999_999_999, -(10**9), -1_500_000_000, 0, 1],
+                  dtype=np.int64)
     secs, enc = split_timestamp_ns(ns)
-    assert combine_timestamp_ns(secs, enc).tolist() == [10**9 - 1]
+    assert (combine_timestamp_ns(secs, enc) == ns).all()
+    # byte parity with liborc's measured encoding of -1 us
+    s1, e1 = split_timestamp_ns(np.array([-1000], dtype=np.int64))
+    assert (s1.tolist(), e1.tolist()) == ([-1_420_070_400], [-6])
 
 
 @given(st.lists(st.integers(-(2**55), 2**55), min_size=1, max_size=500))
 @settings(max_examples=40, deadline=None)
 def test_roundtrip_random_ns(vals):
-    # avoid the known ORC-763 boundary asymmetry at seconds == -1 -> 0
-    ns = np.array([v for v in vals if not (-(10**9) < v < 0)] or [0], dtype=np.int64)
+    # the full range round-trips, (-1s, 0) included (r7 liborc-parity split)
+    ns = np.array(vals, dtype=np.int64)
     data, secondary = encode_timestamp(ns)
     assert (decode_timestamp(data, secondary, ns.size) == ns).all()
 
@@ -117,7 +122,7 @@ def test_combine_ns_out_of_range_raises():
 
 
 def test_corrupt_secondary_stream_nanos_rejected():
-    """A decoded sub-second component outside [0, 1e9) can only come
+    """A decoded sub-second component outside (-1e9, 1e9) can only come
     from a corrupt SECONDARY stream; both combines refuse it instead of
     wrapping int64 past the seconds bound (code-review r7, second
     pass)."""
@@ -134,3 +139,27 @@ def test_corrupt_secondary_stream_nanos_rejected():
     for combine in (combine_timestamp_ns, combine_timestamp_us):
         with pytest.raises(ValueError, match="corrupt"):
             combine(secs, bad)
+
+
+def test_negative_boundary_liborc_both_directions(tmp_path):
+    """-1 us and friends cross liborc in BOTH directions exactly (r7:
+    the differential write fuzz caught our floor-convention writer
+    storing -1 us as +999999 us; now trunc+signed-nanos, liborc
+    parity)."""
+    import pyarrow as pa
+    import pyarrow.orc as paorc
+
+    from orc_rust_spark.sources.orc_file import orc_to_table, write_orc
+
+    vals = [-1, -999_999, -1_000_000, -1_500_000, -2_000_001, 0, 1]
+    tbl = pa.table({"t": pa.array(vals, type=pa.int64())
+                    .cast(pa.timestamp("us"))})
+    ours, theirs = str(tmp_path / "ours.orc"), str(tmp_path / "lib.orc")
+    write_orc(tbl, ours)
+    paorc.write_table(tbl, theirs)
+    for p in (ours, theirs):
+        assert orc_to_table(p).column("t").cast(pa.int64()).to_pylist() \
+            == vals, f"our reader on {p}"
+        assert paorc.ORCFile(p).read().column("t").cast(
+            pa.timestamp("us")).cast(pa.int64()).to_pylist() == vals, \
+            f"liborc on {p}"
