@@ -66,8 +66,63 @@ def _col_lists(draw, n):
         type=pa.list_(pa.int64()))
 
 
+def _col_bools(draw, n):
+    return pa.array(
+        draw(st.lists(st.one_of(st.none(), st.booleans()),
+                      min_size=n, max_size=n)),
+        type=pa.bool_())
+
+
+def _col_dates(draw, n):
+    return pa.array(
+        draw(st.lists(st.one_of(st.none(),
+                                st.integers(-719_162, 2_932_896)),
+                      min_size=n, max_size=n)),
+        type=pa.int32()).cast(pa.date32())
+
+
+def _col_decimals(draw, n):
+    import decimal as _d
+    vals = draw(st.lists(st.one_of(st.none(),
+                                   st.integers(-(10**11), 10**11)),
+                         min_size=n, max_size=n))
+    return pa.array([None if v is None else _d.Decimal(v) / 100
+                     for v in vals], type=pa.decimal128(13, 2))
+
+
+def _col_lowcard(draw, n):
+    # low-cardinality strings flip the writer to DICTIONARY_V2
+    pool = ["en", "de", "fr", "", "zh-\u4e2d\u6587"]
+    return pa.array(
+        draw(st.lists(st.one_of(st.none(), st.sampled_from(pool)),
+                      min_size=n, max_size=n)),
+        type=pa.string())
+
+
+def _col_binary(draw, n):
+    return pa.array(
+        draw(st.lists(st.one_of(st.none(), st.binary(max_size=8)),
+                      min_size=n, max_size=n)),
+        type=pa.binary())
+
+
+def _col_structs(draw, n):
+    typ = pa.struct([("a", pa.int64()), ("b", pa.string())])
+    return pa.array(
+        draw(st.lists(st.one_of(
+            st.none(),
+            st.fixed_dictionaries({
+                "a": st.one_of(st.none(), st.integers(-(2**40), 2**40)),
+                "b": st.one_of(st.none(), st.text(max_size=6)),
+            })),
+            min_size=n, max_size=n)),
+        type=typ)
+
+
 _MAKERS = {"i": _col_ints, "s": _col_strings, "f": _col_floats,
-           "t": _col_ts, "l": _col_lists}
+           "t": _col_ts, "l": _col_lists, "b": _col_bools,
+           "d": _col_dates, "e": _col_decimals, "c": _col_lowcard,
+           "y": _col_binary, "r": _col_structs}
 
 
 @st.composite
