@@ -10,6 +10,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.orc as paorc
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as hyp_st
 
 from orc_rust_spark.sources.orc_file import orc_to_table, read_metadata
 
@@ -1749,3 +1751,58 @@ def test_pruned_uncomparable_probe_keeps_not_crashes(tmp_path):
 
     with pytest.raises(TypeError, match="caller mistake"):
         _corrupt_guarded(boom)
+
+
+_PRED_FILE = {}
+
+
+def _pred_file():
+    """Build the predicate-property fixture once per process (Hypothesis
+    re-enters the test body many times; tmp_path is function-scoped)."""
+    if not _PRED_FILE:
+        import pathlib
+        import tempfile
+
+        d = pathlib.Path(tempfile.mkdtemp(prefix="predprop_"))
+        _PRED_FILE["tbl"], _PRED_FILE["path"] = _rg_file(d, bloom=False,
+                                                         n=30000)
+    return _PRED_FILE["tbl"], _PRED_FILE["path"]
+
+
+@given(lo=hyp_st.integers(-5_000, 35_000), span=hyp_st.integers(0, 20_000))
+@settings(max_examples=30, deadline=None)
+def test_pruned_predicate_property_equals_full_filter(lo, span):
+    """Property (r7): for ANY int range predicate, seek-decoding kept
+    groups then applying the residual filter equals filtering the full
+    decode — including empty results, ranges outside the data, and
+    ranges aligned to group boundaries. Stats pruning is advisory
+    (superset), so equality is asserted AFTER the residual filter."""
+    import pyarrow.compute as pc
+
+    from orc_rust_spark.sources.orc_file import (
+        decode_stripe,
+        decode_stripe_pruned,
+        read_metadata,
+    )
+
+    tbl, path = _pred_file()
+    hi = lo + span
+    meta = read_metadata(path)
+    st0 = meta.stripes[0]
+    with open(path, "rb") as fh:
+        fh.seek(st0.offset)
+        body = fh.read(st0.index_length + st0.data_length)
+        fr = fh.read(st0.footer_length)
+    pruned, kept, total = decode_stripe_pruned(
+        body, fr, meta, st0.number_of_rows, "id", lo=lo, hi=hi)
+    full = decode_stripe(body, fr, meta, st0.number_of_rows)
+
+    def residual(t):
+        m = pc.and_(pc.greater_equal(t["id"], lo), pc.less_equal(t["id"], hi))
+        return t.filter(m)
+
+    want = residual(full)
+    got = residual(pruned)
+    assert kept <= total
+    assert got.num_rows == want.num_rows
+    assert got.sort_by("id").equals(want.sort_by("id"))
