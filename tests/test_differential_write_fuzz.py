@@ -133,15 +133,23 @@ def tables(draw):
     return pa.table({k: _MAKERS[k](draw, n) for k in kinds})
 
 
-@pytest.mark.parametrize("comp", ["zlib", "zstd"])
+@pytest.mark.parametrize("comp,extra", [
+    ("zlib", {}),
+    ("zstd", {}),
+    # legacy DIRECT(v1) integer streams + bloom emission under random data
+    ("zlib", {"rle_version": 1, "bloom_columns": ["i"]}),
+], ids=["zlib", "zstd", "zlib-rlev1-bloom"])
 @given(tbl=tables())
 @settings(max_examples=20, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
-def test_write_orc_differential_roundtrip(tmp_path, comp, tbl):
+def test_write_orc_differential_roundtrip(tmp_path, comp, extra, tbl):
+    kw = dict(extra)
+    if "bloom_columns" in kw and "i" not in tbl.column_names:
+        kw.pop("bloom_columns")
     path = str(tmp_path / f"fuzz_{comp}_{os.getpid()}.orc")
     # small stripes + tiny stride exercise stripe splits and index paths
     write_orc(tbl, path, compression=comp, stripe_rows=40,
-              row_index_stride=16)
+              row_index_stride=16, **kw)
     ours = orc_to_table(path)
     assert ours.cast(tbl.schema).equals(tbl), "self-read mismatch"
     ref = paorc.ORCFile(path).read()
