@@ -2412,6 +2412,57 @@ def _encode_indexed_tree(
 _WRITE_COMP_ENUM = {"none": 0, "zlib": 1, "snappy": 2, "lz4": 4, "zstd": 5}
 
 
+def _emit_file_tail(fh, content_len: int, stripe_info_protos: list[bytes],
+                    stripe_stats_protos: list[bytes], types: list[OrcType],
+                    total_rows: int, file_stats: list[tuple | None] | None,
+                    row_index_stride: int, compression: str,
+                    block_size: int | None = None) -> None:
+    """Append the ORC file tail — Metadata + Footer + PostScript — after
+    the stripes region. Shared by OrcWriter.close and the stripe-copy
+    merge (orc_merge), so the two writers of tails can never drift.
+
+    ``file_stats`` is per-type-id ``(n_values, has_null, mn, mx)`` tuples
+    (index 0 ignored — the root STRUCT entry is synthesized from
+    ``total_rows``), or None to omit the footer's optional file
+    statistics entirely. ``block_size`` overrides the PostScript's
+    compressionBlockSize (the merge advertises the max of its inputs so
+    readers that size buffers from it never under-allocate for copied
+    stripes written with a larger block)."""
+    meta_bytes = b""
+    if stripe_stats_protos:
+        meta_bytes = _compress_or_raw(b"".join(
+            _pb_field(1, 2, s) for s in stripe_stats_protos), compression)
+        fh.write(meta_bytes)
+
+    footer = _pb_field(1, 0, len(MAGIC))           # headerLength
+    footer += _pb_field(2, 0, content_len)         # contentLength
+    footer += b"".join(_pb_field(3, 2, s) for s in stripe_info_protos)
+    footer += b"".join(_pb_field(4, 2, t) for t in _type_protos(types))
+    footer += _pb_field(6, 0, total_rows)
+    if file_stats is not None:
+        # file statistics (repeated ColumnStatistics, type-tree order)
+        footer += _pb_field(7, 2, _stats_proto(
+            total_rows, False, K_STRUCT, None, None))
+        for tid in range(1, len(types)):
+            s = file_stats[tid] or (0, False, None, None)
+            footer += _pb_field(7, 2, _stats_proto(
+                s[0], s[1], types[tid].kind, s[2], s[3]))
+    footer += _pb_field(8, 0, row_index_stride)    # rowIndexStride
+    footer_bytes = _compress_or_raw(footer, compression)
+    fh.write(footer_bytes)
+
+    ps = _pb_field(1, 0, len(footer_bytes))        # footerLength
+    ps += _pb_field(2, 0, _WRITE_COMP_ENUM[compression])
+    if compression != "none":
+        ps += _pb_field(3, 0, block_size or blockc.DEFAULT_BLOCK_SIZE)
+    ps += _pb_field(4, 0, 0)                       # version major 0
+    ps += _pb_field(4, 0, 12)                      # version minor 12
+    ps += _pb_field(5, 0, len(meta_bytes))         # metadataLength
+    ps += _pb_field(6, 0, 1)                       # writerVersion
+    ps += _pb_field(8000, 2, MAGIC)                # magic
+    fh.write(ps + bytes([len(ps)]))
+
+
 class OrcWriter:
     """STREAMING writer of REAL Apache ORC v1 files using this engine's
     encoders — the reference ArrowWriter analog (src/arrow_writer.rs:
@@ -2708,46 +2759,13 @@ class OrcWriter:
         if self._buf_rows:
             self._flush_stripe()
         content_len = self._pos - len(MAGIC)  # stripes region only
-        tail = bytearray()
-
-        # Metadata section: per-stripe StripeStatistics (read back into
-        # OrcMeta.stripe_stats and used by prune_stripes)
-        meta_bytes = b""
-        if self._stripe_stats_protos:
-            meta_bytes = self._maybe_compress(b"".join(
-                _pb_field(1, 2, s) for s in self._stripe_stats_protos))
-            tail.extend(meta_bytes)
-
-        footer = _pb_field(1, 0, len(MAGIC))           # headerLength
-        footer += _pb_field(2, 0, content_len)         # contentLength
-        footer += b"".join(_pb_field(3, 2, s) for s in self._stripe_infos)
-        footer += b"".join(_pb_field(4, 2, t) for t in _type_protos(self.types))
-        footer += _pb_field(6, 0, self._total_rows)
-        if self.row_index_stride and self._stripe_stats_protos:
-            # file statistics (repeated ColumnStatistics, type-tree order)
-            footer += _pb_field(7, 2, _stats_proto(
-                self._total_rows, False, K_STRUCT, None, None))
-            for tid in range(1, len(self.types)):
-                s = self._file_stats[tid] or (0, False, None, None)
-                footer += _pb_field(7, 2, _stats_proto(
-                    s[0], s[1], self.types[tid].kind, s[2], s[3]))
-        footer += _pb_field(8, 0, self.row_index_stride)    # rowIndexStride
-        footer_bytes = self._maybe_compress(footer)
-        tail.extend(footer_bytes)
-
-        comp_enum = _WRITE_COMP_ENUM[self.compression]
-        ps = _pb_field(1, 0, len(footer_bytes))        # footerLength
-        ps += _pb_field(2, 0, comp_enum)               # compression
-        if self.compression != "none":
-            ps += _pb_field(3, 0, blockc.DEFAULT_BLOCK_SIZE)
-        ps += _pb_field(4, 0, 0)                       # version major 0
-        ps += _pb_field(4, 0, 12)                      # version minor 12
-        ps += _pb_field(5, 0, len(meta_bytes))         # metadataLength
-        ps += _pb_field(6, 0, 1)                       # writerVersion
-        ps += _pb_field(8000, 2, MAGIC)                # magic
-        tail.extend(ps)
-        tail.append(len(ps))
-        self._fh.write(bytes(tail))
+        file_stats = (self._file_stats
+                      if self.row_index_stride and self._stripe_stats_protos
+                      else None)
+        _emit_file_tail(self._fh, content_len, self._stripe_infos,
+                        self._stripe_stats_protos, self.types,
+                        self._total_rows, file_stats, self.row_index_stride,
+                        self.compression)
         self._fh.close()
         self._closed = True
 
