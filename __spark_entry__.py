@@ -125,6 +125,7 @@ def warm_caches(spark: SparkSession, sf_dir: str) -> None:
     q_orc_file_rlev1_scan(spark, sf_dir).limit(1).collect()
     _events_ts_orc(sf_dir)
     _lineitem_chunks(spark, sf_dir)
+    q_orc_compact_scan(spark, sf_dir).limit(1).collect()
 
 
 # --- checksum-aggregate gate helpers ----------------------------------------
@@ -551,6 +552,76 @@ def q_orc_fs_uri_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
         F.min("l_shipdate").alias("min_ship"),
         F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+def q_orc_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-decode compaction end to end (r7 — the small-files problem a
+    streaming crawl sink creates): events is split into 8 small MULTI-
+    stripe ORC files by THIS engine's writer, compact_orc stripe-copy-
+    merges them into ~3 bins (one Spark task per output file, no stream
+    ever decoded — Hive ALTER TABLE .. CONCATENATE analog, built on the
+    same stripe self-containment the reference's stripe reader relies on,
+    src/stripe.rs:1-120), and the merged files are scanned back by
+    orc_scan into a per-event_type checksum aggregate DuckDB recomputes
+    from the source parquet — a single corrupted, dropped, or duplicated
+    byte-copied stripe shifts a checksum."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from orc_rust_spark.sources.orc_file import orc_scan, write_orc
+    from orc_rust_spark.sources.orc_merge import compact_orc
+
+    out_dir = _interop_cache_path(sf_dir, "events_compacted", ".d",
+                                  source="events")
+    if not os.path.exists(out_dir + ".probe"):
+        small_dir = out_dir + ".in"
+        shutil.rmtree(small_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.makedirs(small_dir)
+        tbl = pq.read_table(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "ts", "user_id",
+                                     "event_type", "value", "props"])
+        n = tbl.num_rows
+        step = (n + 7) // 8
+        for i in range(8):
+            chunk = tbl.slice(i * step, step)
+            if chunk.num_rows:
+                # ~3 stripes per input so the merge relocates MANY stripe
+                # offsets per file, not one
+                write_orc(chunk, os.path.join(small_dir, f"in-{i:02d}.orc"),
+                          compression="zlib",
+                          stripe_rows=max(500, step // 3 + 1))
+        in_bytes = sum(os.path.getsize(os.path.join(small_dir, f))
+                       for f in os.listdir(small_dir))
+        manifest = compact_orc(spark, small_dir, out_dir,
+                               target_bytes=max(in_bytes // 3, 1)).collect()
+        total = sum(r["n_rows"] for r in manifest)
+        if total != n:
+            raise ValueError(
+                f"compaction lost rows: {total} merged vs {n} source")
+        # probe LAST: an interrupt mid-build must not poison the cache
+        with open(out_dir + ".probe", "w") as fh:
+            fh.write(f"{total}\n{len(manifest)}")
+    df = orc_scan(
+        spark, out_dir,
+        schema="event_id long, ts timestamp_ntz, user_id long, "
+               "event_type string, value double, props string",
+        readahead=2,
+    )
+    return df.groupBy("event_type").agg(
+        *_mix_aggs(F.col("event_id"), {
+            "eid": F.col("event_id"),
+            "uid": F.col("user_id"),
+            # NTZ -> timestamp -> microsecond epoch (UTC session, so this
+            # equals DuckDB's epoch_us over the naive source value)
+            "tsu": F.unix_micros(F.col("ts").cast("timestamp")),
+            # floor(x*1000) is the same IEEE double op in both engines
+            "val": F.floor(F.col("value") * 1000).cast("long"),
+            "plen": F.octet_length(F.col("props")),
+        })
     )
 
 
@@ -1307,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_date_decimal128": q_roundtrip_date_decimal128,
         "orc_file_scan": q_orc_file_scan,
         "orc_fs_uri_scan": q_orc_fs_uri_scan,
+        "orc_compact_scan": q_orc_compact_scan,
         "orc_file_write": q_orc_file_write,
         "orc_file_point_lookup": q_orc_file_point_lookup,
         "orc_file_write_pruned": q_orc_file_write_pruned,
@@ -1632,6 +1704,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, "
             "min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship "
             "FROM lineitem GROUP BY l_returnflag",
+        "orc_compact_scan": _mix_sql(
+            "event_type",
+            {"eid": "event_id", "uid": "user_id",
+             "tsu": "CAST(epoch_us(ts) AS BIGINT)",
+             "val": "CAST(floor(value * 1000) AS BIGINT)",
+             "plen": "CAST(octet_length(CAST(props AS BLOB)) AS BIGINT)"},
+            "events", key="event_id"),
         "orc_file_scan":
             "SELECT l_returnflag, l_linestatus, "
             "CAST(count(*) AS BIGINT) AS cnt, "
