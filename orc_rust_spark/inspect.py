@@ -16,6 +16,10 @@ session; pure tail/stream parse, like the reference CLI):
     python -m orc_rust_spark.inspect <file.orc> [info|layout]
     python -m orc_rust_spark.inspect <file.orc> index <column>
     python -m orc_rust_spark.inspect <file.orc> bloom <column> <value>
+
+`merge` compacts ORC files WITHOUT decoding (stripe byte-copy + fresh
+tail; the orc-tools merge / Hive CONCATENATE analog — no Spark session):
+    python -m orc_rust_spark.inspect merge <out.orc> <in1.orc> <in2.orc> [...]
 """
 
 from __future__ import annotations
@@ -145,11 +149,36 @@ def main_orc(argv: list[str]) -> int:
     return 0
 
 
+def main_merge(argv: list[str]) -> int:
+    """Zero-decode ORC compaction from the command line (orc-tools
+    `merge` analog): stripes byte-copied, tail rewritten — inputs must
+    share the type tree, compression kind, and row-index stride
+    (merge_orc_files validates and refuses otherwise). Spark-free: the
+    single-output merge is pure sequential IO; use compact_orc for the
+    distributed many-output form."""
+    if len(argv) < 4:
+        print("usage: python -m orc_rust_spark.inspect merge "
+              "<out.orc> <in1.orc> <in2.orc> [...]")
+        return 2
+    from .sources.orc_merge import merge_orc_files
+
+    try:
+        res = merge_orc_files(list(argv[3:]), argv[2])
+    except (ValueError, NotImplementedError) as exc:
+        print(f"merge refused: {exc}")
+        return 1
+    print(f"merged files={res['files']} stripes={res['stripes']} "
+          f"rows={res['rows']} bytes={res['bytes']} -> {argv[2]}")
+    return 0
+
+
 def main(argv: list[str], spark=None) -> int:
     if len(argv) < 2:
         print(__doc__)
         return 2
     chunks_dir = argv[1]
+    if chunks_dir == "merge":
+        return main_merge(argv)
     if chunks_dir.endswith(".orc"):
         return main_orc(argv)
     cmd = argv[2] if len(argv) > 2 else "info"

@@ -154,3 +154,45 @@ def test_orc_file_bloom(orc_file, capsys):
     assert "maybe-contain=[1]" in out
     out2 = _run_orc(capsys, orc_file, "bloom", "id", "99999999")
     assert "maybe-contain=[]" in out2
+
+
+def test_cli_merge(orc_file, tmp_path, capsys):
+    """`inspect merge` compacts without decoding: the merged file carries
+    both inputs' rows, our reader and liborc agree on it, and the info
+    subcommand works on the output."""
+    import pyarrow.orc as paorc
+
+    from orc_rust_spark.inspect import main
+    from orc_rust_spark.sources.orc_file import orc_to_table
+
+    out = str(tmp_path / "merged.orc")
+    rc = main(["inspect", "merge", out, orc_file, orc_file])
+    msg = capsys.readouterr().out
+    assert rc == 0, msg
+    assert "merged files=2" in msg and "rows=50000" in msg
+    ours = orc_to_table(out)
+    theirs = paorc.read_table(out)
+    assert ours.num_rows == 50000
+    assert ours.cast(theirs.schema).equals(theirs)
+    out2 = _run_orc(capsys, out)
+    assert "rows       : 50,000" in out2
+
+
+def test_cli_merge_refuses_mixed_schema(orc_file, tmp_path, capsys):
+    import pyarrow as pa
+
+    from orc_rust_spark.inspect import main
+    from orc_rust_spark.sources.orc_file import write_orc
+
+    other = str(tmp_path / "other.orc")
+    write_orc(pa.table({"x": pa.array([1, 2, 3])}), other, compression="zlib")
+    rc = main(["inspect", "merge", str(tmp_path / "m.orc"), orc_file, other])
+    assert rc == 1
+    assert "merge refused" in capsys.readouterr().out
+
+
+def test_cli_merge_usage(capsys):
+    from orc_rust_spark.inspect import main
+
+    assert main(["inspect", "merge", "out.orc"]) == 2
+    assert "usage" in capsys.readouterr().out
