@@ -181,7 +181,8 @@ def _emit_batches(tbl, columns):
 
 
 class OrcRustReader(DataSourceReader):
-    def __init__(self, options: dict, columns: list[str] | None = None):
+    def __init__(self, options: dict, columns: list[str] | None = None,
+                 schema=None):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("orcx requires a path: .load('/file.orc')")
@@ -216,17 +217,43 @@ class OrcRustReader(DataSourceReader):
                                              filesystem=_option_fs(options))
         self.metas = of.read_metadatas(fs_paths, filesystem=self._fs,
                                        io_retries=self.io_retries)
+        # SCHEMA EVOLUTION on read (.option("missing_as_null", "true") —
+        # orc_scan's flag, the ORC SchemaEvolution add-column case): files
+        # lacking a declared column yield typed nulls for it and batches
+        # conform BY NAME, so per-file column order stops mattering. A
+        # column present in NO file is still rejected (typo, not
+        # evolution). Default off: the loud contract below.
+        self.evolve = _bool_option(options, "missing_as_null")
         # a user-declared scan schema naming a column no file has would
         # silently yield fewer columns than declared and fail executor-side
         # with an opaque arity mismatch — reject it up front instead
-        if self.columns is not None:
+        if self.columns is not None and not self.evolve:
             for p, meta in self.metas.items():
                 have = set(meta.types[0].field_names)
                 missing = [c for c in self.columns if c not in have]
                 if missing:
                     raise ValueError(
                         f"orcx: column(s) {missing} in the user schema do not "
-                        f"exist in {p!r} (file columns: {sorted(have)})")
+                        f"exist in {p!r} (file columns: {sorted(have)}); set "
+                        ".option('missing_as_null', 'true') if these are "
+                        "schema-evolution added columns")
+        elif self.columns is not None:
+            known: set[str] = set()
+            for meta in self.metas.values():
+                known.update(meta.types[0].field_names)
+            ghost = [c for c in self.columns if c not in known]
+            if ghost:
+                raise ValueError(
+                    f"orcx: column(s) {ghost} not in ANY scanned ORC file; "
+                    f"available: {sorted(known)}")
+        # evolution conform target (None = evolution off): the declared
+        # scan schema's arrow form, resolved at planning, riding the
+        # reader pickle — O(schema) bytes
+        self._target_arrow = None
+        if self.evolve:
+            src = (schema if schema is not None
+                   else of.union_schema_ddl(self.metas, self.columns))
+            self._target_arrow = of.arrow_schema_of(src)
         # multi-file scans: same-NAMED columns must also agree on TYPE, or
         # the batch conversion fails executor-side with an opaque error
         # after half the job ran (code-review r6) — reject at planning
@@ -325,7 +352,13 @@ class OrcRustReader(DataSourceReader):
         parts = []
         for path, meta in self.metas.items():
             idx = set(range(len(meta.stripes)))
+            have = set(meta.types[0].field_names)
             for p in preds:  # stripe keeps intersect across columns too
+                if p["column"] not in have:
+                    # evolution: a file predating the predicate column
+                    # cannot prune on it — its rows surface as nulls and
+                    # Spark's residual filter decides (orc_scan's guard)
+                    continue
                 if p.get("eq") is not None:
                     idx &= set(of.prune_stripes(meta, p["column"],
                                                 values=p["eq"]))
@@ -364,6 +397,11 @@ class OrcRustReader(DataSourceReader):
                 ".option('ignore_missing_files', 'true') to skip such "
                 "files") from None
         preds = self._predicates()
+        if self._target_arrow is not None:
+            # evolution: row-group pruning mirrors the stripe guard — a
+            # file without the predicate column cannot prune on it
+            have = set(meta.types[0].field_names)
+            preds = [p for p in preds if p["column"] in have]
         if preds or part.ranges is not None:
             # the projection reaches the pruned decode path too: unprojected
             # columns of kept groups are never seek-decoded (VERDICT r3
@@ -375,6 +413,13 @@ class OrcRustReader(DataSourceReader):
         else:
             tbl = of.decode_stripe(body, footer_raw, meta, part.rows,
                                    columns=self.columns)
+        if self._target_arrow is not None:
+            # conform BY NAME to the declared schema: typed nulls for
+            # columns this file predates, declared column order (Spark
+            # binds batches positionally)
+            tbl = of.conform_table(tbl, self._target_arrow)
+            yield from _normalize_table(tbl).to_batches()
+            return
         yield from _emit_batches(tbl, self.columns)
 
 
@@ -411,10 +456,19 @@ class OrcRustStreamReader(DataSourceStreamReader):
     checkpoint never re-expands: the watermark then encodes what was
     already processed."""
 
-    def __init__(self, options: dict, columns: list[str] | None = None):
+    def __init__(self, options: dict, columns: list[str] | None = None,
+                 schema=None):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("orcx stream requires a directory path")
+        # schema evolution for a LANDING directory (the place it actually
+        # happens: a producer deploy adds a column mid-stream): files
+        # predating a declared column stream typed nulls for it instead
+        # of wedging on the schema-mismatch raise below
+        self.evolve = _bool_option(options, "missing_as_null")
+        self._target_arrow = (
+            of.arrow_schema_of(schema)
+            if self.evolve and schema is not None else None)
         # planning-time-resolved filesystem (None = local fast path);
         # logged offsets store fs-native paths, which stay stable across
         # restarts because resolution is scheme-deterministic
@@ -505,7 +559,7 @@ class OrcRustStreamReader(DataSourceStreamReader):
         metas = of.read_metadatas(new, filesystem=self._fs)  # driver-side
         for p in new:
             meta = metas[p]
-            if self.columns is not None:
+            if self.columns is not None and not self.evolve:
                 have = set(meta.types[0].field_names)
                 missing = [c for c in self.columns if c not in have]
                 if missing and self.skip_schema_mismatch:
@@ -541,6 +595,10 @@ class OrcRustStreamReader(DataSourceStreamReader):
             ) from None
         tbl = of.decode_stripe(body, footer_raw, meta, part.rows,
                                columns=self.columns)
+        if self._target_arrow is not None:
+            tbl = of.conform_table(tbl, self._target_arrow)
+            yield from _normalize_table(tbl).to_batches()
+            return
         yield from _emit_batches(tbl, self.columns)
 
     def commit(self, end: dict) -> None:
@@ -824,6 +882,12 @@ class OrcRustDataSource(DataSource):
     def schema(self) -> str:
         fs, paths = of.resolve_scan(self.options["path"],
                                     filesystem=_option_fs(self.options))
+        if _bool_option(self.options, "missing_as_null"):
+            # schema evolution: infer the UNION of every file's columns
+            # (first-seen order over path-sorted files) so an added
+            # column is visible even when the oldest file predates it
+            metas = of.read_metadatas(paths, filesystem=fs)
+            return of.union_schema_ddl(metas)
         meta = of.read_metadata(paths[0], filesystem=fs)
         # the one ORC-kind -> Spark-DDL rule (code-review r7: this body
         # was a line-for-line copy of schema_ddl and would drift again)
@@ -831,7 +895,8 @@ class OrcRustDataSource(DataSource):
 
     def reader(self, schema) -> OrcRustReader:
         names = list(schema.fieldNames()) if hasattr(schema, "fieldNames") else None
-        return OrcRustReader(dict(self.options), columns=names)
+        return OrcRustReader(dict(self.options), columns=names,
+                             schema=schema if names is not None else None)
 
     def writer(self, schema, overwrite: bool) -> OrcRustWriter:
         w = OrcRustWriter(dict(self.options), schema, overwrite)
@@ -840,7 +905,9 @@ class OrcRustDataSource(DataSource):
 
     def streamReader(self, schema) -> OrcRustStreamReader:
         names = list(schema.fieldNames()) if hasattr(schema, "fieldNames") else None
-        return OrcRustStreamReader(dict(self.options), columns=names)
+        return OrcRustStreamReader(dict(self.options), columns=names,
+                                   schema=schema if names is not None
+                                   else None)
 
     def streamWriter(self, schema, overwrite: bool) -> OrcRustStreamWriter:
         w = OrcRustStreamWriter(dict(self.options), schema, overwrite)

@@ -327,6 +327,47 @@ def schema_ddl(meta: "OrcMeta", columns: list[str] | None = None) -> str:
         if columns is None or n in columns)
 
 
+def union_schema_ddl(metas: dict, columns: list[str] | None = None) -> str:
+    """Schema-evolution inference: the UNION of every file's root columns
+    as Spark DDL. Order: the caller's ``columns`` order when projected,
+    else first-seen across ``metas`` iteration order (path-sorted by
+    read_metadatas). Same-named type clashes are rejected separately by
+    validate_consistent_types; each column's type comes from the first
+    file that carries it."""
+    seen: dict[str, str] = {}
+    for meta in metas.values():
+        root = meta.types[0]
+        for c, n in zip(root.subtypes, root.field_names):
+            if (columns is None or n in columns) and n not in seen:
+                seen[n] = ddl_of_type(meta.types, c)
+    order = [c for c in columns if c in seen] if columns is not None else seen
+    return ", ".join(f"{_esc_ddl_name(n)} {seen[n]}" for n in order)
+
+
+def arrow_schema_of(schema) -> "pa.Schema":
+    """A Spark schema (StructType or DDL string) as the equivalent arrow
+    schema — the conform target for schema-evolution reads, resolved
+    once on the driver (O(schema) bytes in the task closure)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    spark_schema = (schema if isinstance(schema, StructType)
+                    else StructType.fromDDL(schema))
+    return to_arrow_schema(spark_schema)
+
+
+def conform_table(tbl: pa.Table, target_arrow: "pa.Schema") -> pa.Table:
+    """Schema-evolution conform: select and reorder BY NAME to the
+    target arrow schema, with typed nulls for columns the file predates
+    (liborc's SchemaEvolution add-column rule). Shared by orc_scan and
+    the orcx datasource reader so the two paths cannot drift."""
+    names = set(tbl.schema.names)
+    return pa.table({
+        f.name: (tbl.column(f.name) if f.name in names
+                 else pa.nulls(tbl.num_rows, type=f.type))
+        for f in target_arrow})
+
+
 def validate_consistent_types(metas: dict, columns: list[str] | None = None,
                               what: str = "orc_scan") -> None:
     """Multi-file scans: same-NAMED (projected) columns must agree on
@@ -2839,7 +2880,8 @@ def orc_scan(spark, path: str, schema=None, predicate=None,
              columns: list[str] | None = None,
              row_ranges=None,
              readahead: int = 1,
-             io_retries: int = 2) -> "pyspark.sql.DataFrame":  # noqa: F821
+             io_retries: int = 2,
+             missing_as_null: bool = False) -> "pyspark.sql.DataFrame":  # noqa: F821
     """Distributed ORC scan: one task per stripe (the reference's byte-range
     split model, src/arrow_reader.rs:358-372) — each task seeks to its
     stripe, fetches only that byte range, and decodes with this engine's
@@ -2865,6 +2907,19 @@ def orc_scan(spark, path: str, schema=None, predicate=None,
     ``columns`` projects to the named root columns — ``schema`` must then
     declare exactly those columns in file order; unprojected streams are
     never decoded (ProjectionMask analog).
+
+    ``missing_as_null`` enables SCHEMA EVOLUTION on read (the ORC
+    SchemaEvolution layer's add-column case; liborc reads old files
+    against a newer reader schema the same way): a file lacking a
+    requested column yields typed nulls for it, batches are conformed to
+    the declared/inferred schema BY NAME (so per-file column order stops
+    mattering), and an inferred schema is the UNION of every file's
+    columns (first-seen order across path-sorted files; same-named
+    columns must still agree on type). A column present in NO file is
+    still an error — that is a typo, not evolution. Predicates on a
+    column a file lacks skip pruning for that file and the caller's
+    residual filter applies to its null values as usual. Default False:
+    every file must carry every requested column (the loud contract).
 
     ``row_ranges`` (r6 — the caller-supplied ``RowSelection`` API of the
     reference, src/row_selection.rs:32-260): half-open [start, stop) FILE
@@ -2893,8 +2948,21 @@ def orc_scan(spark, path: str, schema=None, predicate=None,
     fs, paths = resolve_scan(path)
     metas = read_metadatas(paths, filesystem=fs, io_retries=io_retries,
                            spark=spark)
-    for meta in metas.values():
-        _validate_projection(meta, columns)
+    if missing_as_null:
+        # evolution still rejects names NO file carries (typo, not an
+        # added column) — same loudness contract as _validate_projection
+        if columns is not None:
+            known: set[str] = set()
+            for meta in metas.values():
+                known.update(meta.types[0].field_names)
+            ghost = [c for c in columns if c not in known]
+            if ghost:
+                raise KeyError(
+                    f"projected column(s) {ghost} not in ANY scanned ORC "
+                    f"file; available: {sorted(known)}")
+    else:
+        for meta in metas.values():
+            _validate_projection(meta, columns)
     # same-named columns must agree on type across files whether the
     # schema is inferred or caller-supplied — either way mismatched files
     # fail executor-side with an opaque Arrow error (code-review r7)
@@ -2907,8 +2975,13 @@ def orc_scan(spark, path: str, schema=None, predicate=None,
                 "pass an explicit schema or project at least one column")
         # infer from the first file's type tree (the orcx datasource's
         # schema() rule), honoring the projection — r7 usability parity
-        # with the reference reader, which never needs a caller schema
-        schema = schema_ddl(next(iter(metas.values())), columns)
+        # with the reference reader, which never needs a caller schema.
+        # Under evolution: the union of every file's columns instead.
+        schema = (union_schema_ddl(metas, columns) if missing_as_null
+                  else schema_ddl(next(iter(metas.values())), columns))
+    # schema-evolution conform target: resolved on the driver once, rides
+    # the closure (O(schema) bytes) — None when evolution is off
+    target_arrow = arrow_schema_of(schema) if missing_as_null else None
     if row_ranges is not None:
         if len(metas) != 1:
             raise ValueError(
@@ -2917,9 +2990,15 @@ def orc_scan(spark, path: str, schema=None, predicate=None,
         row_ranges = normalize_row_ranges(row_ranges)
     stripes = []
     for p, meta in metas.items():
+        # a file that predates the predicate column cannot prune on it
+        # (its rows surface as nulls; the caller's residual filter
+        # decides) — only reachable with missing_as_null, since the
+        # default contract requires the column everywhere
+        has_pred_col = (predicate is not None
+                        and predicate[0] in meta.types[0].field_names)
         idx = (
             prune_stripes(meta, predicate[0], predicate[1], predicate[2])
-            if predicate else range(len(meta.stripes))
+            if has_pred_col else range(len(meta.stripes))
         )
         # stripe-local ranges: file-coordinate ranges clipped to each
         # stripe's [base, base+rows) span; stripes with none are skipped
@@ -2999,8 +3078,14 @@ def orc_scan(spark, path: str, schema=None, predicate=None,
                     m = meta_cache[cur["path"]] = _pickle.loads(cur["meta"])
                 ranges = (_pickle.loads(cur["ranges"])
                           if cur["ranges"] is not None else None)
-                if predicate is not None or ranges is not None:
-                    col, lo, hi = predicate or (None, None, None)
+                # evolution: a file without the predicate column cannot
+                # group-prune on it (mirrors the driver's stripe guard)
+                pred = predicate
+                if (pred is not None
+                        and pred[0] not in m.types[0].field_names):
+                    pred = None
+                if pred is not None or ranges is not None:
+                    col, lo, hi = pred or (None, None, None)
                     eq = lo if (lo is not None and lo == hi) else None
                     tbl, _, _ = decode_stripe_pruned(
                         body, footer_raw, m, cur["rows"], col,
@@ -3010,6 +3095,10 @@ def orc_scan(spark, path: str, schema=None, predicate=None,
                 else:
                     tbl = decode_stripe(body, footer_raw, m, cur["rows"],
                                         columns=columns)
+                if target_arrow is not None:
+                    # conform BY NAME to the declared schema: typed nulls
+                    # for columns this file predates, schema column order
+                    tbl = conform_table(tbl, target_arrow)
                 for rb in tbl.to_batches():
                     yield rb
 
