@@ -126,6 +126,7 @@ def warm_caches(spark: SparkSession, sf_dir: str) -> None:
     _events_ts_orc(sf_dir)
     _lineitem_chunks(spark, sf_dir)
     q_orc_compact_scan(spark, sf_dir).limit(1).collect()
+    q_orc_evolved_scan(spark, sf_dir).limit(1).collect()
 
 
 # --- checksum-aggregate gate helpers ----------------------------------------
@@ -622,6 +623,55 @@ def q_orc_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "val": F.floor(F.col("value") * 1000).cast("long"),
             "plen": F.octet_length(F.col("props")),
         })
+    )
+
+
+def q_orc_evolved_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read, end to end (r7 — the ORC SchemaEvolution
+    add-column contract): documents is split into a PRE-deploy ORC file
+    (every doc_id % 3 == 0 row, written BEFORE the ``lang`` column
+    existed) and a POST-deploy file that carries ``lang`` in a DIFFERENT
+    column order; ``orc_scan(missing_as_null=True)`` with an explicit
+    reader schema conforms both BY NAME, serving typed nulls for the old
+    file's lang. The aggregate groups by lang INCLUDING the null group
+    (exactly the old file's rows), so the oracle recomputes the whole
+    evolution outcome from the source table — wrong nulling, row loss,
+    or column misalignment all shift a group."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from orc_rust_spark.sources.orc_file import orc_scan, write_orc
+
+    root = _interop_cache_path(sf_dir, "evolved_root", ".d")
+    os.makedirs(root, exist_ok=True)
+    old_p = os.path.join(root, "pre_deploy.orc")
+    new_p = os.path.join(root, "post_deploy.orc")
+    if not (os.path.exists(old_p) and os.path.exists(new_p)):
+        tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "source", "n_chars"])
+        mask = pa.array(tbl.column("doc_id").to_numpy() % 3 == 0)
+        # the old file predates lang entirely; the new one reorders
+        # columns so conform-by-name (not file position) is what's tested
+        old = tbl.filter(mask).drop_columns(["lang"])
+        new = tbl.filter(pc.invert(mask)).select(
+            ["lang", "n_chars", "doc_id", "source"])
+        for t, p in ((old, old_p), (new, new_p)):
+            write_orc(t, p + ".tmp", compression="zstd")
+            os.rename(p + ".tmp", p)
+    df = orc_scan(
+        spark, root,
+        schema="doc_id long, lang string, source string, n_chars long",
+        missing_as_null=True,
+    )
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("doc_id").alias("sum_id"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("source").alias("min_src"),
+        F.max("source").alias("max_src"),
     )
 
 
@@ -1379,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_file_scan": q_orc_file_scan,
         "orc_fs_uri_scan": q_orc_fs_uri_scan,
         "orc_compact_scan": q_orc_compact_scan,
+        "orc_evolved_scan": q_orc_evolved_scan,
         "orc_file_write": q_orc_file_write,
         "orc_file_point_lookup": q_orc_file_point_lookup,
         "orc_file_write_pruned": q_orc_file_write_pruned,
@@ -1704,6 +1755,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, "
             "min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship "
             "FROM lineitem GROUP BY l_returnflag",
+        "orc_evolved_scan":
+            # the evolution outcome recomputed from the source table: the
+            # pre-deploy file (doc_id % 3 = 0) has no lang column, so its
+            # rows land in the NULL lang group
+            "SELECT CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END "
+            "AS lang, "
+            "CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_id, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "min(source) AS min_src, max(source) AS max_src "
+            "FROM documents GROUP BY 1",
         "orc_compact_scan": _mix_sql(
             "event_type",
             {"eid": "event_id", "uid": "user_id",

@@ -258,7 +258,8 @@ class OrcRustReader(DataSourceReader):
         # the batch conversion fails executor-side with an opaque error
         # after half the job ran (code-review r6) — reject at planning
         # (r7: shared rule with orc_scan's schema inference)
-        of.validate_consistent_types(self.metas, self.columns, what="orcx")
+        of.validate_consistent_types(self.metas, self.columns, what="orcx",
+                                     allow_widening=self.evolve)
         # (column, lo, hi) bounds + IN-list value sets + null predicates
         # from pushed filters
         self.bounds: dict[str, list] = {}

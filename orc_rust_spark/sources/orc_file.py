@@ -327,19 +327,43 @@ def schema_ddl(meta: "OrcMeta", columns: list[str] | None = None) -> str:
         if columns is None or n in columns)
 
 
+#: safe within-family widening lattice for schema evolution — the
+#: LOSSLESS subset of liborc's ConvertColumnReader numeric conversions
+#: (no int->float: long->double silently loses precision above 2^53)
+#: keys are ddl_of_type's names (byte/short, the Spark aliases of
+#: tinyint/smallint — fromDDL accepts both spellings)
+_WIDEN_RANK = {"byte": ("i", 0), "short": ("i", 1), "int": ("i", 2),
+               "long": ("i", 3), "float": ("f", 0), "double": ("f", 1)}
+
+
+def widen_ddl(a: str, b: str) -> str | None:
+    """The widest of two Spark DDL types under the safe widening
+    lattice, or None when they are not widenable (a real clash)."""
+    if a == b:
+        return a
+    wa, wb = _WIDEN_RANK.get(a), _WIDEN_RANK.get(b)
+    if wa is not None and wb is not None and wa[0] == wb[0]:
+        return a if wa[1] >= wb[1] else b
+    return None
+
+
 def union_schema_ddl(metas: dict, columns: list[str] | None = None) -> str:
     """Schema-evolution inference: the UNION of every file's root columns
     as Spark DDL. Order: the caller's ``columns`` order when projected,
     else first-seen across ``metas`` iteration order (path-sorted by
-    read_metadatas). Same-named type clashes are rejected separately by
-    validate_consistent_types; each column's type comes from the first
-    file that carries it."""
+    read_metadatas). A column written at different WIDTHS across files
+    (a producer deploy widened int -> long) infers the WIDEST type;
+    non-widenable clashes are rejected separately by
+    validate_consistent_types."""
     seen: dict[str, str] = {}
     for meta in metas.values():
         root = meta.types[0]
         for c, n in zip(root.subtypes, root.field_names):
-            if (columns is None or n in columns) and n not in seen:
-                seen[n] = ddl_of_type(meta.types, c)
+            if columns is not None and n not in columns:
+                continue
+            d = ddl_of_type(meta.types, c)
+            seen[n] = d if n not in seen else (widen_ddl(seen[n], d)
+                                               or seen[n])
     order = [c for c in columns if c in seen] if columns is not None else seen
     return ", ".join(f"{_esc_ddl_name(n)} {seen[n]}" for n in order)
 
@@ -359,23 +383,36 @@ def arrow_schema_of(schema) -> "pa.Schema":
 def conform_table(tbl: pa.Table, target_arrow: "pa.Schema") -> pa.Table:
     """Schema-evolution conform: select and reorder BY NAME to the
     target arrow schema, with typed nulls for columns the file predates
-    (liborc's SchemaEvolution add-column rule). Shared by orc_scan and
-    the orcx datasource reader so the two paths cannot drift."""
+    (liborc's SchemaEvolution add-column rule) and a lossless widening
+    cast for columns a file wrote narrower than the reader schema
+    (int -> long, float -> double — the ConvertColumnReader analog).
+    Shared by orc_scan and the orcx datasource reader so the two paths
+    cannot drift."""
     names = set(tbl.schema.names)
-    return pa.table({
-        f.name: (tbl.column(f.name) if f.name in names
-                 else pa.nulls(tbl.num_rows, type=f.type))
-        for f in target_arrow})
+
+    def _col(f):
+        if f.name not in names:
+            return pa.nulls(tbl.num_rows, type=f.type)
+        col = tbl.column(f.name)
+        return col if col.type == f.type else col.cast(f.type)
+
+    return pa.table({f.name: _col(f) for f in target_arrow})
 
 
 def validate_consistent_types(metas: dict, columns: list[str] | None = None,
-                              what: str = "orc_scan") -> None:
+                              what: str = "orc_scan",
+                              allow_widening: bool = False) -> None:
     """Multi-file scans: same-NAMED (projected) columns must agree on
     TYPE across files, or batches decode to Arrow schemas that don't
     match the declared one and the job dies executor-side with an opaque
     conversion error after partially running. Reject at planning instead
     (code-review r6 for the orcx datasource; r7 unified here so
-    orc_scan's schema inference gets the same guard)."""
+    orc_scan's schema inference gets the same guard).
+
+    ``allow_widening`` (schema evolution): same-family width differences
+    (tinyint..long, float..double — a producer deploy widened the
+    column) are accepted; the conform step casts losslessly to the
+    reader schema. Cross-family clashes still raise."""
     if len(metas) <= 1:
         return
     it = iter(metas.items())
@@ -389,6 +426,8 @@ def validate_consistent_types(metas: dict, columns: list[str] | None = None,
                 continue
             d = ddl_of_type(meta.types, c)
             if n in ref_ddl and d != ref_ddl[n]:
+                if allow_widening and widen_ddl(d, ref_ddl[n]) is not None:
+                    continue
                 raise ValueError(
                     f"{what}: column {n!r} is {d} in {p!r} but "
                     f"{ref_ddl[n]} in {ref_path!r}; multi-file scans "
@@ -2965,8 +3004,11 @@ def orc_scan(spark, path: str, schema=None, predicate=None,
             _validate_projection(meta, columns)
     # same-named columns must agree on type across files whether the
     # schema is inferred or caller-supplied — either way mismatched files
-    # fail executor-side with an opaque Arrow error (code-review r7)
-    validate_consistent_types(metas, columns)
+    # fail executor-side with an opaque Arrow error (code-review r7).
+    # Evolution additionally accepts same-family WIDTH differences (a
+    # deploy widened int -> long); the conform step casts losslessly.
+    validate_consistent_types(metas, columns,
+                              allow_widening=missing_as_null)
     if schema is None:
         if columns is not None and not columns:
             raise ValueError(

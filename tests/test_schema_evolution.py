@@ -221,3 +221,82 @@ def test_orcx_evolved_pruning_still_prunes_new_files(orcx, tmp_path):
     paths = {p.path for p in parts if p.offset >= 0}
     assert any(p.endswith("old.orc") for p in paths)   # can't prune: kept
     assert not any(p.endswith("new.orc") for p in paths)  # stats-dropped
+
+
+# --- type widening (the lossless ConvertColumnReader subset) ----------------
+
+
+@pytest.fixture(scope="module")
+def widened_dir(tmp_path_factory):
+    """A producer deploy widened `hits` int->long and `score`
+    float->double between v1 and v2."""
+    d = tmp_path_factory.mktemp("widen")
+    write_orc(pa.table({
+        "id": pa.array([1, 2], type=pa.int64()),
+        "hits": pa.array([10, 20], type=pa.int32()),
+        "score": pa.array([1.5, 2.5], type=pa.float32()),
+    }), str(d / "v1.orc"), compression="zlib")
+    write_orc(pa.table({
+        "id": pa.array([3], type=pa.int64()),
+        "hits": pa.array([2**40], type=pa.int64()),
+        "score": pa.array([3.25], type=pa.float64()),
+    }), str(d / "v2.orc"), compression="zlib")
+    return str(d)
+
+
+def test_widening_inferred_schema(spark, widened_dir):
+    """Inferred union schema picks the WIDEST type; narrow files cast
+    losslessly on read."""
+    from orc_rust_spark.sources.orc_file import orc_scan
+
+    df = orc_scan(spark, widened_dir, missing_as_null=True)
+    assert dict((f.name, f.dataType.simpleString())
+                for f in df.schema.fields) == {
+        "id": "bigint", "hits": "bigint", "score": "double"}
+    rows = {r["id"]: (r["hits"], r["score"]) for r in df.collect()}
+    assert rows == {1: (10, 1.5), 2: (20, 2.5), 3: (2**40, 3.25)}
+
+
+def test_widening_explicit_schema_orcx(spark, widened_dir):
+    """The orcx reader under evolution accepts width differences and
+    serves the declared wide types."""
+    from orc_rust_spark.sources.datasource import OrcRustDataSource
+
+    spark.dataSource.register(OrcRustDataSource)
+    df = (spark.read.format("orcx")
+          .option("missing_as_null", "true").load(widened_dir))
+    rows = {r["id"]: (r["hits"], r["score"]) for r in df.collect()}
+    assert rows == {1: (10, 1.5), 2: (20, 2.5), 3: (2**40, 3.25)}
+
+
+def test_widening_default_still_rejects(spark, widened_dir):
+    """Without the evolution flag, width differences stay a planning
+    error (the loud contract is unchanged)."""
+    from orc_rust_spark.sources.orc_file import orc_scan
+
+    with pytest.raises(ValueError, match="consistent column types"):
+        orc_scan(spark, widened_dir)
+
+
+def test_cross_family_still_rejected_under_evolution(spark, tmp_path):
+    """int vs string is a clash, not a widening, even with the flag."""
+    from orc_rust_spark.sources.orc_file import orc_scan
+
+    write_orc(pa.table({"v": pa.array([1], type=pa.int64())}),
+              str(tmp_path / "a.orc"), compression="none")
+    write_orc(pa.table({"v": pa.array(["x"])}),
+              str(tmp_path / "b.orc"), compression="none")
+    with pytest.raises(ValueError, match="consistent column types"):
+        orc_scan(spark, str(tmp_path), missing_as_null=True)
+
+
+def test_widen_ddl_lattice():
+    from orc_rust_spark.sources.orc_file import widen_ddl
+
+    assert widen_ddl("int", "long") == "long"
+    assert widen_ddl("long", "byte") == "long"
+    assert widen_ddl("short", "int") == "int"
+    assert widen_ddl("float", "double") == "double"
+    assert widen_ddl("string", "string") == "string"
+    assert widen_ddl("int", "double") is None   # cross-family: lossy
+    assert widen_ddl("long", "string") is None
