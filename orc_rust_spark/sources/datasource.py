@@ -29,6 +29,8 @@ scheduled, only intersecting index groups decode, rows slice precisely.
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
@@ -90,6 +92,7 @@ class _StripePartition(InputPartition):
     rows: int
     meta: object = None  # driver-parsed OrcMeta (streaming partitions)
     ranges: object = None  # stripe-local [start, stop) row ranges (r6)
+    pvals: object = None  # this file's typed hive partition values (r7)
 
 
 def _plain_type(t) -> "pa.DataType":  # noqa: F821
@@ -180,6 +183,129 @@ def _emit_batches(tbl, columns):
     yield from _normalize_table(tbl).to_batches()
 
 
+# --- hive-style partition layout (write partition_columns=, read auto) ------
+
+#: hive's spelling for a null partition value, readable by Spark/Hive/Trino
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _encode_part_value(v) -> str:
+    """One partition value -> its directory-name spelling (hive
+    convention: URL-quoted so '/', '=', '%' cannot corrupt the path)."""
+    from urllib.parse import quote
+
+    if v is None:
+        return _HIVE_NULL
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return quote(str(v), safe="")
+
+
+def _parse_part_segments(root: str, path: str) -> dict[str, str]:
+    """``root/a=1/b=x%2Fy/part.orc`` -> {"a": "1", "b": "x/y"} — the
+    directory segments between the scan root and the file, decoded."""
+    import posixpath
+    from urllib.parse import unquote
+
+    rel = posixpath.relpath(path.replace(os.sep, "/"),
+                            root.rstrip("/").replace(os.sep, "/"))
+    out: dict[str, str] = {}
+    for seg in rel.split("/")[:-1]:
+        k, eq, val = seg.partition("=")
+        if eq:
+            out[k] = unquote(val)
+    return out
+
+
+def _infer_part_ddl(raw: list[str | None]) -> str:
+    """Partition value strings -> the narrowest of long/double/string
+    (Spark's own partition-column inference, minus date detection)."""
+    vals = [v for v in raw if v is not None]
+    if not vals:
+        return "string"
+    for ddl, conv in (("long", int), ("double", float)):
+        try:
+            for v in vals:
+                conv(v)
+            return ddl
+        except ValueError:
+            continue
+    return "string"
+
+
+_PART_ARROW = None  # lazy: {"long": pa.int64(), ...}
+
+
+def _part_arrow_type(ddl: str):
+    import pyarrow as pa
+
+    global _PART_ARROW
+    if _PART_ARROW is None:
+        _PART_ARROW = {"long": pa.int64(), "double": pa.float64(),
+                       "string": pa.string()}
+    return _PART_ARROW[ddl]
+
+
+def _typed_part_value(raw: str | None, ddl: str):
+    if raw is None:
+        return None
+    return {"long": int, "double": float, "string": str}[ddl](raw)
+
+
+def _discover_partitions(root: str, fs) -> tuple[list[str], dict, dict]:
+    """Recursive hive-layout discovery under ``root`` ->
+    (paths, {path: {col: raw-or-None}}, {col: ddl}). Files directly in
+    the root carry None for every partition column (they predate the
+    partitioning — the evolution null rule). Raw ``_HIVE_NULL`` markers
+    decode to None."""
+    paths = fsio.list_files_recursive(root, fs)
+    raw_by_path: dict[str, dict] = {}
+    cols: list[str] = []  # first-seen order
+    for p in paths:
+        segs = _parse_part_segments(root, p)
+        for c in segs:
+            if c not in cols:
+                cols.append(c)
+        raw_by_path[p] = {
+            c: (None if segs.get(c) in (None, _HIVE_NULL) else segs[c])
+            for c in segs}
+    ddl_by_col = {
+        c: _infer_part_ddl([raw_by_path[p].get(c) for p in paths])
+        for c in cols}
+    pvals = {p: {c: raw_by_path[p].get(c) for c in cols} for p in paths}
+    return paths, pvals, ddl_by_col
+
+
+def _part_keep(typed_vals: dict, bounds: dict, in_sets: dict,
+               null_preds: dict) -> bool:
+    """EXACT file-level partition pruning: a partition column is constant
+    per file, so a pushed probe it fails eliminates the whole file (not
+    advisory — but Spark still re-applies every filter, so a too-keep is
+    merely unpruned work). Type-mismatched comparisons keep the file."""
+    for col, v in typed_vals.items():
+        try:
+            if col in null_preds:
+                want_not_null = null_preds[col]
+                if want_not_null and v is None:
+                    return False
+                if not want_not_null and v is not None:
+                    return False
+            if col in bounds:
+                lo, hi = bounds[col]
+                if v is None and (lo is not None or hi is not None):
+                    return False  # NULL fails every range/eq probe
+                if lo is not None and v < lo:
+                    return False
+                if hi is not None and v > hi:
+                    return False
+            if col in in_sets:
+                if v is None or v not in in_sets[col]:
+                    return False
+        except TypeError:
+            continue  # incomparable probe value: advisory keep
+    return True
+
+
 class OrcRustReader(DataSourceReader):
     def __init__(self, options: dict, columns: list[str] | None = None,
                  schema=None):
@@ -213,8 +339,36 @@ class OrcRustReader(DataSourceReader):
         # tasks is O(1) in file count — no per-stripe re-read of file tails
         # and no O(files) closure (VERDICT r4 missing #2). The filesystem
         # resolves here (planning) and rides the reader pickle to executors.
-        self._fs, fs_paths = of.resolve_scan(self.path,
-                                             filesystem=_option_fs(options))
+        self._fs = _option_fs(options)
+        if self._fs is not None:
+            root = fsio.strip_scheme(self.path)
+        else:
+            self._fs, root = fsio.resolve(self.path)
+        # hive-partitioned layouts (r7): files under col=value/ subdirs.
+        # Discovery is explicit (.option("hive_partitioning", "true")) or
+        # automatic when the flat listing finds nothing — a partitioned
+        # root has no *.orc directly in it. Partition values become
+        # constant columns appended to the schema; pushed filters on them
+        # prune WHOLE FILES at planning (exact, not advisory).
+        self.part_types: dict[str, str] = {}
+        self._pvals: dict[str, dict] = {}
+        flat = fsio.list_files(root, self._fs)
+        if _bool_option(options, "hive_partitioning") or not flat:
+            paths, raw_pvals, self.part_types = _discover_partitions(
+                root, self._fs)
+            if paths:
+                fs_paths = paths
+                self._pvals = {
+                    p: {c: _typed_part_value(raw_pvals[p][c],
+                                             self.part_types[c])
+                        for c in self.part_types}
+                    for p in paths}
+            else:
+                fs_paths = flat
+        else:
+            fs_paths = flat
+        if not fs_paths:
+            raise FileNotFoundError(f"no ORC files at {self.path!r}")
         self.metas = of.read_metadatas(fs_paths, filesystem=self._fs,
                                        io_retries=self.io_retries)
         # SCHEMA EVOLUTION on read (.option("missing_as_null", "true") —
@@ -229,7 +383,7 @@ class OrcRustReader(DataSourceReader):
         # with an opaque arity mismatch — reject it up front instead
         if self.columns is not None and not self.evolve:
             for p, meta in self.metas.items():
-                have = set(meta.types[0].field_names)
+                have = set(meta.types[0].field_names) | set(self.part_types)
                 missing = [c for c in self.columns if c not in have]
                 if missing:
                     raise ValueError(
@@ -238,7 +392,7 @@ class OrcRustReader(DataSourceReader):
                         ".option('missing_as_null', 'true') if these are "
                         "schema-evolution added columns")
         elif self.columns is not None:
-            known: set[str] = set()
+            known: set[str] = set(self.part_types)
             for meta in self.metas.values():
                 known.update(meta.types[0].field_names)
             ghost = [c for c in self.columns if c not in known]
@@ -246,13 +400,28 @@ class OrcRustReader(DataSourceReader):
                 raise ValueError(
                     f"orcx: column(s) {ghost} not in ANY scanned ORC file; "
                     f"available: {sorted(known)}")
+        # a partition column shadowing a FILE column is ambiguous (which
+        # value wins?) — Spark's own reader errors too; reject at planning
+        clash = sorted(c for c in self.part_types
+                       if any(c in m.types[0].field_names
+                              for m in self.metas.values()))
+        if clash:
+            raise ValueError(
+                f"orcx: partition column(s) {clash} also exist inside the "
+                "ORC files; a column must live in the path OR the data, "
+                "not both")
         # evolution conform target (None = evolution off): the declared
         # scan schema's arrow form, resolved at planning, riding the
         # reader pickle — O(schema) bytes
         self._target_arrow = None
         if self.evolve:
-            src = (schema if schema is not None
-                   else of.union_schema_ddl(self.metas, self.columns))
+            src = schema
+            if src is None:
+                src = of.union_schema_ddl(self.metas, self.columns)
+                extra = ", ".join(
+                    f"`{c}` {d}" for c, d in self.part_types.items()
+                    if self.columns is None or c in self.columns)
+                src = f"{src}, {extra}" if src and extra else (src or extra)
             self._target_arrow = of.arrow_schema_of(src)
         # multi-file scans: same-NAMED columns must also agree on TYPE, or
         # the batch conversion fails executor-side with an opaque error
@@ -342,7 +511,8 @@ class OrcRustReader(DataSourceReader):
         # closure size stays constant as the file count grows
         state = self.__dict__.copy()
         state["metas"] = None
-        return state
+        state["_pvals"] = None  # every partition ships its own file's
+        return state            # values; keep the task closure O(1)
 
     def partitions(self):
         preds = self._predicates()
@@ -352,6 +522,10 @@ class OrcRustReader(DataSourceReader):
                 f"{len(self.metas)}): file row coordinates are per-file")
         parts = []
         for path, meta in self.metas.items():
+            pvals = self._pvals.get(path)
+            if pvals and not _part_keep(pvals, self.bounds, self.in_sets,
+                                        self.null_preds):
+                continue  # hive partition pruning: the whole file is out
             idx = set(range(len(meta.stripes)))
             have = set(meta.types[0].field_names)
             for p in preds:  # stripe keeps intersect across columns too
@@ -378,7 +552,8 @@ class OrcRustReader(DataSourceReader):
             parts.extend(
                 _StripePartition(path, s.offset, s.index_length,
                                  s.data_length, s.footer_length,
-                                 s.number_of_rows, slim, local_ranges.get(i))
+                                 s.number_of_rows, slim, local_ranges.get(i),
+                                 pvals)
                 for i, s in ((i, meta.stripes[i]) for i in idx)
             )
         return parts or [_StripePartition(self.path, -1, 0, 0, 0, 0)]  # empty
@@ -398,11 +573,12 @@ class OrcRustReader(DataSourceReader):
                 ".option('ignore_missing_files', 'true') to skip such "
                 "files") from None
         preds = self._predicates()
-        if self._target_arrow is not None:
-            # evolution: row-group pruning mirrors the stripe guard — a
-            # file without the predicate column cannot prune on it
-            have = set(meta.types[0].field_names)
-            preds = [p for p in preds if p["column"] in have]
+        # a probe on a column this file doesn't PHYSICALLY carry (an
+        # evolution-added column, or a hive partition column living in
+        # the path) cannot drive row-group pruning — sound in the default
+        # case too, where every probe column exists
+        have = set(meta.types[0].field_names)
+        preds = [p for p in preds if p["column"] in have]
         if preds or part.ranges is not None:
             # the projection reaches the pruned decode path too: unprojected
             # columns of kept groups are never seek-decoded (VERDICT r3
@@ -414,6 +590,18 @@ class OrcRustReader(DataSourceReader):
         else:
             tbl = of.decode_stripe(body, footer_raw, meta, part.rows,
                                    columns=self.columns)
+        if part.pvals:
+            # hive partition values -> constant columns (O(1) per stripe:
+            # pa.nulls/pa.repeat build run-length validity, not n cells)
+            import pyarrow as pa
+
+            for c, v in part.pvals.items():
+                if self.columns is not None and c not in self.columns:
+                    continue  # projection pruned the partition column
+                t = _part_arrow_type(self.part_types[c])
+                arr = (pa.nulls(tbl.num_rows, type=t) if v is None
+                       else pa.repeat(pa.scalar(v, type=t), tbl.num_rows))
+                tbl = tbl.append_column(pa.field(c, t), arr)
         if self._target_arrow is not None:
             # conform BY NAME to the declared schema: typed nulls for
             # columns this file predates, declared column order (Spark
@@ -614,6 +802,24 @@ class _OrcCommit(WriterCommitMessage):
     size: int
 
 
+@dataclass
+class _OrcMultiCommit(WriterCommitMessage):
+    """A partitioned task's commit: one file per hive partition value it
+    saw. ``files`` is [(tmp_path, final_path)]."""
+    files: list
+    rows: int
+    size: int
+
+
+def _commit_pairs(m) -> list:
+    """Either commit-message shape -> [(tmp, final)]."""
+    if m is None:
+        return []
+    if isinstance(m, _OrcMultiCommit):
+        return list(m.files)
+    return [(m.tmp_path, m.final_path)] if m.tmp_path else []
+
+
 class OrcRustWriter(DataSourceArrowWriter):
     """``df.write.format("orcx").save(dir)``: every task writes one real
     ORC file through this engine's indexed writer (ROW_INDEX + optional
@@ -659,6 +865,34 @@ class OrcRustWriter(DataSourceArrowWriter):
                 raise ValueError(
                     f"bloom_columns {unknown} not in the written schema "
                     f"{sorted(known)}")
+        # hive-style partitioned output (r7):
+        # .option("partition_columns", "lang") writes each task's rows
+        # into lang=<value>/ subdirectories (null -> the hive default
+        # marker), with the partition columns living in the PATH, not the
+        # files — the layout every hive/Spark/Trino reader prunes on
+        self.partition_cols = [
+            c.strip()
+            for c in (options.get("partition_columns") or "").split(",")
+            if c.strip()
+        ]
+        if schema is not None and self.partition_cols:
+            known = {f.name for f in schema.fields}
+            unknown = [c for c in self.partition_cols if c not in known]
+            if unknown:
+                raise ValueError(
+                    f"partition_columns {unknown} not in the written "
+                    f"schema {sorted(known)}")
+            if len(self.partition_cols) >= len(schema.fields):
+                raise ValueError(
+                    "cannot partition by every written column: the data "
+                    "files would be empty")
+            shadow = [c for c in self.bloom_cols
+                      if c in self.partition_cols]
+            if shadow:
+                raise ValueError(
+                    f"bloom_columns {shadow} are partition columns — "
+                    "they live in the path, not the files, so a bloom "
+                    "filter can never be built for them")
         self.overwrite = overwrite
 
     def _prepare(self):
@@ -672,6 +906,8 @@ class OrcRustWriter(DataSourceArrowWriter):
 
         from pyspark import TaskContext
 
+        if self.partition_cols:
+            return self._write_partitioned(iterator)
         # STREAMED: batches feed the open OrcWriter, which appends each
         # stripe to the file as it fills — peak task memory is one
         # stripe's rows + its encoded bytes, not the whole partition
@@ -700,15 +936,90 @@ class OrcRustWriter(DataSourceArrowWriter):
         writer.close()
         return _OrcCommit(tmp, final, rows, fsio.file_size(tmp, self._fs))
 
+    def _write_partitioned(self, iterator):
+        """Hive-layout task write: rows split by their partition-column
+        values, one streamed OrcWriter per distinct value seen by this
+        task (peak memory = one stripe per OPEN partition — repartition
+        by the partition columns upstream to keep that at 1, exactly the
+        guidance for Spark's own partitionBy). Partition columns are
+        dropped from the data files; the directory name carries them."""
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from pyspark import TaskContext
+
+        _SEP, _NULLMARK = "\x1f", "\x00"
+        writers: dict[str, tuple] = {}  # combined key -> (writer, tmp, final)
+        rows = 0
+        pid = None
+        for b in iterator:
+            if not b.num_rows:
+                continue
+            if pid is None:
+                ctx = TaskContext.get()
+                pid = ctx.partitionId() if ctx else 0
+            data_names = [n for n in b.schema.names
+                          if n not in self.partition_cols]
+            keycols = []
+            for c in self.partition_cols:
+                s = pc.cast(b.column(b.schema.get_field_index(c)),
+                            pa.string())
+                for bad in (_SEP, _NULLMARK):
+                    if pc.any(pc.match_substring(
+                            pc.fill_null(s, ""), bad)).as_py():
+                        raise ValueError(
+                            f"partition column {c!r} contains control "
+                            "character \\x%02x — unsupported in a "
+                            "directory name" % ord(bad))
+                keycols.append(pc.fill_null(s, _NULLMARK))
+            combined = (keycols[0] if len(keycols) == 1 else
+                        pc.binary_join_element_wise(*keycols, _SEP))
+            de = pc.dictionary_encode(combined)
+            for i, keystr in enumerate(de.dictionary.to_pylist()):
+                sub = b.filter(pc.equal(de.indices, i)).select(data_names)
+                st = writers.get(keystr)
+                if st is None:
+                    raws = (keystr.split(_SEP) if len(keycols) > 1
+                            else [keystr])
+                    segs = [
+                        f"{c}={_encode_part_value(None if r == _NULLMARK else r)}"
+                        for c, r in zip(self.partition_cols, raws)]
+                    dirpath = fsio.join(self._fspath, *segs)
+                    fsio.makedirs(dirpath, self._fs)
+                    name = f"part-{pid:05d}-{uuid.uuid4().hex}.orc"
+                    tmp = fsio.join(dirpath, name + ".inprogress")
+                    final = fsio.join(dirpath, name)
+                    st = writers[keystr] = (of.OrcWriter(
+                        tmp, sub.schema, compression=self.compression,
+                        stripe_rows=self.stripe_rows,
+                        row_index_stride=self.stride,
+                        bloom_columns=self.bloom_cols or None,
+                        filesystem=self._fs), tmp, final)
+                st[0].write_batch(sub)
+                rows += sub.num_rows
+        if not writers:
+            return _OrcCommit(None, None, 0, 0)
+        files, size = [], 0
+        for w, tmp, final in writers.values():
+            w.close()
+            files.append((tmp, final))
+            size += fsio.file_size(tmp, self._fs)
+        return _OrcMultiCommit(files, rows, size)
+
     def commit(self, messages):
         import uuid
 
         def _existing_orc() -> list[str]:
             if not fsio.is_dir(self._fspath, self._fs):
                 return []
-            return fsio.list_files(self._fspath, self._fs, suffix=".orc")
+            # recursive: a partitioned output's files live in col=value/
+            # subdirs, and overwrite must reclaim THOSE generations too
+            return fsio.list_files_recursive(self._fspath, self._fs,
+                                             suffix=".orc")
 
-        finals = {m.final_path for m in messages if m and m.tmp_path}
+        pairs = [p for m in messages for p in _commit_pairs(m)]
+        finals = {final for _tmp, final in pairs}
         if not finals and (self.overwrite or not _existing_orc()):
             # EMPTY result (e.g. df.filter(lit(False)) overwrite): write
             # one zero-row schema-bearing file so the directory stays
@@ -733,9 +1044,8 @@ class OrcRustWriter(DataSourceArrowWriter):
         # the old files), THEN drop the stale ones — the reverse order
         # would lose BOTH generations if the driver died between the loops
         # (only invisible .inprogress files would remain)
-        for m in messages:
-            if m and m.tmp_path:
-                fsio.rename(m.tmp_path, m.final_path, self._fs)
+        for tmp, final in pairs:
+            fsio.rename(tmp, final, self._fs)
         if self.overwrite:
             for p in _existing_orc():
                 if p not in finals:
@@ -746,17 +1056,17 @@ class OrcRustWriter(DataSourceArrowWriter):
             # so reclaim them (append mode leaves them: a concurrent
             # append job's live tmps are indistinguishable by name)
             if fsio.is_dir(self._fspath, self._fs):
-                for p in fsio.list_files(self._fspath, self._fs,
-                                         suffix=".orc.inprogress"):
+                for p in fsio.list_files_recursive(
+                        self._fspath, self._fs, suffix=".orc.inprogress"):
                     try:
                         fsio.delete(p, self._fs)
                     except OSError:
                         pass
 
     def abort(self, messages):
-        for m in messages:
-            if m and m.tmp_path and fsio.exists(m.tmp_path, self._fs):
-                fsio.delete(m.tmp_path, self._fs)
+        for tmp, _final in (p for m in messages for p in _commit_pairs(m)):
+            if tmp and fsio.exists(tmp, self._fs):
+                fsio.delete(tmp, self._fs)
 
 
 class OrcRustStreamWriter(OrcRustWriter, DataSourceStreamArrowWriter):
@@ -789,6 +1099,18 @@ class OrcRustStreamWriter(OrcRustWriter, DataSourceStreamArrowWriter):
 
     _BATCH_DIR = "_orcx_batches"
     _MANIFEST_KEEP = 16  # >> the 1-2 batches Spark can ever replay
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        super().__init__(options, schema, overwrite)
+        if self.partition_cols:
+            # the per-batch manifest protocol tracks single-file commit
+            # messages; wiring multi-file messages through replay dedup
+            # is future work — refuse loudly rather than silently losing
+            # exactly-once on replays
+            raise ValueError(
+                "the streaming orcx sink does not support "
+                "partition_columns; write unpartitioned and compact/"
+                "re-layout with the batch writer")
 
     def _manifest(self, batch_id: int) -> str:
         return fsio.join(self._fspath, self._BATCH_DIR,
@@ -881,18 +1203,38 @@ class OrcRustDataSource(DataSource):
         return "orcx"
 
     def schema(self) -> str:
-        fs, paths = of.resolve_scan(self.options["path"],
-                                    filesystem=_option_fs(self.options))
+        fs = _option_fs(self.options)
+        if fs is not None:
+            root = fsio.strip_scheme(self.options["path"])
+        else:
+            fs, root = fsio.resolve(self.options["path"])
+        # same discovery rule as the reader: hive col=value/ subdirs when
+        # asked for or when the flat listing is empty (partitioned roots
+        # have no *.orc directly in them); partition columns append to
+        # the file schema in first-seen order
+        part_ddl = ""
+        paths = fsio.list_files(root, fs)
+        if _bool_option(self.options, "hive_partitioning") or not paths:
+            ppaths, _pvals, ptypes = _discover_partitions(root, fs)
+            if ppaths:
+                paths = ppaths
+                part_ddl = ", ".join(f"`{c}` {d}" for c, d in ptypes.items())
+        if not paths:
+            raise FileNotFoundError(
+                f"no ORC files at {self.options['path']!r}")
         if _bool_option(self.options, "missing_as_null"):
             # schema evolution: infer the UNION of every file's columns
             # (first-seen order over path-sorted files) so an added
             # column is visible even when the oldest file predates it
             metas = of.read_metadatas(paths, filesystem=fs)
-            return of.union_schema_ddl(metas)
-        meta = of.read_metadata(paths[0], filesystem=fs)
-        # the one ORC-kind -> Spark-DDL rule (code-review r7: this body
-        # was a line-for-line copy of schema_ddl and would drift again)
-        return of.schema_ddl(meta)
+            file_ddl = of.union_schema_ddl(metas)
+        else:
+            meta = of.read_metadata(paths[0], filesystem=fs)
+            # the one ORC-kind -> Spark-DDL rule (code-review r7: this
+            # body was a line-for-line copy of schema_ddl and would
+            # drift again)
+            file_ddl = of.schema_ddl(meta)
+        return f"{file_ddl}, {part_ddl}" if part_ddl else file_ddl
 
     def reader(self, schema) -> OrcRustReader:
         names = list(schema.fieldNames()) if hasattr(schema, "fieldNames") else None

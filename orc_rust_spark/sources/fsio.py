@@ -223,6 +223,31 @@ def list_files(fs_path: str, fs=None, suffix: str = ".orc") -> list[str]:
     return [fs_path]
 
 
+def list_files_recursive(fs_path: str, fs=None,
+                         suffix: str = ".orc") -> list[str]:
+    """Recursive directory walk -> sorted fs paths ending in ``suffix``
+    (hive-partitioned layouts: files live under ``col=value/``
+    subdirectories). A non-directory path is returned as-is, matching
+    list_files."""
+    if fs is None:
+        if not os.path.isdir(fs_path):
+            return list_files(fs_path, None, suffix)
+        out = []
+        for root, _dirs, names in os.walk(fs_path):
+            out.extend(os.path.join(root, n) for n in names
+                       if n.endswith(suffix))
+        return sorted(out)
+    import pyarrow.fs as pafs
+
+    info = fs.get_file_info(fs_path)
+    if info.type != pafs.FileType.Directory:
+        return list_files(fs_path, fs, suffix)
+    sel = pafs.FileSelector(fs_path, recursive=True)
+    return sorted(i.path for i in fs.get_file_info(sel)
+                  if i.type == pafs.FileType.File
+                  and i.path.endswith(suffix))
+
+
 def _require_file(info, fs_path: str) -> None:
     import pyarrow.fs as pafs
 

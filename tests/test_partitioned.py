@@ -1,0 +1,180 @@
+"""Hive-style partitioned ORC layout (r7): the orcx writer's
+``partition_columns`` option lays files out under ``col=value/``
+subdirectories (partition values live in the PATH, not the files), and
+the orcx reader discovers the layout, serves partition values as
+constant columns, and prunes WHOLE FILES from pushed filters at
+planning — the #1 scan-avoidance lever on a 100 TB corpus."""
+
+import os
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from orc_rust_spark.sources.orc_file import orc_to_table, write_orc
+
+
+@pytest.fixture(scope="module")
+def orcx(spark):
+    from orc_rust_spark.sources.datasource import OrcRustDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(OrcRustDataSource)
+    return spark
+
+
+@pytest.fixture()
+def part_dir(orcx, tmp_path):
+    d = str(tmp_path / "out")
+    df = orcx.createDataFrame(
+        [(i, ("en", "de", "fr")[i % 3] if i % 7 else None, float(i))
+         for i in range(60)],
+        "id long, lang string, score double")
+    (df.write.format("orcx").option("partition_columns", "lang")
+     .mode("overwrite").save(d))
+    return d
+
+
+def test_write_layout_and_roundtrip(orcx, part_dir):
+    """Files land under lang=<value>/ (null -> the hive marker), do NOT
+    contain the partition column, and read back completely."""
+    dirs = sorted(os.listdir(part_dir))
+    assert "lang=en" in dirs and "lang=de" in dirs and "lang=fr" in dirs
+    assert "lang=__HIVE_DEFAULT_PARTITION__" in dirs
+    some_file = next(
+        os.path.join(part_dir, "lang=en", f)
+        for f in os.listdir(os.path.join(part_dir, "lang=en")))
+    assert "lang" not in orc_to_table(some_file).column_names
+    df = orcx.read.format("orcx").load(part_dir)
+    assert sorted(df.columns) == ["id", "lang", "score"]
+    rows = {r["id"]: (r["lang"], r["score"]) for r in df.collect()}
+    assert len(rows) == 60
+    for i in range(60):
+        assert rows[i] == (("en", "de", "fr")[i % 3] if i % 7 else None,
+                           float(i))
+
+
+def test_partition_pruning_skips_files(orcx, part_dir):
+    """A pushed equality on the partition column plans ONLY that
+    directory's stripes."""
+    from orc_rust_spark.sources.datasource import OrcRustReader
+
+    r = OrcRustReader({"path": part_dir})
+    r.bounds["lang"] = ["en", "en"]
+    parts = [p for p in r.partitions() if p.offset >= 0]
+    assert parts, "pruned everything"
+    assert all(f"lang=en{os.sep}" in p.path or "lang=en/" in p.path
+               for p in parts)
+    # and the full answer is still exact through Spark's residual filter
+    df = orcx.read.format("orcx").load(part_dir)
+    got = sorted(r["id"] for r in df.where(F.col("lang") == "en").collect())
+    assert got == sorted(i for i in range(60) if i % 7 and i % 3 == 0)
+
+
+def test_null_partition_semantics(orcx, part_dir):
+    df = orcx.read.format("orcx").load(part_dir)
+    got = sorted(r["id"] for r in df.where(F.col("lang").isNull()).collect())
+    assert got == sorted(i for i in range(60) if i % 7 == 0)
+    # IS NULL prunes to the hive-default directory only
+    from orc_rust_spark.sources.datasource import OrcRustReader
+
+    r = OrcRustReader({"path": part_dir})
+    r.null_preds["lang"] = False  # IsNull
+    parts = [p for p in r.partitions() if p.offset >= 0]
+    assert parts and all("__HIVE_DEFAULT_PARTITION__" in p.path
+                         for p in parts)
+
+
+def test_numeric_partition_inference(orcx, tmp_path):
+    """Partition values that all parse as ints come back as longs."""
+    d = str(tmp_path / "byday")
+    df = orcx.createDataFrame([(i, i % 3) for i in range(30)],
+                              "id long, day long")
+    (df.write.format("orcx").option("partition_columns", "day")
+     .mode("overwrite").save(d))
+    got = orcx.read.format("orcx").load(d)
+    assert dict((f.name, f.dataType.simpleString())
+                for f in got.schema.fields)["day"] == "bigint"
+    assert got.where(F.col("day") == 1).count() == 10
+
+
+def test_two_level_partitioning(orcx, tmp_path):
+    d = str(tmp_path / "two")
+    df = orcx.createDataFrame(
+        [(i, ("a", "b")[i % 2], i % 2 + 10) for i in range(20)],
+        "id long, k string, day long")
+    (df.write.format("orcx").option("partition_columns", "k,day")
+     .mode("overwrite").save(d))
+    assert os.path.isdir(os.path.join(d, "k=a", "day=10"))
+    got = orcx.read.format("orcx").load(d)
+    assert got.count() == 20
+    assert got.where((F.col("k") == "b") & (F.col("day") == 11)).count() == 10
+
+
+def test_special_chars_urlencoded(orcx, tmp_path):
+    """'/' and '=' in a partition value cannot corrupt the layout."""
+    d = str(tmp_path / "weird")
+    df = orcx.createDataFrame([(1, "a/b=c"), (2, "plain")],
+                              "id long, k string")
+    (df.write.format("orcx").option("partition_columns", "k")
+     .mode("overwrite").save(d))
+    got = {r["id"]: r["k"]
+           for r in orcx.read.format("orcx").load(d).collect()}
+    assert got == {1: "a/b=c", 2: "plain"}
+
+
+def test_overwrite_reclaims_partition_dirs(orcx, tmp_path):
+    d = str(tmp_path / "ow")
+    df1 = orcx.createDataFrame([(1, "x")], "id long, k string")
+    (df1.write.format("orcx").option("partition_columns", "k")
+     .mode("overwrite").save(d))
+    df2 = orcx.createDataFrame([(2, "y")], "id long, k string")
+    (df2.write.format("orcx").option("partition_columns", "k")
+     .mode("overwrite").save(d))
+    got = [(r["id"], r["k"])
+           for r in orcx.read.format("orcx").load(d).collect()]
+    assert got == [(2, "y")]
+
+
+def test_partition_column_validation(orcx, tmp_path):
+    from pyspark.sql.types import StructType
+
+    from orc_rust_spark.sources.datasource import (
+        OrcRustStreamWriter,
+        OrcRustWriter,
+    )
+
+    schema = StructType.fromDDL("id long, k string")
+    with pytest.raises(ValueError, match="not in the written"):
+        OrcRustWriter({"path": str(tmp_path),
+                       "partition_columns": "nope"}, schema, True)
+    with pytest.raises(ValueError, match="every written column"):
+        OrcRustWriter({"path": str(tmp_path),
+                       "partition_columns": "id,k"}, schema, True)
+    with pytest.raises(ValueError, match="streaming orcx sink"):
+        OrcRustStreamWriter({"path": str(tmp_path),
+                             "partition_columns": "k"}, schema, True)
+
+
+def test_shadowed_partition_column_rejected(orcx, tmp_path):
+    """A col=value/ directory whose column also exists INSIDE the files
+    is ambiguous — rejected at planning."""
+    from orc_rust_spark.sources.datasource import OrcRustReader
+
+    sub = tmp_path / "k=a"
+    sub.mkdir()
+    write_orc(pa.table({"id": pa.array([1], type=pa.int64()),
+                        "k": pa.array(["b"])}),
+              str(sub / "f.orc"), compression="none")
+    with pytest.raises(ValueError, match="partition column"):
+        OrcRustReader({"path": str(tmp_path)})
+
+
+def test_plain_directories_still_flat(orcx, tmp_path):
+    """A directory with *.orc directly in it keeps the historical flat
+    behavior — no recursion, no partition columns."""
+    write_orc(pa.table({"id": pa.array([1, 2], type=pa.int64())}),
+              str(tmp_path / "a.orc"), compression="none")
+    df = orcx.read.format("orcx").load(str(tmp_path))
+    assert df.columns == ["id"]
+    assert df.count() == 2
