@@ -1100,18 +1100,6 @@ class OrcRustStreamWriter(OrcRustWriter, DataSourceStreamArrowWriter):
     _BATCH_DIR = "_orcx_batches"
     _MANIFEST_KEEP = 16  # >> the 1-2 batches Spark can ever replay
 
-    def __init__(self, options: dict, schema, overwrite: bool):
-        super().__init__(options, schema, overwrite)
-        if self.partition_cols:
-            # the per-batch manifest protocol tracks single-file commit
-            # messages; wiring multi-file messages through replay dedup
-            # is future work — refuse loudly rather than silently losing
-            # exactly-once on replays
-            raise ValueError(
-                "the streaming orcx sink does not support "
-                "partition_columns; write unpartitioned and compact/"
-                "re-layout with the batch writer")
-
     def _manifest(self, batch_id: int) -> str:
         return fsio.join(self._fspath, self._BATCH_DIR,
                          f"{int(batch_id):020d}.json")
@@ -1133,8 +1121,14 @@ class OrcRustStreamWriter(OrcRustWriter, DataSourceStreamArrowWriter):
         fsio.makedirs(fsio.join(self._fspath, self._BATCH_DIR), self._fs)
         p = self._manifest(batch_id)
         tmp = p + ".inprogress"
+        # ROOT-RELATIVE paths (r7): a partitioned batch's files live in
+        # col=value/ subdirs, where a bare basename would both collide
+        # across dirs and replay-delete the wrong file. For flat layouts
+        # relpath == basename, so pre-r7 manifests read back unchanged.
+        root = self._fspath.rstrip("/").replace(os.sep, "/")
         payload = json.dumps(
-            sorted(posixpath.basename(f) for f in finals)).encode("utf-8")
+            sorted(posixpath.relpath(f.replace(os.sep, "/"), root)
+                   for f in finals)).encode("utf-8")
         out = fsio.open_output(tmp, self._fs)
         out.write(payload)
         out.close()
@@ -1148,18 +1142,20 @@ class OrcRustStreamWriter(OrcRustWriter, DataSourceStreamArrowWriter):
         for stale in self._read_manifest(batchId):
             if fsio.exists(stale, self._fs):
                 fsio.delete(stale, self._fs)
-        finals = [m.final_path for m in messages if m and m.tmp_path]
+        pairs = [p for m in messages for p in _commit_pairs(m)]
+        finals = [final for _tmp, final in pairs]
         # 2. manifest BEFORE publish: whatever the crash point, some
         #    manifest always names every file that might be visible
         self._write_manifest(batchId, finals)
         # 3. publish
-        for m in messages:
-            if m and m.tmp_path:
-                fsio.rename(m.tmp_path, m.final_path, self._fs)
+        for tmp, final in pairs:
+            fsio.rename(tmp, final, self._fs)
         if self.overwrite:
             # complete output mode: this batch replaces the directory
+            # (recursive: partitioned batches live in col=value/ subdirs)
             keep = set(finals)
-            for p in fsio.list_files(self._fspath, self._fs, suffix=".orc"):
+            for p in fsio.list_files_recursive(self._fspath, self._fs,
+                                               suffix=".orc"):
                 if p not in keep:
                     fsio.delete(p, self._fs)
         # 4. manifest retention: only a batch the checkpoint has not yet
@@ -1189,9 +1185,9 @@ class OrcRustStreamWriter(OrcRustWriter, DataSourceStreamArrowWriter):
                         pass  # concurrent cleanup / transient: next batch
 
     def abort(self, messages, batchId):  # noqa: N803
-        for m in messages:
-            if m and m.tmp_path and fsio.exists(m.tmp_path, self._fs):
-                fsio.delete(m.tmp_path, self._fs)
+        for tmp, _final in (p for m in messages for p in _commit_pairs(m)):
+            if tmp and fsio.exists(tmp, self._fs):
+                fsio.delete(tmp, self._fs)
 
 
 class OrcRustDataSource(DataSource):

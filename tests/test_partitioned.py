@@ -151,9 +151,48 @@ def test_partition_column_validation(orcx, tmp_path):
     with pytest.raises(ValueError, match="every written column"):
         OrcRustWriter({"path": str(tmp_path),
                        "partition_columns": "id,k"}, schema, True)
-    with pytest.raises(ValueError, match="streaming orcx sink"):
-        OrcRustStreamWriter({"path": str(tmp_path),
-                             "partition_columns": "k"}, schema, True)
+    # the STREAMING sink shares the option (manifests store
+    # root-relative paths, so partitioned replay dedup works)
+    OrcRustStreamWriter({"path": str(tmp_path),
+                         "partition_columns": "k"}, schema, True)
+
+
+def test_streaming_partitioned_sink(orcx, tmp_path):
+    """writeStream.format('orcx') with partition_columns: each batch's
+    files land under col=value/ dirs, replay-deduped through the
+    root-relative manifest; a second availableNow run appends only the
+    NEW file's rows."""
+    import os
+
+    src, out, ckpt = (str(tmp_path / n) for n in ("in", "out", "ck"))
+    os.makedirs(src)
+
+    def land(i):
+        write_orc(pa.table({
+            "id": pa.array([2 * i, 2 * i + 1], type=pa.int64()),
+            "k": pa.array(["a", "b"]),
+        }), os.path.join(src, f"f{i}.orc"), compression="zlib")
+
+    def drain():
+        q = (orcx.readStream.format("orcx").schema("id long, k string")
+             .load(src)
+             .writeStream.format("orcx")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .option("partition_columns", "k")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    land(0)
+    drain()
+    assert os.path.isdir(os.path.join(out, "k=a"))
+    got = orcx.read.format("orcx").load(out)
+    assert {(r["id"], r["k"]) for r in got.collect()} == {
+        (0, "a"), (1, "b")}
+    land(1)
+    drain()
+    got2 = orcx.read.format("orcx").load(out)
+    assert {(r["id"], r["k"]) for r in got2.collect()} == {
+        (0, "a"), (1, "b"), (2, "a"), (3, "b")}
 
 
 def test_shadowed_partition_column_rejected(orcx, tmp_path):
