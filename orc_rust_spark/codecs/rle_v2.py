@@ -328,10 +328,14 @@ def _run_extent(buf, pos: int) -> tuple[int, int]:
     n = (((h & 1) << 8) | buf[pos + 1]) + 1
     p = pos + 2
     _, p = read_varint(buf, p)
-    if n > 1:
-        _, p = read_varint(buf, p)  # signed varint is varint-shaped
-        if width:
-            p += ((n - 2) * width + 7) // 8
+    # the delta-base varint is ALWAYS present, even for n == 1 (the same
+    # old-Hive contract _read_delta honors above — skipping it here
+    # desynchronized the SEEK path on exactly the files the full-decode
+    # fix targets: next_pos landed inside the varint and the following
+    # run header parsed as garbage)
+    _, p = read_varint(buf, p)  # signed varint is varint-shaped
+    if n > 1 and width:
+        p += ((n - 2) * width + 7) // 8
     return n, p
 
 

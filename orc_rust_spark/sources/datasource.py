@@ -30,6 +30,7 @@ scheduled, only intersecting index groups decode, rows slice precisely.
 from __future__ import annotations
 
 import os
+import re
 
 from dataclasses import dataclass
 
@@ -68,7 +69,6 @@ from . import fsio
 from . import orc_file as of
 
 
-_expand_paths = of.expand_paths  # shared with orc_scan (one path-resolution rule)
 
 
 def _option_fs(options: dict):
@@ -217,19 +217,24 @@ def _parse_part_segments(root: str, path: str) -> dict[str, str]:
     return out
 
 
+#: strict numeric spellings — bare int()/float() accept underscores,
+#: whitespace, nan/inf, so '2024_01' would silently round-trip as long
+#: 202401 (code-review r7, second pass); Spark's own inference rejects
+#: those spellings too
+_INT_RE = re.compile(r"-?\d+\Z")
+_FLOAT_RE = re.compile(r"-?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?\Z")
+
+
 def _infer_part_ddl(raw: list[str | None]) -> str:
     """Partition value strings -> the narrowest of long/double/string
     (Spark's own partition-column inference, minus date detection)."""
     vals = [v for v in raw if v is not None]
     if not vals:
         return "string"
-    for ddl, conv in (("long", int), ("double", float)):
-        try:
-            for v in vals:
-                conv(v)
-            return ddl
-        except ValueError:
-            continue
+    if all(_INT_RE.match(v) for v in vals):
+        return "long"
+    if all(_FLOAT_RE.match(v) for v in vals):
+        return "double"
     return "string"
 
 

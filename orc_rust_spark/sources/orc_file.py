@@ -394,9 +394,41 @@ def conform_table(tbl: pa.Table, target_arrow: "pa.Schema") -> pa.Table:
         if f.name not in names:
             return pa.nulls(tbl.num_rows, type=f.type)
         col = tbl.column(f.name)
-        return col if col.type == f.type else col.cast(f.type)
+        if col.type == f.type:
+            return col
+        if not _is_lossless_widen(col.type, f.type):
+            # an unrestricted cast here would VALUE-CONVERT cross-family
+            # mismatches ('123' string -> 123 long) instead of erroring —
+            # silent corruption in the path whose purpose is drift
+            # safety (code-review r7, second pass). The stream reader
+            # has no planning-time type validation, so this is its guard.
+            raise ValueError(
+                f"schema evolution cannot read column {f.name!r} written "
+                f"as {col.type} against reader type {f.type}: only "
+                "lossless same-family widening (int->long, "
+                "float->double) is supported")
+        return col.cast(f.type)
 
     return pa.table({f.name: _col(f) for f in target_arrow})
+
+
+def _is_lossless_widen(src: "pa.DataType", dst: "pa.DataType") -> bool:
+    """Arrow-level mirror of the widen_ddl lattice, plus the offset-width
+    string/binary representational variants (large_string <-> string is
+    the same data, different offsets)."""
+    if (pa.types.is_integer(src) and pa.types.is_integer(dst)
+            and pa.types.is_signed_integer(src)
+            == pa.types.is_signed_integer(dst)):
+        return dst.bit_width >= src.bit_width
+    if pa.types.is_floating(src) and pa.types.is_floating(dst):
+        return dst.bit_width >= src.bit_width
+    string_like = (pa.types.is_string, pa.types.is_large_string)
+    if any(f(src) for f in string_like) and any(f(dst) for f in string_like):
+        return True
+    binary_like = (pa.types.is_binary, pa.types.is_large_binary)
+    if any(f(src) for f in binary_like) and any(f(dst) for f in binary_like):
+        return True
+    return False
 
 
 def validate_consistent_types(metas: dict, columns: list[str] | None = None,
@@ -415,22 +447,28 @@ def validate_consistent_types(metas: dict, columns: list[str] | None = None,
     reader schema. Cross-family clashes still raise."""
     if len(metas) <= 1:
         return
-    it = iter(metas.items())
-    ref_path, ref = next(it)
-    ref_ddl = {n: ddl_of_type(ref.types, c)
-               for c, n in zip(ref.types[0].subtypes,
-                               ref.types[0].field_names)}
-    for p, meta in it:
+    # the reference ddl ACCUMULATES across files as they are walked — a
+    # first-file-only snapshot never cross-checked columns the first
+    # file predates, letting later-file clashes (x:int in one file,
+    # x:string in another, x absent from file one) reach the executors
+    # as the exact opaque error this guard documents itself as
+    # preventing (code-review r7, second pass)
+    seen: dict[str, tuple[str, str]] = {}  # col -> (ddl, first path)
+    for p, meta in metas.items():
         for c, n in zip(meta.types[0].subtypes, meta.types[0].field_names):
             if columns is not None and n not in columns:
                 continue
             d = ddl_of_type(meta.types, c)
-            if n in ref_ddl and d != ref_ddl[n]:
-                if allow_widening and widen_ddl(d, ref_ddl[n]) is not None:
+            if n not in seen:
+                seen[n] = (d, p)
+                continue
+            ref_d, ref_path = seen[n]
+            if d != ref_d:
+                if allow_widening and widen_ddl(d, ref_d) is not None:
                     continue
                 raise ValueError(
                     f"{what}: column {n!r} is {d} in {p!r} but "
-                    f"{ref_ddl[n]} in {ref_path!r}; multi-file scans "
+                    f"{ref_d} in {ref_path!r}; multi-file scans "
                     "need consistent column types")
 
 

@@ -61,7 +61,6 @@ class _Tail:
 
     path: str
     meta: OrcMeta
-    stripe_info_raw: list[bytes]    # footer field 3 payloads, file order
     stripe_stats_raw: list[bytes]   # metadata field 1 payloads, file order
     file_stats_raw: list[bytes]     # footer field 7 payloads, type order
     block_size: int                 # PostScript compressionBlockSize (0 if none)
@@ -96,19 +95,19 @@ def _read_tail_raw(path: str, fs) -> _Tail:
             start = tail_len - 1 - ps_len - footer_len
             footer_raw = tail[start: start + footer_len]
             meta_raw = tail[start - meta_len: start]
-    stripe_info_raw = []
+    # stripe infos are NOT kept raw: the merge rebuilds them from
+    # meta.stripes with shifted offsets (code-review r7, second pass —
+    # the raw copies were collected and never read)
     file_stats_raw = []
     for fno, _, v in _fields(_decompress_tail(footer_raw, comp)):
-        if fno == 3:
-            stripe_info_raw.append(bytes(v))
-        elif fno == 7:
+        if fno == 7:
             file_stats_raw.append(bytes(v))
     stripe_stats_raw = []
     if meta_len:
         for fno, _, v in _fields(_decompress_tail(meta_raw, comp)):
             if fno == 1:
                 stripe_stats_raw.append(bytes(v))
-    return _Tail(path, meta, stripe_info_raw, stripe_stats_raw,
+    return _Tail(path, meta, stripe_stats_raw,
                  file_stats_raw, block_size)
 
 
@@ -302,10 +301,12 @@ def compact_orc(spark, path: str, out_dir: str, target_bytes: int = 256 << 20,
 
     fs, root = ((filesystem, path) if filesystem is not None
                 else fsio.resolve(path))
-    files = fsio.list_files(root, fs)
-    if not files:
+    # ONE listing round trip carries the sizes too — a per-file stat
+    # loop here was the exact driver-side planning bottleneck the
+    # distributed tail-parse path exists to avoid (code-review r7)
+    sizes = fsio.list_files_with_sizes(root, fs)
+    if not sizes:
         raise FileNotFoundError(f"no .orc files under {path!r}")
-    sizes = [(f, fsio.file_size(f, fs)) for f in files]
     bins = plan_bins(sizes, target_bytes)
     out_fs, out_root = ((filesystem, out_dir) if filesystem is not None
                         else fsio.resolve(out_dir))

@@ -217,3 +217,24 @@ def test_plain_directories_still_flat(orcx, tmp_path):
     df = orcx.read.format("orcx").load(str(tmp_path))
     assert df.columns == ["id"]
     assert df.count() == 2
+
+
+def test_underscore_values_stay_strings(orcx, tmp_path):
+    """int()'s underscore/whitespace leniency must not leak into
+    partition inference: ver=2024_01 is a STRING, not long 202401
+    (code-review r7)."""
+    d = str(tmp_path / "ver")
+    df = orcx.createDataFrame([(1, "2024_01"), (2, "2023_12")],
+                              "id long, ver string")
+    (df.write.format("orcx").option("partition_columns", "ver")
+     .mode("overwrite").save(d))
+    got = orcx.read.format("orcx").load(d)
+    assert dict((f.name, f.dataType.simpleString())
+                for f in got.schema.fields)["ver"] == "string"
+    assert {r["ver"] for r in got.collect()} == {"2024_01", "2023_12"}
+    from orc_rust_spark.sources.datasource import _infer_part_ddl
+
+    assert _infer_part_ddl(["nan", "inf"]) == "string"
+    assert _infer_part_ddl([" 1", "2"]) == "string"
+    assert _infer_part_ddl(["1", "-2"]) == "long"
+    assert _infer_part_ddl(["1.5", "2e3"]) == "double"

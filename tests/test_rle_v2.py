@@ -269,3 +269,21 @@ def test_patched_base_malformed_stream_raises_value_error():
     enc[-6] = 0xFF
     with pytest.raises(ValueError):
         decode_rlev2(bytes(enc), v.size, signed=True)
+
+
+def test_run_extent_n1_delta_consumes_delta_base():
+    """Seek parity with _read_delta's old-Hive contract: the delta-base
+    varint is present even for a declared run length of 1, so header
+    arithmetic must step over it — skipping left next_pos inside the
+    varint and the following run parsed as garbage (code-review r7)."""
+    import numpy as np
+
+    from orc_rust_spark.codecs.rle_v2 import _run_extent, decode_rlev2
+
+    # delta run n=1 (base 10 zigzag=20, delta-base 0) + a second run
+    buf = bytes([0xC0, 0x00, 20, 0]) + bytes([0x0A, 0x00, 0x03])
+    n, nxt = _run_extent(buf, 0)
+    assert (n, nxt) == (1, 4)
+    full = decode_rlev2(buf, 6, signed=True)
+    skipped = decode_rlev2(buf, 5, signed=True, skip=1)
+    assert np.array_equal(skipped, full[1:])

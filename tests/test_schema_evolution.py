@@ -300,3 +300,41 @@ def test_widen_ddl_lattice():
     assert widen_ddl("string", "string") == "string"
     assert widen_ddl("int", "double") is None   # cross-family: lossy
     assert widen_ddl("long", "string") is None
+
+
+def test_later_file_clash_caught_at_planning(spark, tmp_path):
+    """A clash between files that BOTH postdate the first file (x absent
+    from file one, int in file two, string in file three) must fail at
+    planning, not executor-side (code-review r7: the validator's
+    reference ddl now accumulates across files)."""
+    from orc_rust_spark.sources.orc_file import orc_scan
+
+    write_orc(pa.table({"id": pa.array([1], type=pa.int64())}),
+              str(tmp_path / "a_old.orc"), compression="none")
+    write_orc(pa.table({"id": pa.array([2], type=pa.int64()),
+                        "x": pa.array([7], type=pa.int64())}),
+              str(tmp_path / "b_mid.orc"), compression="none")
+    write_orc(pa.table({"id": pa.array([3], type=pa.int64()),
+                        "x": pa.array(["s"])}),
+              str(tmp_path / "c_new.orc"), compression="none")
+    for evolve in (False, True):
+        with pytest.raises(ValueError, match="consistent column types"):
+            orc_scan(spark, str(tmp_path), missing_as_null=evolve)
+
+
+def test_conform_refuses_cross_family_cast():
+    """conform_table must never VALUE-convert ('123' -> 123): only the
+    lossless widening lattice casts; everything else raises — this is
+    the stream reader's only type guard (code-review r7)."""
+    from orc_rust_spark.sources.orc_file import conform_table
+
+    tbl = pa.table({"v": pa.array(["123", "x"])})
+    with pytest.raises(ValueError, match="lossless"):
+        conform_table(tbl, pa.schema([pa.field("v", pa.int64())]))
+    # widening still casts; offset-width string variants still pass
+    t2 = pa.table({"v": pa.array([1, 2], type=pa.int32())})
+    out = conform_table(t2, pa.schema([pa.field("v", pa.int64())]))
+    assert out.column("v").type == pa.int64()
+    t3 = pa.table({"v": pa.array(["a"], type=pa.large_string())})
+    out3 = conform_table(t3, pa.schema([pa.field("v", pa.string())]))
+    assert out3.column("v").to_pylist() == ["a"]
