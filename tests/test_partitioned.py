@@ -238,3 +238,23 @@ def test_underscore_values_stay_strings(orcx, tmp_path):
     assert _infer_part_ddl([" 1", "2"]) == "string"
     assert _infer_part_ddl(["1", "-2"]) == "long"
     assert _infer_part_ddl(["1.5", "2e3"]) == "double"
+
+
+def test_partitioning_composes_with_evolution(orcx, tmp_path):
+    """A partitioned corpus whose newer partitions carry an extra data
+    column: partition attach + evolution conform compose (the attach
+    happens before the conform, so partition values survive)."""
+    d = tmp_path / "combo"
+    (d / "day=1").mkdir(parents=True)
+    (d / "day=2").mkdir()
+    write_orc(pa.table({"id": pa.array([1, 2], type=pa.int64())}),
+              str(d / "day=1" / "f.orc"), compression="none")
+    write_orc(pa.table({"id": pa.array([3], type=pa.int64()),
+                        "tag": pa.array(["x"])}),
+              str(d / "day=2" / "f.orc"), compression="none")
+    df = (orcx.read.format("orcx")
+          .option("missing_as_null", "true").load(str(d)))
+    rows = {r["id"]: (r["tag"], r["day"]) for r in df.collect()}
+    assert rows == {1: (None, 1), 2: (None, 1), 3: ("x", 2)}
+    got = df.where(F.col("day") == 2).collect()
+    assert [(r["id"], r["tag"]) for r in got] == [(3, "x")]
