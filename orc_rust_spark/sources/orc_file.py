@@ -261,6 +261,17 @@ def resolve_scan(path: str, filesystem=None) -> tuple[object, list[str]]:
         fs, fsp = fsio.resolve(path)
     out = fsio.list_files(fsp, fs)
     if not out:
+        # a hive-partitioned root has no *.orc directly in it — point the
+        # caller at the reader that understands the layout instead of a
+        # bare not-found (r7)
+        nested = fsio.list_files_recursive(fsp, fs)
+        if nested:
+            raise FileNotFoundError(
+                f"no ORC files directly at {path!r}, but {len(nested)} in "
+                "subdirectories — for a hive-partitioned layout "
+                "(col=value/) use spark.read.format('orcx'), which "
+                "discovers partitions and prunes on them; orc_scan reads "
+                "flat file sets")
         raise FileNotFoundError(f"no ORC files at {path!r}")
     return fs, out
 

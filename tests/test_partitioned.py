@@ -258,3 +258,16 @@ def test_partitioning_composes_with_evolution(orcx, tmp_path):
     assert rows == {1: (None, 1), 2: (None, 1), 3: ("x", 2)}
     got = df.where(F.col("day") == 2).collect()
     assert [(r["id"], r["tag"]) for r in got] == [(3, "x")]
+
+
+def test_orc_scan_points_at_orcx_for_partitioned_dirs(spark, tmp_path):
+    """orc_scan on a partitioned root gives an actionable error instead
+    of a bare not-found."""
+    sub = tmp_path / "k=a"
+    sub.mkdir()
+    write_orc(pa.table({"id": pa.array([1], type=pa.int64())}),
+              str(sub / "f.orc"), compression="none")
+    from orc_rust_spark.sources.orc_file import orc_scan
+
+    with pytest.raises(FileNotFoundError, match="orcx"):
+        orc_scan(spark, str(tmp_path))
