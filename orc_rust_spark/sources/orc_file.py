@@ -22,6 +22,7 @@ public protobuf/ORC specs.
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -347,14 +348,23 @@ _WIDEN_RANK = {"byte": ("i", 0), "short": ("i", 1), "int": ("i", 2),
                "long": ("i", 3), "float": ("f", 0), "double": ("f", 1)}
 
 
+_DECIMAL_DDL = re.compile(r"decimal\((\d+),(\d+)\)\Z")
+
+
 def widen_ddl(a: str, b: str) -> str | None:
     """The widest of two Spark DDL types under the safe widening
-    lattice, or None when they are not widenable (a real clash)."""
+    lattice, or None when they are not widenable (a real clash).
+    Decimals widen by PRECISION at equal scale (every decimal(10,2)
+    value is exactly representable at decimal(20,2)); a scale change
+    is a clash — rescaling moves the digits."""
     if a == b:
         return a
     wa, wb = _WIDEN_RANK.get(a), _WIDEN_RANK.get(b)
     if wa is not None and wb is not None and wa[0] == wb[0]:
         return a if wa[1] >= wb[1] else b
+    da, db = _DECIMAL_DDL.match(a), _DECIMAL_DDL.match(b)
+    if da and db and da.group(2) == db.group(2):
+        return a if int(da.group(1)) >= int(db.group(1)) else b
     return None
 
 
@@ -439,6 +449,9 @@ def _is_lossless_widen(src: "pa.DataType", dst: "pa.DataType") -> bool:
     binary_like = (pa.types.is_binary, pa.types.is_large_binary)
     if any(f(src) for f in binary_like) and any(f(dst) for f in binary_like):
         return True
+    if (pa.types.is_decimal(src) and pa.types.is_decimal(dst)
+            and src.scale == dst.scale):
+        return dst.precision >= src.precision
     return False
 
 

@@ -338,3 +338,29 @@ def test_conform_refuses_cross_family_cast():
     t3 = pa.table({"v": pa.array(["a"], type=pa.large_string())})
     out3 = conform_table(t3, pa.schema([pa.field("v", pa.string())]))
     assert out3.column("v").to_pylist() == ["a"]
+
+
+def test_decimal_precision_widening(spark, tmp_path):
+    """decimal(p,s) widens by precision at equal scale (every
+    decimal(10,2) value is exact at decimal(20,2)); a scale change
+    stays a clash (rescaling moves digits)."""
+    from decimal import Decimal
+
+    from orc_rust_spark.sources.orc_file import orc_scan, widen_ddl
+
+    assert widen_ddl("decimal(10,2)", "decimal(20,2)") == "decimal(20,2)"
+    assert widen_ddl("decimal(10,2)", "decimal(10,3)") is None
+    write_orc(pa.table({"id": pa.array([1], type=pa.int64()),
+                        "amt": pa.array([Decimal("12.34")],
+                                        type=pa.decimal128(10, 2))}),
+              str(tmp_path / "a.orc"), compression="none")
+    write_orc(pa.table({"id": pa.array([2], type=pa.int64()),
+                        "amt": pa.array([Decimal("123456789012345678.90")],
+                                        type=pa.decimal128(20, 2))}),
+              str(tmp_path / "b.orc"), compression="none")
+    df = orc_scan(spark, str(tmp_path), missing_as_null=True)
+    assert dict((f.name, f.dataType.simpleString())
+                for f in df.schema.fields)["amt"] == "decimal(20,2)"
+    rows = {r["id"]: r["amt"] for r in df.collect()}
+    assert rows == {1: Decimal("12.34"),
+                    2: Decimal("123456789012345678.90")}
