@@ -223,11 +223,24 @@ def _parse_part_segments(root: str, path: str) -> dict[str, str]:
 #: those spellings too
 _INT_RE = re.compile(r"-?\d+\Z")
 _FLOAT_RE = re.compile(r"-?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?\Z")
+_DATE_RE = re.compile(r"\d{4}-\d{2}-\d{2}\Z")
+
+
+def _valid_date(v: str) -> bool:
+    import datetime
+
+    if not _DATE_RE.match(v):
+        return False
+    try:
+        datetime.date.fromisoformat(v)
+        return True
+    except ValueError:
+        return False  # 2024-13-40 is a string, not a date
 
 
 def _infer_part_ddl(raw: list[str | None]) -> str:
-    """Partition value strings -> the narrowest of long/double/string
-    (Spark's own partition-column inference, minus date detection)."""
+    """Partition value strings -> the narrowest of long/double/date/
+    string (Spark's own partition-column inference)."""
     vals = [v for v in raw if v is not None]
     if not vals:
         return "string"
@@ -235,6 +248,8 @@ def _infer_part_ddl(raw: list[str | None]) -> str:
         return "long"
     if all(_FLOAT_RE.match(v) for v in vals):
         return "double"
+    if all(_valid_date(v) for v in vals):
+        return "date"
     return "string"
 
 
@@ -247,14 +262,17 @@ def _part_arrow_type(ddl: str):
     global _PART_ARROW
     if _PART_ARROW is None:
         _PART_ARROW = {"long": pa.int64(), "double": pa.float64(),
-                       "string": pa.string()}
+                       "date": pa.date32(), "string": pa.string()}
     return _PART_ARROW[ddl]
 
 
 def _typed_part_value(raw: str | None, ddl: str):
+    import datetime
+
     if raw is None:
         return None
-    return {"long": int, "double": float, "string": str}[ddl](raw)
+    return {"long": int, "double": float,
+            "date": datetime.date.fromisoformat, "string": str}[ddl](raw)
 
 
 def _discover_partitions(root: str, fs) -> tuple[list[str], dict, dict]:

@@ -271,3 +271,33 @@ def test_orc_scan_points_at_orcx_for_partitioned_dirs(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="orcx"):
         orc_scan(spark, str(tmp_path))
+
+
+def test_date_partition_inference(orcx, tmp_path):
+    """ISO-date partition values type as DateType (Spark's inference),
+    prune on pushed date ranges, and invalid dates stay strings."""
+    import datetime
+
+    d = str(tmp_path / "byday")
+    df = orcx.createDataFrame(
+        [(i, datetime.date(2024, 1, 1 + i % 3)) for i in range(12)],
+        "id long, day date")
+    (df.write.format("orcx").option("partition_columns", "day")
+     .mode("overwrite").save(d))
+    assert os.path.isdir(os.path.join(d, "day=2024-01-02"))
+    got = orcx.read.format("orcx").load(d)
+    assert dict((f.name, f.dataType.simpleString())
+                for f in got.schema.fields)["day"] == "date"
+    assert got.where(
+        F.col("day") == datetime.date(2024, 1, 2)).count() == 4
+    from orc_rust_spark.sources.datasource import (
+        OrcRustReader,
+        _infer_part_ddl,
+    )
+
+    r = OrcRustReader({"path": d})
+    r.bounds["day"] = [datetime.date(2024, 1, 3), None]
+    parts = [p for p in r.partitions() if p.offset >= 0]
+    assert parts and all("day=2024-01-03" in p.path for p in parts)
+    assert _infer_part_ddl(["2024-13-40"]) == "string"
+    assert _infer_part_ddl(["2024-01-01", "x"]) == "string"
