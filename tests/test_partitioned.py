@@ -301,3 +301,29 @@ def test_date_partition_inference(orcx, tmp_path):
     assert parts and all("day=2024-01-03" in p.path for p in parts)
     assert _infer_part_ddl(["2024-13-40"]) == "string"
     assert _infer_part_ddl(["2024-01-01", "x"]) == "string"
+
+
+def test_partition_value_encode_parse_roundtrip_property():
+    """Any printable string survives dir-name encoding: quote() on
+    write, unquote() + segment parse on read — including '=', '/',
+    '%', spaces, and non-ASCII."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from orc_rust_spark.sources.datasource import (
+        _encode_part_value,
+        _parse_part_segments,
+    )
+
+    @given(st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",),
+                               blacklist_characters="\x00"),
+        min_size=1, max_size=40))
+    @settings(max_examples=200, deadline=None)
+    def check(v):
+        enc = _encode_part_value(v)
+        assert "/" not in enc and "=" not in enc
+        segs = _parse_part_segments("/root", f"/root/k={enc}/f.orc")
+        assert segs == {"k": v}
+
+    check()
