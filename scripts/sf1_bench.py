@@ -161,7 +161,8 @@ def main() -> None:
     out: dict[str, dict] = {"sf1_queries": {}, "sf01_queries": {}}
     rounds: dict[str, int | None] = {}
     for name in ("roundtrip_lineitem", "minhash_lsh_neardup",
-                 "minhash_dedup_clusters", "ann_ivf_multiprobe"):
+                 "minhash_dedup_clusters", "ann_ivf_multiprobe",
+                 "orcx_partitioned_write"):
         fn = entry.queries()[name]
         out["sf01_queries"][name] = _timed(fn, spark, SF01)
         if name == "minhash_dedup_clusters":
