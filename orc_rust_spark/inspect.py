@@ -20,6 +20,11 @@ session; pure tail/stream parse, like the reference CLI):
 `merge` compacts ORC files WITHOUT decoding (stripe byte-copy + fresh
 tail; the orc-tools merge / Hive CONCATENATE analog — no Spark session):
     python -m orc_rust_spark.inspect merge <out.orc> <in1.orc> <in2.orc> [...]
+
+`parts` summarizes a hive-partitioned ORC directory (no Spark session):
+    python -m orc_rust_spark.inspect parts <dir>
+      (one line per col=value partition: files, rows, bytes — skew at
+      a glance)
 """
 
 from __future__ import annotations
@@ -172,6 +177,57 @@ def main_merge(argv: list[str]) -> int:
     return 0
 
 
+def main_parts(argv: list[str]) -> int:
+    """Partition summary of a hive-layout ORC directory (Spark-free):
+    one line per partition value with file count, rows, and bytes —
+    the operator's first look at skew in a partitioned corpus."""
+    if len(argv) < 3:
+        print("usage: python -m orc_rust_spark.inspect parts <dir>")
+        return 2
+    from .sources import fsio
+    from .sources import orc_file as of
+    from .sources.datasource import _discover_partitions
+
+    fs, root = fsio.resolve(argv[2])
+    if not fsio.exists(root, fs):
+        # list_files returns a non-glob path AS-IS, so a typo would
+        # otherwise read as "1 flat ORC file"
+        print(f"no ORC files under {argv[2]!r}")
+        return 1
+    paths, pvals, ddl_by_col = _discover_partitions(root, fs)
+    if not paths:
+        print(f"no ORC files under {argv[2]!r}")
+        return 1
+    if not ddl_by_col:
+        print(f"{len(paths)} ORC files, no col=value/ partition "
+              "directories (flat layout)")
+        return 0
+    sizes = dict(fsio.list_files_with_sizes(root, fs, recursive=True))
+    metas = of.read_metadatas(paths, filesystem=fs)
+    cols = list(ddl_by_col)
+    agg: dict[tuple, list] = {}  # key tuple -> [files, rows, bytes]
+    for p in paths:
+        key = tuple(pvals[p].get(c) for c in cols)
+        a = agg.setdefault(key, [0, 0, 0])
+        a[0] += 1
+        a[1] += metas[p].number_of_rows
+        a[2] += sizes.get(p, 0)
+    print("partitions : " + ", ".join(f"{c} ({d})"
+                                      for c, d in ddl_by_col.items()))
+    total = [0, 0, 0]
+    for key in sorted(agg, key=lambda k: tuple(str(v) for v in k)):
+        files, rows, size = agg[key]
+        label = "/".join(f"{c}={'<null>' if v is None else v}"
+                         for c, v in zip(cols, key))
+        print(f"  {label:<40} files={files:>4} rows={rows:>12,} "
+              f"bytes={size:>14,}")
+        for i, v in enumerate((files, rows, size)):
+            total[i] += v
+    print(f"  {'TOTAL':<40} files={total[0]:>4} rows={total[1]:>12,} "
+          f"bytes={total[2]:>14,}")
+    return 0
+
+
 def main(argv: list[str], spark=None) -> int:
     if len(argv) < 2:
         print(__doc__)
@@ -179,6 +235,8 @@ def main(argv: list[str], spark=None) -> int:
     chunks_dir = argv[1]
     if chunks_dir == "merge":
         return main_merge(argv)
+    if chunks_dir == "parts":
+        return main_parts(argv)
     if chunks_dir.endswith(".orc"):
         return main_orc(argv)
     cmd = argv[2] if len(argv) > 2 else "info"

@@ -223,26 +223,34 @@ def list_files(fs_path: str, fs=None, suffix: str = ".orc") -> list[str]:
     return [fs_path]
 
 
-def list_files_with_sizes(fs_path: str, fs=None,
-                          suffix: str = ".orc") -> list[tuple[str, int]]:
+def list_files_with_sizes(fs_path: str, fs=None, suffix: str = ".orc",
+                          recursive: bool = False) -> list[tuple[str, int]]:
     """Directory listing -> sorted [(path, size)]. One listing round
     trip on a backed filesystem (FileSelector results already carry
     sizes) and scandir stat reuse locally — a per-file ``file_size``
     loop on a million-file corpus is hours of driver-side planning at
-    object-store latency (code-review r7, second pass)."""
+    object-store latency (code-review r7, second pass). ``recursive``
+    descends into subdirectories (hive-partitioned layouts)."""
     if fs is None:
         if os.path.isdir(fs_path):
-            with os.scandir(fs_path) as it:
-                return sorted(
-                    (e.path, e.stat().st_size) for e in it
-                    if e.is_file() and e.name.endswith(suffix))
+            out: list[tuple[str, int]] = []
+            stack = [fs_path]
+            while stack:
+                with os.scandir(stack.pop()) as it:
+                    for e in it:
+                        if e.is_dir():
+                            if recursive:
+                                stack.append(e.path)
+                        elif e.name.endswith(suffix):
+                            out.append((e.path, e.stat().st_size))
+            return sorted(out)
         return sorted((p, os.path.getsize(p))
                       for p in list_files(fs_path, None, suffix))
     import pyarrow.fs as pafs
 
     info = fs.get_file_info(fs_path)
     if info.type == pafs.FileType.Directory:
-        sel = pafs.FileSelector(fs_path)
+        sel = pafs.FileSelector(fs_path, recursive=recursive)
         return sorted(
             (i.path, i.size) for i in fs.get_file_info(sel)
             if i.type == pafs.FileType.File and i.path.endswith(suffix))

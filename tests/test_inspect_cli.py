@@ -196,3 +196,34 @@ def test_cli_merge_usage(capsys):
 
     assert main(["inspect", "merge", "out.orc"]) == 2
     assert "usage" in capsys.readouterr().out
+
+
+def test_parts_partition_summary(tmp_path, capsys):
+    """`inspect parts <dir>`: one line per partition with file/row/byte
+    counts, plus a flat-layout notice when no col=value/ dirs exist."""
+    import os
+
+    import pyarrow as pa
+
+    from orc_rust_spark.inspect import main_parts
+    from orc_rust_spark.sources.orc_file import write_orc
+
+    d = str(tmp_path / "p")
+    for lang, ids in (("en", [1, 2, 3]), ("de", [4])):
+        sub = os.path.join(d, f"lang={lang}")
+        os.makedirs(sub)
+        write_orc(pa.table({"id": pa.array(ids, type=pa.int64())}),
+                  os.path.join(sub, "f.orc"), compression="none")
+    assert main_parts(["inspect", "parts", d]) == 0
+    out = capsys.readouterr().out
+    assert "partitions : lang (string)" in out
+    assert "lang=en" in out and "rows=           3" in out
+    assert "TOTAL" in out and "files=   2" in out
+    # flat dir: notice, not a crash
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    write_orc(pa.table({"id": pa.array([1], type=pa.int64())}),
+              os.path.join(flat, "a.orc"), compression="none")
+    assert main_parts(["inspect", "parts", flat]) == 0
+    assert "flat layout" in capsys.readouterr().out
+    assert main_parts(["inspect", "parts", str(tmp_path / "nope")]) == 1
