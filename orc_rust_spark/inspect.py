@@ -194,7 +194,12 @@ def main_parts(argv: list[str]) -> int:
         # otherwise read as "1 flat ORC file"
         print(f"no ORC files under {argv[2]!r}")
         return 1
-    paths, pvals, ddl_by_col = _discover_partitions(root, fs)
+    # ONE recursive listing serves both the partition parse and the
+    # sizes (code-review r7, third pass: this previously listed twice)
+    sized = fsio.list_files_with_sizes(root, fs, recursive=True)
+    sizes = dict(sized)
+    paths, pvals, ddl_by_col = _discover_partitions(
+        root, fs, paths=[p for p, _ in sized])
     if not paths:
         print(f"no ORC files under {argv[2]!r}")
         return 1
@@ -202,7 +207,6 @@ def main_parts(argv: list[str]) -> int:
         print(f"{len(paths)} ORC files, no col=value/ partition "
               "directories (flat layout)")
         return 0
-    sizes = dict(fsio.list_files_with_sizes(root, fs, recursive=True))
     metas = of.read_metadatas(paths, filesystem=fs)
     cols = list(ddl_by_col)
     agg: dict[tuple, list] = {}  # key tuple -> [files, rows, bytes]

@@ -275,13 +275,17 @@ def _typed_part_value(raw: str | None, ddl: str):
             "date": datetime.date.fromisoformat, "string": str}[ddl](raw)
 
 
-def _discover_partitions(root: str, fs) -> tuple[list[str], dict, dict]:
+def _discover_partitions(root: str, fs,
+                         paths: list[str] | None = None
+                         ) -> tuple[list[str], dict, dict]:
     """Recursive hive-layout discovery under ``root`` ->
     (paths, {path: {col: raw-or-None}}, {col: ddl}). Files directly in
     the root carry None for every partition column (they predate the
     partitioning — the evolution null rule). Raw ``_HIVE_NULL`` markers
-    decode to None."""
-    paths = fsio.list_files_recursive(root, fs)
+    decode to None. Pass ``paths`` to reuse an already-made recursive
+    listing (the CLI's sized listing) instead of listing twice."""
+    if paths is None:
+        paths = fsio.list_files_recursive(root, fs)
     raw_by_path: dict[str, dict] = {}
     cols: list[str] = []  # first-seen order
     for p in paths:

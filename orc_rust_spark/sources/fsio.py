@@ -238,10 +238,18 @@ def list_files_with_sizes(fs_path: str, fs=None, suffix: str = ".orc",
             while stack:
                 with os.scandir(stack.pop()) as it:
                     for e in it:
-                        if e.is_dir():
+                        if e.name.startswith("."):
+                            # match list_files's glob convention: a
+                            # dot-hidden '.part.orc.inprogress-style'
+                            # temp must never be planned (code-review
+                            # r7, third pass)
+                            continue
+                        # follow_symlinks=False: a dir symlink at an
+                        # ancestor would loop the walk forever
+                        if e.is_dir(follow_symlinks=False):
                             if recursive:
                                 stack.append(e.path)
-                        elif e.name.endswith(suffix):
+                        elif e.is_file() and e.name.endswith(suffix):
                             out.append((e.path, e.stat().st_size))
             return sorted(out)
         return sorted((p, os.path.getsize(p))
@@ -253,7 +261,8 @@ def list_files_with_sizes(fs_path: str, fs=None, suffix: str = ".orc",
         sel = pafs.FileSelector(fs_path, recursive=recursive)
         return sorted(
             (i.path, i.size) for i in fs.get_file_info(sel)
-            if i.type == pafs.FileType.File and i.path.endswith(suffix))
+            if i.type == pafs.FileType.File and i.path.endswith(suffix)
+            and not i.base_name.startswith("."))
     _require_file(info, fs_path)
     return [(fs_path, info.size)]
 
@@ -268,9 +277,10 @@ def list_files_recursive(fs_path: str, fs=None,
         if not os.path.isdir(fs_path):
             return list_files(fs_path, None, suffix)
         out = []
-        for root, _dirs, names in os.walk(fs_path):
+        for root, dirs, names in os.walk(fs_path):
+            dirs[:] = [d for d in dirs if not d.startswith(".")]
             out.extend(os.path.join(root, n) for n in names
-                       if n.endswith(suffix))
+                       if n.endswith(suffix) and not n.startswith("."))
         return sorted(out)
     import pyarrow.fs as pafs
 
@@ -280,7 +290,8 @@ def list_files_recursive(fs_path: str, fs=None,
     sel = pafs.FileSelector(fs_path, recursive=True)
     return sorted(i.path for i in fs.get_file_info(sel)
                   if i.type == pafs.FileType.File
-                  and i.path.endswith(suffix))
+                  and i.path.endswith(suffix)
+                  and not i.base_name.startswith("."))
 
 
 def _require_file(info, fs_path: str) -> None:

@@ -433,22 +433,42 @@ def conform_table(tbl: pa.Table, target_arrow: "pa.Schema") -> pa.Table:
     return pa.table({f.name: _col(f) for f in target_arrow})
 
 
+def _repr_norm(t: "pa.DataType") -> "pa.DataType":
+    """Collapse arrow spellings that share a storage representation —
+    large_string/string, large_binary/binary, timestamp tz labels (the
+    decoder emits naive us / large offsets; Spark's to_arrow_schema
+    says string / timestamp[us, tz=UTC]; casting between them relabels
+    buffers, never converts values), recursively through nested types.
+    Two types equal after this norm are always safely castable."""
+    if pa.types.is_large_string(t):
+        return pa.string()
+    if pa.types.is_large_binary(t):
+        return pa.binary()
+    if pa.types.is_timestamp(t):
+        return pa.timestamp(t.unit)
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return pa.list_(_repr_norm(t.value_type))
+    if pa.types.is_map(t):
+        return pa.map_(_repr_norm(t.key_type), _repr_norm(t.item_type))
+    if pa.types.is_struct(t):
+        return pa.struct([(f.name, _repr_norm(f.type)) for f in t])
+    return t
+
+
 def _is_lossless_widen(src: "pa.DataType", dst: "pa.DataType") -> bool:
-    """Arrow-level mirror of the widen_ddl lattice, plus the offset-width
-    string/binary representational variants (large_string <-> string is
-    the same data, different offsets)."""
+    """Arrow-level mirror of the widen_ddl lattice, plus every
+    REPRESENTATIONAL variant pair (same storage, different spelling —
+    see _repr_norm; this covers instant timestamps and nested types
+    with string/binary children, which the non-evolution path has
+    always cast freely through _plain_type)."""
+    if _repr_norm(src) == _repr_norm(dst):
+        return True
     if (pa.types.is_integer(src) and pa.types.is_integer(dst)
             and pa.types.is_signed_integer(src)
             == pa.types.is_signed_integer(dst)):
         return dst.bit_width >= src.bit_width
     if pa.types.is_floating(src) and pa.types.is_floating(dst):
         return dst.bit_width >= src.bit_width
-    string_like = (pa.types.is_string, pa.types.is_large_string)
-    if any(f(src) for f in string_like) and any(f(dst) for f in string_like):
-        return True
-    binary_like = (pa.types.is_binary, pa.types.is_large_binary)
-    if any(f(src) for f in binary_like) and any(f(dst) for f in binary_like):
-        return True
     if (pa.types.is_decimal(src) and pa.types.is_decimal(dst)
             and src.scale == dst.scale):
         return dst.precision >= src.precision

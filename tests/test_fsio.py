@@ -380,3 +380,40 @@ def test_orc_scan_rejects_cross_file_type_flip(spark, tmp_path):
         orc_scan(spark, str(d))
     with pytest.raises(ValueError, match="consistent column types"):
         orc_scan(spark, str(d), "v bigint")
+
+
+def test_listing_helpers_skip_dot_hidden_files(tmp_path):
+    """Dot-hidden temp files (the Hadoop in-progress convention) never
+    reach planning: every listing helper skips them, matching the glob
+    convention of list_files (code-review r7, third pass)."""
+    import os
+
+    from orc_rust_spark.sources import fsio
+
+    (tmp_path / "a.orc").write_bytes(b"x")
+    (tmp_path / ".tmp-b.orc").write_bytes(b"x")
+    (tmp_path / "_c.orc").write_bytes(b"x")
+    sub = tmp_path / ".hidden_dir"
+    sub.mkdir()
+    (sub / "d.orc").write_bytes(b"x")
+    names = lambda lst: sorted(os.path.basename(p) for p in lst)
+    assert names(fsio.list_files(str(tmp_path))) == ["_c.orc", "a.orc"]
+    assert names(fsio.list_files_recursive(str(tmp_path))) == [
+        "_c.orc", "a.orc"]
+    assert names(p for p, _ in fsio.list_files_with_sizes(
+        str(tmp_path))) == ["_c.orc", "a.orc"]
+    assert names(p for p, _ in fsio.list_files_with_sizes(
+        str(tmp_path), recursive=True)) == ["_c.orc", "a.orc"]
+
+
+def test_sized_recursive_walk_ignores_dir_symlink_cycles(tmp_path):
+    import os
+
+    from orc_rust_spark.sources import fsio
+
+    sub = tmp_path / "day=1"
+    sub.mkdir()
+    (sub / "f.orc").write_bytes(b"x")
+    os.symlink(str(tmp_path), str(sub / "loop"))
+    got = fsio.list_files_with_sizes(str(tmp_path), recursive=True)
+    assert [os.path.basename(p) for p, _ in got] == ["f.orc"]

@@ -364,3 +364,30 @@ def test_decimal_precision_widening(spark, tmp_path):
     rows = {r["id"]: r["amt"] for r in df.collect()}
     assert rows == {1: Decimal("12.34"),
                     2: Decimal("123456789012345678.90")}
+
+
+def test_evolution_reads_timestamps_and_nested(spark, evolved_dir, tmp_path):
+    """Representational arrow variants must conform freely: the decoder
+    emits naive timestamp[us] and large_string-children structs while
+    Spark's target says tz=UTC / string — same storage, relabel-only
+    casts (code-review r7 third pass: the strict guard over-rejected
+    these, breaking evolution reads of previously-working shapes)."""
+    import datetime
+
+    from orc_rust_spark.sources.datasource import OrcRustDataSource
+    from orc_rust_spark.sources.orc_file import orc_scan
+
+    spark.dataSource.register(OrcRustDataSource)
+    ts = datetime.datetime(2024, 5, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [(1, ts, {"a": "x"})],
+        "id long, t timestamp, s struct<a: string>"
+    ).write.format("orcx").mode("overwrite").save(str(tmp_path / "d"))
+    df = orc_scan(spark, str(tmp_path / "d"), missing_as_null=True)
+    row = df.collect()[0]
+    assert row["id"] == 1 and row["s"]["a"] == "x"
+    assert row["t"] is not None
+    # and through the orcx reader with an evolved projection
+    df2 = (spark.read.format("orcx").option("missing_as_null", "true")
+           .load(str(tmp_path / "d")))
+    assert df2.count() == 1
