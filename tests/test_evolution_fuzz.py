@@ -26,12 +26,20 @@ from orc_rust_spark.sources.orc_file import (
     write_orc,
 )
 
-# column pool: name -> (widest arrow type, list of narrower write types)
+# column pool: name -> (widest arrow type, list of narrower write types).
+# ts and nested struct exercise the REPRESENTATIONAL variants (decoder
+# emits naive timestamp[us] and large_string children; to_arrow_schema
+# of the DDL says tz-labeled / plain string) that the r7 strict conform
+# guard first over-rejected — keep them in the random pool so that class
+# of regression cannot reland silently.
 _POOL = {
     "id": (pa.int64(), [pa.int8(), pa.int16(), pa.int32(), pa.int64()]),
     "score": (pa.float64(), [pa.float32(), pa.float64()]),
     "tag": (pa.string(), [pa.string()]),
     "flag": (pa.bool_(), [pa.bool_()]),
+    "ts": (pa.timestamp("us"), [pa.timestamp("us")]),
+    "meta": (pa.struct([("a", pa.string()), ("n", pa.int64())]),
+             [pa.struct([("a", pa.string()), ("n", pa.int64())])]),
 }
 
 
@@ -74,6 +82,20 @@ def _values(col: str, width_idx: int, n: int, rng) -> pa.Array:
         arr = pa.array(vals, type=t, mask=mask)
     elif pa.types.is_boolean(t):
         arr = pa.array(rng.random(n) < 0.5, type=t, mask=mask)
+    elif pa.types.is_timestamp(t):
+        import datetime
+
+        base = datetime.datetime(2024, 1, 1)
+        arr = pa.array(
+            [base + datetime.timedelta(seconds=int(s), microseconds=int(u))
+             for s, u in zip(rng.integers(0, 10**7, n),
+                             rng.integers(0, 10**6, n))],
+            type=t, mask=mask)
+    elif pa.types.is_struct(t):
+        arr = pa.array(
+            [{"a": f"s{int(v)}", "n": int(v)}
+             for v in rng.integers(0, 99, n)],
+            type=t, mask=mask)
     else:
         arr = pa.array([f"v{int(v)}" for v in rng.integers(0, 50, n)],
                        type=t, mask=mask)
