@@ -13,7 +13,7 @@ Usage:
 
 A path ending in .orc is inspected as a REAL ORC file instead (no Spark
 session; pure tail/stream parse, like the reference CLI):
-    python -m orc_rust_spark.inspect <file.orc> [info|layout]
+    python -m orc_rust_spark.inspect <file.orc> [info|stats|layout]
     python -m orc_rust_spark.inspect <file.orc> index <column>
     python -m orc_rust_spark.inspect <file.orc> bloom <column> <value>
 
@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import sys
 
-_ORC_CMDS = ("info", "layout", "index", "bloom")
+_ORC_CMDS = ("info", "stats", "layout", "index", "bloom")
 
 
 def _orc_kind_name(k: int) -> str:
@@ -63,7 +63,8 @@ def main_orc(argv: list[str]) -> int:
     path = argv[1]
     cmd = argv[2] if len(argv) > 2 else "info"
     if cmd not in _ORC_CMDS:
-        print(f"unknown ORC command {cmd!r}; use info|layout|index|bloom")
+        print(f"unknown ORC command {cmd!r}; use "
+              "info|stats|layout|index|bloom")
         return 2
     from .sources import fsio
 
@@ -77,6 +78,27 @@ def main_orc(argv: list[str]) -> int:
         print(f"stride     : {meta.row_index_stride}")
         for cid, name in zip(root.subtypes, root.field_names):
             print(f"  {name}: {_orc_kind_name(meta.types[cid].kind)}")
+        return 0
+    if cmd == "stats":
+        # per-column min/max from the tail's StripeStatistics (the
+        # reference `orc stats` analog): file rollup + per-stripe rows
+        if not meta.stripe_stats:
+            print("no stripe statistics in this file's tail")
+            return 1
+        for cid, name in zip(root.subtypes, root.field_names):
+            per = [ss.get(cid) for ss in meta.stripe_stats]
+            known = [mm for mm in per if mm is not None]
+            if not known:
+                print(f"{name}: no comparable statistics "
+                      f"({_orc_kind_name(meta.types[cid].kind)})")
+                continue
+            mn = min(mm[0] for mm in known)
+            mx = max(mm[1] for mm in known)
+            print(f"{name}: min={mn!r} max={mx!r} "
+                  f"({len(known)}/{len(per)} stripes carry stats)")
+            for si, mm in enumerate(per):
+                if mm is not None:
+                    print(f"  stripe {si}: min={mm[0]!r} max={mm[1]!r}")
         return 0
 
     with fsio.open_input(path, fs) as fh:

@@ -227,3 +227,24 @@ def test_parts_partition_summary(tmp_path, capsys):
     assert main_parts(["inspect", "parts", flat]) == 0
     assert "flat layout" in capsys.readouterr().out
     assert main_parts(["inspect", "parts", str(tmp_path / "nope")]) == 1
+
+
+def test_orc_stats_subcommand(tmp_path, capsys):
+    """`inspect <file.orc> stats` — per-column file rollup + per-stripe
+    min/max from the tail's StripeStatistics (the reference `orc stats`
+    analog, completing the .orc dispatch's subcommand set)."""
+    import pyarrow as pa
+
+    from orc_rust_spark.inspect import main_orc
+    from orc_rust_spark.sources.orc_file import write_orc
+
+    p = str(tmp_path / "s.orc")
+    write_orc(pa.table({
+        "id": pa.array(range(25000), type=pa.int64()),
+        "name": pa.array([f"n{i % 7}" for i in range(25000)]),
+    }), p, compression="zstd", stripe_rows=10000)
+    assert main_orc(["inspect", p, "stats"]) == 0
+    out = capsys.readouterr().out
+    assert "id: min=0 max=24999 (3/3 stripes carry stats)" in out
+    assert "stripe 1: min=10000 max=19999" in out
+    assert "name: min='n0' max='n6'" in out
