@@ -53,6 +53,27 @@ def _parse_probe(raw: str, prefer_int: bool):
     return raw
 
 
+def _type_paths(types) -> list[tuple[int, str]]:
+    """Every non-root type id with a dotted display path — nested
+    children carry their own StripeStatistics entries at their flat
+    type ids, so `stats` must walk the whole tree, not just the root's
+    direct children (code-review r7)."""
+    out: list[tuple[int, str]] = []
+
+    def walk(tid: int, prefix: str) -> None:
+        t = types[tid]
+        for i, c in enumerate(t.subtypes):
+            name = (t.field_names[i]
+                    if t.field_names and i < len(t.field_names)
+                    else f"<{i}>")  # list/map children have no names
+            p = f"{prefix}.{name}" if prefix else name
+            out.append((c, p))
+            walk(c, p)
+
+    walk(0, "")
+    return out
+
+
 def main_orc(argv: list[str]) -> int:
     """Inspect a real ORC file through this engine's metadata/stream
     parsers — info, per-stripe stream layout, per-row-group index stats,
@@ -81,24 +102,52 @@ def main_orc(argv: list[str]) -> int:
         return 0
     if cmd == "stats":
         # per-column min/max from the tail's StripeStatistics (the
-        # reference `orc stats` analog): file rollup + per-stripe rows
+        # reference `orc stats` analog): file rollup + per-stripe rows,
+        # every type id including nested children (code-review r7)
         if not meta.stripe_stats:
-            print("no stripe statistics in this file's tail")
-            return 1
-        for cid, name in zip(root.subtypes, root.field_names):
-            per = [ss.get(cid) for ss in meta.stripe_stats]
+            # a legitimate shape (written without row indexes, or zero
+            # rows), not an error — match `index`'s no-data convention
+            print("no stripe statistics in this file's tail (written "
+                  "without row indexes, or zero rows)")
+            return 0
+        n_entries = len(meta.stripe_stats)
+        label = "stripe"
+        if n_entries != len(meta.stripes):
+            # foreign writers can emit fewer entries than stripes (the
+            # mismatch orc_merge refuses to carry through) — don't
+            # mislabel positions as stripe numbers
+            label = "stats entry"
+            print(f"note: {n_entries} StripeStatistics entries for "
+                  f"{len(meta.stripes)} stripes — positions below are "
+                  "stats entries, not stripe numbers")
+        ts_kinds = (of.K_TIMESTAMP, of.K_TIMESTAMP_INSTANT)
+        for tid, name in _type_paths(meta.types):
+            per = [ss.get(tid) for ss in meta.stripe_stats]
             known = [mm for mm in per if mm is not None]
+            kind = _orc_kind_name(meta.types[tid].kind)
             if not known:
-                print(f"{name}: no comparable statistics "
-                      f"({_orc_kind_name(meta.types[cid].kind)})")
+                print(f"{name}: no comparable statistics ({kind})")
                 continue
-            mn = min(mm[0] for mm in known)
-            mx = max(mm[1] for mm in known)
-            print(f"{name}: min={mn!r} max={mx!r} "
-                  f"({len(known)}/{len(per)} stripes carry stats)")
+            try:
+                mn = min(mm[0] for mm in known)
+                mx = max(mm[1] for mm in known)
+                head = f"min={mn!r} max={mx!r}"
+            except TypeError:
+                # mixed stat families across entries (corrupt or buggy
+                # foreign writer): show the rows, skip the rollup
+                head = "mixed stat families — rollup skipped"
+            note = ""
+            if meta.types[tid].kind in ts_kinds:
+                # ms-precision timestamp stats are read widened (+1 ms
+                # on max) for pruning safety — the display inherits the
+                # ceil, so say so instead of printing it as recorded
+                note = " [max is a +1ms pruning ceil of the ms stats]"
+            print(f"{name}: {head} "
+                  f"({len(known)}/{len(per)} {label}s carry stats)"
+                  f"{note}")
             for si, mm in enumerate(per):
                 if mm is not None:
-                    print(f"  stripe {si}: min={mm[0]!r} max={mm[1]!r}")
+                    print(f"  {label} {si}: min={mm[0]!r} max={mm[1]!r}")
         return 0
 
     with fsio.open_input(path, fs) as fh:

@@ -242,9 +242,19 @@ def test_orc_stats_subcommand(tmp_path, capsys):
     write_orc(pa.table({
         "id": pa.array(range(25000), type=pa.int64()),
         "name": pa.array([f"n{i % 7}" for i in range(25000)]),
+        "s": pa.array([{"a": f"x{i % 5}"} for i in range(25000)],
+                      type=pa.struct([("a", pa.string())])),
     }), p, compression="zstd", stripe_rows=10000)
     assert main_orc(["inspect", p, "stats"]) == 0
     out = capsys.readouterr().out
     assert "id: min=0 max=24999 (3/3 stripes carry stats)" in out
     assert "stripe 1: min=10000 max=19999" in out
     assert "name: min='n0' max='n6'" in out
+    # nested children print at their dotted paths (code-review r7)
+    assert "s.a: min='x0' max='x4'" in out
+    # a file legitimately written without stats is exit 0, not an error
+    p2 = str(tmp_path / "nostats.orc")
+    write_orc(pa.table({"id": pa.array([1], type=pa.int64())}), p2,
+              compression="none", row_index_stride=0)
+    assert main_orc(["inspect", p2, "stats"]) == 0
+    assert "no stripe statistics" in capsys.readouterr().out
