@@ -44,6 +44,42 @@ def _safe_norm(a: "Column") -> "Column":
     return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
 
 
+# --- exact scoring in NumPy (bit-identical to the JVM fold) -----------------
+# The r1-r7 plans generated candidates with BLAS and then RE-SCORED them with
+# the _dot/_norm fold expressions so the reported cosine is bit-identical to
+# a sequential SQL evaluation. Those higher-order functions are interpreted
+# (no whole-stage codegen), and at sf1 the re-score joins + fold dominated
+# every ANN query (guide §4.1: prefer one vectorized kernel per batch).
+# np.cumsum is a strict prefix scan — out[i] = out[i-1] + in[i] — so its last
+# element IS the left-fold sum the JVM aggregate() computes (verified bitwise
+# in tests/test_ops_spark.py::test_exact_cosine_matches_jvm_fold); the final
+# `+ 0.0` reproduces the fold's 0.0 seed on the all-negative-zero edge.
+
+
+def _exact_sq_norms(mat: "np.ndarray") -> "np.ndarray":
+    """sqrt of the SEQUENTIAL sum of squares per row, zero guarded to 1.0 —
+    bit-identical to the _safe_norm fold expression."""
+    s = np.cumsum(mat * mat, axis=1)[:, -1] + 0.0
+    n = np.sqrt(s)
+    n[n == 0.0] = 1.0
+    return n
+
+
+def _exact_cosine_pairs(
+    qm: "np.ndarray", qn: "np.ndarray", cm: "np.ndarray", cn: "np.ndarray",
+    qi: "np.ndarray", ci: "np.ndarray", chunk: int = 1 << 18,
+) -> "np.ndarray":
+    """Exact cosine for the selected (query row, corpus row) pairs:
+    sequential-fold dot / (qn * cn), chunked to bound the temporary."""
+    out = np.empty(qi.size, dtype=np.float64)
+    for s in range(0, qi.size, chunk):
+        e = min(s + chunk, qi.size)
+        prod = qm[qi[s:e]] * cm[ci[s:e]]
+        dot = np.cumsum(prod, axis=1)[:, -1] + 0.0
+        out[s:e] = dot / (qn[qi[s:e]] * cn[ci[s:e]])
+    return out
+
+
 def with_cosine(pairs: DataFrame, left: str, right: str) -> DataFrame:
     return pairs.withColumn(
         "cosine", _dot(F.col(left), F.col(right)) / (_norm(F.col(left)) * _norm(F.col(right)))
@@ -79,23 +115,32 @@ def _corpus_block_broadcasts(
     block_rows: int = DEFAULT_BLOCK_ROWS,
     max_blocks: int = DEFAULT_MAX_BLOCKS,
 ) -> list:
-    """Corpus as a LIST of broadcast (ids int64, unit-norm float64 matrix)
-    blocks of <= block_rows rows each.
+    """Corpus as a LIST of broadcast (ids int64, RAW float64 matrix,
+    exact-fold norms) blocks of <= block_rows rows each.
 
     Exact all-pairs search needs one dense side per task no matter the
     engine, but it does NOT need the whole corpus resident on the driver:
-    partitions stream to the driver one at a time (toLocalIterator) and
-    each block is shipped as its own torrent broadcast before the next is
-    materialized — peak driver heap is O(one partition's packed blocks),
-    bounded by the input split size, not O(corpus). No count() pre-pass
-    and no repartition shuffle (VERDICT r3 minor #5): each input partition
-    packs greedily into <= block_rows blocks as its batches stream
-    through, so the corpus crosses the wire exactly once. Tasks then
-    matmul their query batch against one block at a time and merge running
-    top-k (cosine_topk) or union threshold candidates
-    (embedding_neardup_pairs). Executor-side the blocks live in the block
-    manager (MEMORY_AND_DISK — spillable). Beyond what B passes of blocked
-    matmul can absorb, lsh_topk/ivf_topk are the scale path.
+    partitions stream to the driver one at a time (prefetched
+    toLocalIterator) and the driver merges per-partition partial blocks
+    into FULL block_rows blocks before broadcasting — peak driver heap is
+    O(block_rows + one partition), bounded, not O(corpus). No count()
+    pre-pass and no repartition shuffle (VERDICT r3 minor #5): the corpus
+    crosses the wire exactly once. Before r8 each input PARTITION shipped
+    its own blocks, so a many-partition corpus became many tiny
+    broadcasts plus one sequential driver job per partition — at sf1 (64
+    input files) that was ~6.5 s of the 7 s cosine_topk wall (guide §1:
+    measured, bench_extra.py); merging to full blocks makes the broadcast
+    count scale with corpus rows, not file count. Tasks then matmul their
+    query batch against one block at a time and merge running top-k
+    (cosine_topk) or union threshold candidates (embedding_neardup_pairs).
+    Executor-side the blocks live in the block manager (MEMORY_AND_DISK —
+    spillable). Beyond what B passes of blocked matmul can absorb,
+    lsh_topk/ivf_topk are the scale path.
+
+    Each block is ``(ids int64, mat float64 RAW, norms float64)`` — raw
+    values (not unit-normalized) so consumers can compute the EXACT
+    fold cosine for selected candidates; ``norms`` are the exact
+    sequential-fold norms (zero guarded to 1.0, `_exact_sq_norms`).
     """
     import numpy as np
     import pyarrow as pa
@@ -103,22 +148,8 @@ def _corpus_block_broadcasts(
     sc = vectors.sparkSession.sparkContext
 
     def pack(batches):
-        # packed rows of <= block_rows vectors: ids + row-normalized matrix
-        # as raw bytes, so the driver deserializes a block in one memcpy
-        # instead of 10^5 Row objects
-        pend_ids: list = []
-        pend_mats: list = []
-        pend_n = 0
-
-        def make_block(ids, mat):
-            norms = np.linalg.norm(mat, axis=1)
-            norms[norms == 0] = 1.0
-            mat = mat / norms[:, None]
-            return pa.RecordBatch.from_pydict({
-                "ids": [ids.tobytes()], "mat": [mat.tobytes()],
-                "rows": [mat.shape[0]], "dim": [mat.shape[1]],
-            })
-
+        # raw ids/values bytes per partition, so the driver deserializes a
+        # partial block in one memcpy instead of 10^5 Row objects
         for b in batches:
             la = b.column(1)
             if la.null_count:
@@ -140,22 +171,19 @@ def _corpus_block_broadcasts(
                     f"(dims {lo.as_py()}..{hi.as_py()}): cosine search "
                     "requires one fixed dimension")
             vals = la.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-            pend_ids.append(ids_np)
-            pend_mats.append(vals.reshape(b.num_rows, -1))  # fixed-dim vectors
-            pend_n += b.num_rows
-            while pend_n >= block_rows:
-                ids = np.concatenate(pend_ids)
-                mat = np.concatenate(pend_mats)
-                yield make_block(ids[:block_rows], mat[:block_rows])
-                pend_ids, pend_mats = [ids[block_rows:]], [mat[block_rows:]]
-                pend_n = ids.size - block_rows
-        if pend_n:
-            yield make_block(np.concatenate(pend_ids), np.concatenate(pend_mats))
+            yield pa.RecordBatch.from_pydict({
+                "ids": [ids_np.tobytes()], "mat": [vals.tobytes()],
+                "rows": [b.num_rows], "dim": [vals.size // b.num_rows],
+            })
 
     packed = vectors.select(id_col, vec_col).mapInArrow(
         pack, schema="ids binary, mat binary, rows long, dim long")
     blocks = []
-    for row in packed.toLocalIterator():  # one block resident at a time
+    pend_ids: list = []
+    pend_mats: list = []
+    pend_n = 0
+
+    def flush(ids, mat):
         if len(blocks) >= max_blocks:
             _destroy_blocks(blocks)
             raise ValueError(
@@ -164,25 +192,33 @@ def _corpus_block_broadcasts(
                 "all-pairs matmul is the wrong plan at this scale — use "
                 "lsh_topk or ivf_topk (the bucketed scale path), or raise "
                 "max_blocks explicitly")
-        ids = np.frombuffer(row.ids, dtype=np.int64)
-        mat = np.frombuffer(row.mat, dtype=np.float64).reshape(row.rows, row.dim)
-        blocks.append(sc.broadcast((ids, mat)))
+        blocks.append(sc.broadcast((ids, mat, _exact_sq_norms(mat))))
+
+    for row in packed.toLocalIterator(prefetchPartitions=True):
+        pend_ids.append(np.frombuffer(row.ids, dtype=np.int64))
+        pend_mats.append(
+            np.frombuffer(row.mat, dtype=np.float64).reshape(row.rows, row.dim))
+        pend_n += row.rows
+        while pend_n >= block_rows:
+            ids = np.concatenate(pend_ids)
+            mat = np.concatenate(pend_mats)
+            flush(ids[:block_rows], mat[:block_rows])
+            pend_ids, pend_mats = [ids[block_rows:]], [mat[block_rows:]]
+            pend_n -= block_rows
+    if pend_n:
+        flush(np.concatenate(pend_ids), np.concatenate(pend_mats))
     return blocks
 
 
-def _merge_topk(best, block, kk: int):
-    """Merge a block's per-query (sims, ids) into the running top-kk."""
-    import numpy as np
-
-    if best is None:
-        return block
-    sims = np.concatenate([best[0], block[0]], axis=1)
-    ids = np.concatenate([best[1], block[1]], axis=1)
-    if sims.shape[1] > kk:
-        sel = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        sims = np.take_along_axis(sims, sel, axis=1)
-        ids = np.take_along_axis(ids, sel, axis=1)
-    return sims, ids
+def _exact_plane_dots(q: "np.ndarray", planes: "np.ndarray") -> "np.ndarray":
+    """(n, n_planes) EXACT sequential-fold dot of every row against every
+    plane/centroid — bit-identical to the `_dot` JVM fold the bucket/
+    assignment expressions used before r8 (one cumsum pass per plane; the
+    plane count is small and fixed)."""
+    out = np.empty((q.shape[0], planes.shape[0]), dtype=np.float64)
+    for i in range(planes.shape[0]):
+        out[:, i] = np.cumsum(q * planes[i], axis=1)[:, -1] + 0.0
+    return out
 
 
 def cosine_topk(
@@ -204,10 +240,16 @@ def cosine_topk(
     driver nor a task ever holds the whole corpus dense — generates
     candidates per query (one BLAS call per batch*block instead of an
     O(n^2) nested-loop join — round 1's plan spent 36 s in codegen on what
-    is a ~ms matmul), then the candidates are RE-SCORED with the JVM fold
-    expression so the reported cosine is bit-identical to a pure SQL
-    evaluation (BLAS sum order differs in the last ulp; the pad absorbs
-    any rank flips at that magnitude). Ties broken by neighbor id.
+    is a ~ms matmul). Each selected candidate's cosine is then computed
+    EXACTLY in the same task with the sequential-fold kernel
+    (`_exact_cosine_pairs` — bit-identical to the former JVM fold
+    re-score and to a pure SQL evaluation; BLAS sims are used only to
+    SELECT, and the pad absorbs any BLAS-vs-exact rank flips at the
+    boundary), and blocks are merged on the exact value. r8: the two
+    re-score joins + interpreted fold this replaces were the dominant
+    cost of every ANN query at sf1 (guide §4.1/§4.2 — the fold was
+    evaluated per pair per element with no codegen). Ties broken by
+    neighbor id.
 
     Durability trade (documented per driver-advice r5): the candidate
     stage is materialized with ``localCheckpoint(eager=True)`` and the
@@ -240,34 +282,52 @@ def cosine_topk(
             if not len(pdf):
                 continue
             q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            qn = np.linalg.norm(q, axis=1)
-            qn[qn == 0] = 1.0
+            qn = _exact_sq_norms(q)
             qu = q / qn[:, None]
             qids = pdf[id_col].to_numpy().astype(np.int64)
-            best = None
+            nq = len(qids)
+            best_cos = best_ids = None
             for bc in bcs:
-                ids, mat = bc.value
-                sims = qu @ mat.T
+                ids, mat, cn = bc.value
+                sims = (qu @ mat.T) / cn  # selection only (BLAS order)
                 sims[qids[:, None] == ids[None, :]] = -np.inf  # exclude self
                 top = min(kk, sims.shape[1])
                 idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
-                best = _merge_topk(
-                    best, (np.take_along_axis(sims, idx, axis=1), ids[idx]), kk
-                )
-            if best is None:  # empty corpus: no neighbors for this batch
+                # exact fold cosine for the selected candidates; masked
+                # self slots surviving a tiny block stay -inf
+                cos = _exact_cosine_pairs(
+                    q, qn, mat, cn,
+                    np.repeat(np.arange(nq), top), idx.ravel(),
+                ).reshape(nq, top)
+                cos[~np.isfinite(np.take_along_axis(sims, idx, axis=1))] = -np.inf
+                bids = ids[idx]
+                if best_cos is None:
+                    best_cos, best_ids = cos, bids
+                else:
+                    best_cos = np.concatenate([best_cos, cos], axis=1)
+                    best_ids = np.concatenate([best_ids, bids], axis=1)
+                if best_cos.shape[1] > kk:
+                    # deterministic cross-block merge on the EXACT value,
+                    # ties to the lowest nid — the final ranking rule
+                    order = np.lexsort((best_ids, -best_cos), axis=1)[:, :kk]
+                    best_cos = np.take_along_axis(best_cos, order, axis=1)
+                    best_ids = np.take_along_axis(best_ids, order, axis=1)
+            if best_cos is None:  # empty corpus: no neighbors for this batch
                 continue
-            top = best[1].shape[1]
+            top = best_ids.shape[1]
+            keep = np.isfinite(best_cos.ravel())
             yield pd.DataFrame({
-                "qid": np.repeat(qids, top),
-                "nid": best[1].ravel(),
+                "qid": np.repeat(qids, top)[keep],
+                "nid": best_ids.ravel()[keep],
+                "cosine": best_cos.ravel()[keep],
             })
 
     src = (queries or vectors)
-    # residual qid != nid: with a tiny corpus (< k+pad non-self vectors) a
-    # -inf-masked self slot can survive the per-block merge
-    cand = src.mapInPandas(candidates, schema="qid long, nid long").where(
-        F.col("qid") != F.col("nid")
-    )
+    # residual qid != nid: belt-and-braces (self slots are -inf-masked and
+    # dropped above, but the guard is free on a candidate-sized frame)
+    cand = src.mapInPandas(
+        candidates, schema="qid long, nid long, cosine double"
+    ).where(F.col("qid") != F.col("nid"))
     # materialize the candidate stage NOW (bounded: queries x (k+pad)
     # rows), truncating its lineage so the corpus broadcasts can be
     # destroyed immediately — executor storage returns to baseline
@@ -275,20 +335,8 @@ def cosine_topk(
     # next #7)
     cand = eager_checkpoint(cand)
     _destroy_blocks(bcs)
-    q = src.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"),
-                   _safe_norm(F.col(vec_col)).alias("qn"))
-    c = vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
-                       _safe_norm(F.col(vec_col)).alias("nn"))
-    # re-score joins broadcast ONLY the candidate set (∝ queries × (k+pad));
-    # both corpus-sized relations (q when queries is None, and c always)
-    # stream through as the probe/shuffle side and are never materialized
-    # on the driver (VERDICT r3 #1 — the full-corpus F.broadcast was the
-    # one remaining scale-killer). AQE may still broadcast the small joined
-    # candidate relation at runtime, which is exactly the right plan.
-    pairs = q.join(F.broadcast(cand), "qid").join(c.hint("shuffle_hash"), "nid")
-    cos = _dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
-    scored = pairs.withColumn(
-        "cosine", F.round(cos, round_to) if round_to is not None else cos)
+    scored = cand if round_to is None else cand.withColumn(
+        "cosine", F.round(F.col("cosine"), round_to))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -314,17 +362,37 @@ def hyperplane_buckets(
     vec_col: str = "embedding",
     planes: list[list[float]] | None = None,
 ) -> DataFrame:
-    """Random-hyperplane LSH bucket id per vector (sign-bit sketch)."""
+    """Random-hyperplane LSH bucket id per vector (sign-bit sketch).
+
+    r8: the per-plane `_dot` fold expressions were interpreted (no
+    codegen) and cost n_vectors * n_planes * dim expression evaluations;
+    the buckets are now computed in one vectorized pass with the EXACT
+    sequential-fold kernel (`_exact_plane_dots` — same sign decisions
+    bit-for-bit, same `dot > 0` rule with the fold's 0.0 seed)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
     planes = planes if planes is not None else make_planes(dim, n_planes, seed)
-    n_planes = len(planes)
-    bucket = F.lit(0).cast("bigint")
-    for i in range(n_planes):
-        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
-        bit = F.when(_dot(F.col(vec_col), plane) > 0, F.lit(1).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        bucket = bucket + F.shiftleft(bit, i)
-    return vectors.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    pl = np.asarray(planes, dtype=np.float64)
+    shifts = np.arange(pl.shape[0], dtype=np.int64)
+    out_schema = T.StructType([
+        vectors.schema[id_col], vectors.schema[vec_col],
+        T.StructField("bucket", T.LongType()),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            q = (np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                 if len(pdf) else np.zeros((0, pl.shape[1])))
+            dots = _exact_plane_dots(q, pl)
+            bucket = ((dots > 0).astype(np.int64) << shifts).sum(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                vec_col: pdf[vec_col].to_numpy(),
+                "bucket": bucket,
+            })
+
+    return vectors.select(id_col, vec_col).mapInPandas(gen, schema=out_schema)
 
 
 def _bucketed_matmul_topk(
@@ -334,18 +402,24 @@ def _bucketed_matmul_topk(
     """Shared physical strategy of the bucketed ANN family (LSH buckets,
     IVF posting lists): candidates come from a PER-BUCKET NumPy matmul
     (cogroup on the bucket key — each task sees one bucket, never the
-    corpus), keeping the top-(k+pad) neighbors per query per bucket; only
-    those candidates are re-scored with the JVM fold expression, so the
-    reported cosine is bit-identical to a per-pair SQL evaluation while
-    the O(bucket^2) expression work collapses to one BLAS call per bucket
-    (the pad absorbs BLAS last-ulp rank flips at the k+pad boundary —
-    the cosine_topk argument; a true global top-k member ranks <= k
-    within its own bucket, so per-bucket top-(k+pad) loses nothing).
+    corpus), keeping the top-(k+pad) neighbors per query per bucket; each
+    selected candidate's cosine is computed EXACTLY in the same task with
+    the sequential-fold kernel (`_exact_cosine_pairs` — bit-identical to
+    the former JVM fold re-score / a per-pair SQL evaluation), and only
+    Spark's own `round` touches the value after that, so the reported
+    cosine is unchanged while the O(bucket^2) expression work collapses
+    to one BLAS call plus one vectorized exact pass per bucket (the pad
+    absorbs BLAS last-ulp rank flips at the k+pad boundary — the
+    cosine_topk argument; a true global top-k member ranks <= k within
+    its own bucket, so per-bucket top-(k+pad) loses nothing). r8: the
+    former re-score joins + interpreted fold dominated the bucketed ANN
+    queries at sf1 (guide §4.1/§4.2).
 
     ``q`` may hold multiple rows per query id (IVF multi-probe): each
     (query, bucket) pair contributes its bucket-local top-(k+pad), and
     the final window ranks the union. q: (qid, qv, <key>);
-    c: (nid, nv, <key>); vectors: the base relation for re-scoring.
+    c: (nid, nv, <key>); ``vectors``/``id_col``/``vec_col`` identify the
+    base relation (kept for API stability; scoring is in-task now).
     """
     import pandas as pd
 
@@ -356,13 +430,12 @@ def _bucketed_matmul_topk(
 
         if not len(left) or not len(right):
             return pd.DataFrame({"qid": pd.Series([], dtype="int64"),
-                                 "nid": pd.Series([], dtype="int64")})
+                                 "nid": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
         qm = np.stack(left["qv"].to_numpy()).astype(np.float64)
-        qn = np.linalg.norm(qm, axis=1)
-        qn[qn == 0] = 1.0
+        qn = _exact_sq_norms(qm)
         cm = np.stack(right["nv"].to_numpy()).astype(np.float64)
-        cn = np.linalg.norm(cm, axis=1)
-        cn[cn == 0] = 1.0
+        cn = _exact_sq_norms(cm)
         qids = left["qid"].to_numpy().astype(np.int64)
         nids = right["nid"].to_numpy().astype(np.int64)
         # corpus columns ordered by nid ASC + STABLE sort on -sim: exact
@@ -379,25 +452,19 @@ def _bucketed_matmul_topk(
         idx = np.argsort(-sims, axis=1, kind="stable")[:, :top]
         qcol = np.repeat(qids, top)
         ncol = nids[idx].ravel()
+        cos = _exact_cosine_pairs(
+            qm, qn, cm, cn,
+            np.repeat(np.arange(len(qids)), top), idx.ravel())
         # drop -inf slots (self pairs surviving into tiny buckets' top)
         keepm = np.isfinite(np.take_along_axis(sims, idx, axis=1).ravel())
-        return pd.DataFrame({"qid": qcol[keepm], "nid": ncol[keepm]})
+        return pd.DataFrame({"qid": qcol[keepm], "nid": ncol[keepm],
+                             "cosine": cos[keepm]})
 
     cand = (
         q.groupBy(key).cogroup(c.groupBy(key))
-        .applyInPandas(gen, schema="qid long, nid long")
+        .applyInPandas(gen, schema="qid long, nid long, cosine double")
     )
-    qv_rel = vectors.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv2"),
-                            _safe_norm(F.col(vec_col)).alias("qn2"))
-    cv_rel = vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv2"),
-                            _safe_norm(F.col(vec_col)).alias("nn2"))
-    # broadcast ONLY the candidate set; the corpus relations stream/shuffle
-    pairs = qv_rel.join(F.broadcast(cand), "qid").join(
-        cv_rel.hint("shuffle_hash"), "nid")
-    scored = pairs.withColumn(
-        "cosine",
-        F.round(_dot(F.col("qv2"), F.col("nv2")) / (F.col("qn2") * F.col("nn2")), 6),
-    )
+    scored = cand.withColumn("cosine", F.round(F.col("cosine"), 6))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -483,16 +550,35 @@ def ivf_assign(
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Nearest-centroid assignment per vector (centroids are unit-norm, so
-    max dot = max cosine), entirely in JVM expressions. Ties resolve to
-    the FIRST maximal centroid via array_position-of-max — the same
-    first-occurrence rule an external SQL oracle expresses with
-    list_indexof(l, list_max(l))."""
-    sims = F.array(*[
-        _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-        for c in centroids
+    max dot = max cosine). Ties resolve to the FIRST maximal centroid —
+    np.argmax's first-occurrence rule, the same one an external SQL
+    oracle expresses with list_indexof(l, list_max(l)).
+
+    r8: the per-centroid `_dot` fold expressions were interpreted and
+    cost n_vectors * n_centroids * dim evaluations; assignment now runs
+    through the EXACT sequential-fold kernel (`_exact_plane_dots` —
+    bit-identical dots, so identical cluster choices at ties)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cen = np.asarray(centroids, dtype=np.float64)
+    out_schema = T.StructType([
+        vectors.schema[id_col], vectors.schema[vec_col],
+        T.StructField("cluster", T.IntegerType()),
     ])
-    cluster = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
-    return vectors.select(F.col(id_col), F.col(vec_col), cluster.alias("cluster"))
+
+    def gen(batches):
+        for pdf in batches:
+            q = (np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                 if len(pdf) else np.zeros((0, cen.shape[1])))
+            sims = _exact_plane_dots(q, cen)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                vec_col: pdf[vec_col].to_numpy(),
+                "cluster": np.argmax(sims, axis=1).astype(np.int32),
+            })
+
+    return vectors.select(id_col, vec_col).mapInPandas(gen, schema=out_schema)
 
 
 def ivf_query_clusters(
@@ -501,22 +587,38 @@ def ivf_query_clusters(
 ) -> DataFrame:
     """The ``nprobe`` nearest centroids per QUERY vector, exploded to one
     row per (query, cluster). Deterministic order: similarity descending,
-    then centroid index ascending (struct sort on (-sim, idx)) — the same
-    rule an external SQL oracle expresses with row_number() OVER
-    (ORDER BY sim DESC, idx ASC)."""
-    pairs = F.array(*[
-        F.struct(
-            (-_dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])))
-            .alias("ns"),
-            F.lit(i).alias("i"),
-        )
-        for i, c in enumerate(centroids)
+    then centroid index ascending — the same rule an external SQL oracle
+    expresses with row_number() OVER (ORDER BY sim DESC, idx ASC).
+
+    r8: same exact-fold NumPy rewrite as ivf_assign (bit-identical dots,
+    np.lexsort((idx, -sim)) is the (-sim, idx) struct sort)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cen = np.asarray(centroids, dtype=np.float64)
+    nprobe = min(nprobe, cen.shape[0])
+    out_schema = T.StructType([
+        vectors.schema[id_col], vectors.schema[vec_col],
+        T.StructField("cluster", T.IntegerType()),
     ])
-    top = F.slice(F.array_sort(pairs), 1, nprobe)
-    return vectors.select(
-        F.col(id_col), F.col(vec_col),
-        F.explode(F.transform(top, lambda x: x["i"])).alias("cluster"),
-    )
+
+    def gen(batches):
+        idx_key = np.broadcast_to(
+            np.arange(cen.shape[0]), (1, cen.shape[0]))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sims = _exact_plane_dots(q, cen)
+            keys = np.broadcast_to(idx_key, sims.shape)
+            order = np.lexsort((keys, -sims), axis=1)[:, :nprobe]
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].to_numpy(), nprobe),
+                vec_col: np.repeat(pdf[vec_col].to_numpy(), nprobe),
+                "cluster": order.ravel().astype(np.int32),
+            })
+
+    return vectors.select(id_col, vec_col).mapInPandas(gen, schema=out_schema)
 
 
 def ivf_topk(
@@ -561,10 +663,14 @@ def embedding_neardup_pairs(
     Same physical strategy as cosine_topk: NumPy matmul against the
     blocked-broadcast corpus finds candidate pairs >= tau - eps per block
     (eps absorbs BLAS last-ulp drift; the threshold cut is per-pair, so
-    blocks union without any cross-block state), then the JVM fold
-    re-scores exactly and applies the precise >= tau cut — output
-    identical to the all-pairs SQL, at matmul cost instead of an O(n^2)
-    nested-loop join.
+    blocks union without any cross-block state), each candidate's cosine
+    is computed EXACTLY in-task with the sequential-fold kernel
+    (`_exact_cosine_pairs`, bit-identical to the former JVM fold
+    re-score), and Spark's own `round` + the precise >= tau cut run on
+    that value — output identical to the all-pairs SQL, at matmul cost
+    instead of an O(n^2) nested-loop join (r8: the re-score joins + the
+    interpreted per-pair fold were ~4 us/pair and dominated this operator
+    once the pair count grew — guide §4.1/§4.2).
 
     Same durability trade as cosine_topk (see its docstring): eager
     localCheckpoint + broadcast destroy bounds executor storage per call
@@ -593,36 +699,28 @@ def embedding_neardup_pairs(
             if not len(pdf):
                 continue
             q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            qn = np.linalg.norm(q, axis=1)
-            qn[qn == 0] = 1.0
+            qn = _exact_sq_norms(q)
             qu = q / qn[:, None]
             qids = pdf[id_col].to_numpy().astype(np.int64)
             for bc in bcs:
-                ids, mat = bc.value
-                sims = qu @ mat.T
+                ids, mat, cn = bc.value
+                sims = (qu @ mat.T) / cn
                 keep = (sims >= tau - eps) & (qids[:, None] < ids[None, :])
                 qi, ci = np.nonzero(keep)
                 if qi.size:
-                    yield pd.DataFrame({"id_a": qids[qi], "id_b": ids[ci]})
+                    yield pd.DataFrame({
+                        "id_a": qids[qi], "id_b": ids[ci],
+                        "cosine": _exact_cosine_pairs(q, qn, mat, cn, qi, ci),
+                    })
 
-    cand = vectors.mapInPandas(candidates, schema="id_a long, id_b long")
+    cand = vectors.mapInPandas(
+        candidates, schema="id_a long, id_b long, cosine double")
     # same residency rule as cosine_topk: candidates are bounded (output-
     # sized), so checkpoint them and release the corpus blocks right away
     cand = eager_checkpoint(cand)
     _destroy_blocks(bcs)
-    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                       _safe_norm(F.col(vec_col)).alias("na"))
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                       _safe_norm(F.col(vec_col)).alias("nb"))
-    # broadcast ONLY the candidate pairs (∝ output size); the two
-    # corpus-sized vector relations stream/shuffle-join and are never
-    # collected to the driver (VERDICT r3 #1)
-    pairs = a.join(F.broadcast(cand), "id_a").join(b.hint("shuffle_hash"), "id_b")
     return (
-        pairs.withColumn(
-            "cosine",
-            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
-        )
+        cand.withColumn("cosine", F.round(F.col("cosine"), 6))
         .where(F.col("cosine") >= tau)
         .select("id_a", "id_b", "cosine")
     )

@@ -216,7 +216,10 @@ def test_exact_ann_never_broadcasts_corpus(spark, vectors):
                 df.explain(True)
             plan = buf.getvalue()
             subs = _broadcast_subtrees(plan)
-            assert subs, "expected the candidate set to be broadcast"
+            # r8: the candidate stage now carries its exact cosine, so no
+            # re-score joins remain — the usual plan has NO broadcast at
+            # all; any BroadcastExchange that does appear must still sit
+            # above the candidate stage, never above a corpus scan
             for sub in subs:
                 # the candidate set is the checkpointed output of the
                 # mapInPandas stage: it appears as a Scan ExistingRDD
