@@ -205,9 +205,13 @@ def minhash_lsh_pairs(
             ])
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # bucket_n >= 2: singleton buckets (the vast majority of band rows)
+    # cannot produce a pair, so dropping them before the self-join removes
+    # most of its sort/probe input with the candidate set provably
+    # unchanged (r8, guide §2.3 — shuffle fewer bytes)
     sized = bands_df.withColumn(
         "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-    ).where(F.col("bucket_n") <= max_bucket)
+    ).where((F.col("bucket_n") <= max_bucket) & (F.col("bucket_n") >= 2))
     # both sides of the self-join share this lineage; without persist the
     # signature aggregation (the expensive stage) is recomputed per side
     sized = sized.persist()
@@ -228,11 +232,19 @@ def minhash_lsh_pairs(
         .select(F.col(id_col).alias("id"), _shingles(F.col(text_col), n).alias("sh"))
         .persist()  # read twice (both sides of the verify join)
     )
+    # |A∪B| = |A| + |B| - |A∩B| exactly, because _shingles arrays are
+    # element-distinct (array_distinct) — the identity the SQL oracle
+    # itself uses. Computing it arithmetically instead of via
+    # array_union halves the per-pair hash-set work of the verify join
+    # (r8, guide §1.2 — the verify was the largest single stage of this
+    # operator once candidate counts grew to millions).
     verified = (
         cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
         .join(sh.alias("sb"), F.col("id_b") == F.col("sb.id"))
         .withColumn("common", F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh"))))
-        .withColumn("union_", F.size(F.array_union(F.col("sa.sh"), F.col("sb.sh"))))
+        .withColumn(
+            "union_",
+            F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - F.col("common"))
         .withColumn("jaccard", F.round(F.col("common") / F.col("union_"), 6))
         .where(F.col("jaccard") >= threshold)
     )
