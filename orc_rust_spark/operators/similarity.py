@@ -176,7 +176,7 @@ def _corpus_block_broadcasts(
                 "rows": [b.num_rows], "dim": [vals.size // b.num_rows],
             })
 
-    packed = vectors.select(id_col, vec_col).mapInArrow(
+    packed = _ensure_parallel(vectors.select(id_col, vec_col)).mapInArrow(
         pack, schema="ids binary, mat binary, rows long, dim long")
     blocks = []
     pend_ids: list = []
@@ -208,6 +208,36 @@ def _corpus_block_broadcasts(
     if pend_n:
         flush(np.concatenate(pend_ids), np.concatenate(pend_mats))
     return blocks
+
+
+def _ensure_parallel(df: DataFrame) -> DataFrame:
+    """Repartition a source that cannot feed at least half the cluster's
+    task slots (r8, guide §2.5 input skew: a single-file corpus plans as
+    ONE scan task, so the candidate mapInPandas ran the whole all-pairs
+    matmul single-threaded with multi-GB sims temporaries — 51 s where
+    the many-file layout took 5 s). The vectors relation is small
+    relative to the matmul work, so the one-off shuffle is cheap; at
+    scale the source has more splits than cores and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(p) if n < max(2, p // 2) else df
+
+
+#: cap on elements of one sims slice (queries x block vectors, float64):
+#: 2^24 elements = 128 MiB, small enough that the temporaries of one
+#: slice stay inside the worker's reused malloc arena instead of paying
+#: this sandbox's slow first-touch pages on multi-GB allocations
+_SIMS_SLICE_ELEMS = 1 << 24
+
+
+def _query_slices(n_queries: int, block_rows: int):
+    step = max(256, _SIMS_SLICE_ELEMS // max(1, block_rows))
+    for s in range(0, n_queries, step):
+        yield s, min(s + step, n_queries)
 
 
 def _exact_plane_dots(q: "np.ndarray", planes: "np.ndarray") -> "np.ndarray":
@@ -281,48 +311,56 @@ def cosine_topk(
             pdf = pdf[pdf[vec_col].notna()]
             if not len(pdf):
                 continue
-            q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            qn = _exact_sq_norms(q)
-            qu = q / qn[:, None]
-            qids = pdf[id_col].to_numpy().astype(np.int64)
-            nq = len(qids)
-            best_cos = best_ids = None
-            for bc in bcs:
-                ids, mat, cn = bc.value
-                sims = (qu @ mat.T) / cn  # selection only (BLAS order)
-                sims[qids[:, None] == ids[None, :]] = -np.inf  # exclude self
-                top = min(kk, sims.shape[1])
-                idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
-                # exact fold cosine for the selected candidates; masked
-                # self slots surviving a tiny block stay -inf
-                cos = _exact_cosine_pairs(
-                    q, qn, mat, cn,
-                    np.repeat(np.arange(nq), top), idx.ravel(),
-                ).reshape(nq, top)
-                cos[~np.isfinite(np.take_along_axis(sims, idx, axis=1))] = -np.inf
-                bids = ids[idx]
-                if best_cos is None:
-                    best_cos, best_ids = cos, bids
-                else:
-                    best_cos = np.concatenate([best_cos, cos], axis=1)
-                    best_ids = np.concatenate([best_ids, bids], axis=1)
-                if best_cos.shape[1] > kk:
-                    # deterministic cross-block merge on the EXACT value,
-                    # ties to the lowest nid — the final ranking rule
-                    order = np.lexsort((best_ids, -best_cos), axis=1)[:, :kk]
-                    best_cos = np.take_along_axis(best_cos, order, axis=1)
-                    best_ids = np.take_along_axis(best_ids, order, axis=1)
-            if best_cos is None:  # empty corpus: no neighbors for this batch
-                continue
-            top = best_ids.shape[1]
-            keep = np.isfinite(best_cos.ravel())
-            yield pd.DataFrame({
-                "qid": np.repeat(qids, top)[keep],
-                "nid": best_ids.ravel()[keep],
-                "cosine": best_cos.ravel()[keep],
-            })
+            q_all = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            qn_all = _exact_sq_norms(q_all)
+            qids_all = pdf[id_col].to_numpy().astype(np.int64)
+            max_block = max((bc.value[1].shape[0] for bc in bcs), default=1)
+            # sliced so the sims temporaries stay bounded (a 20k-query
+            # batch against a 64k-row block is a 10 GB matrix otherwise)
+            for s, e in _query_slices(len(qids_all), max_block):
+                q = q_all[s:e]
+                qn = qn_all[s:e]
+                qids = qids_all[s:e]
+                qu = q / qn[:, None]
+                nq = len(qids)
+                best_cos = best_ids = None
+                for bc in bcs:
+                    ids, mat, cn = bc.value
+                    sims = (qu @ mat.T) / cn  # selection only (BLAS order)
+                    sims[qids[:, None] == ids[None, :]] = -np.inf  # no self
+                    top = min(kk, sims.shape[1])
+                    idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+                    # exact fold cosine for the selected candidates; masked
+                    # self slots surviving a tiny block stay -inf
+                    cos = _exact_cosine_pairs(
+                        q, qn, mat, cn,
+                        np.repeat(np.arange(nq), top), idx.ravel(),
+                    ).reshape(nq, top)
+                    cos[~np.isfinite(np.take_along_axis(sims, idx, axis=1))] = -np.inf
+                    bids = ids[idx]
+                    if best_cos is None:
+                        best_cos, best_ids = cos, bids
+                    else:
+                        best_cos = np.concatenate([best_cos, cos], axis=1)
+                        best_ids = np.concatenate([best_ids, bids], axis=1)
+                    if best_cos.shape[1] > kk:
+                        # deterministic cross-block merge on the EXACT
+                        # value, ties to the lowest nid — the final
+                        # ranking rule
+                        order = np.lexsort((best_ids, -best_cos), axis=1)[:, :kk]
+                        best_cos = np.take_along_axis(best_cos, order, axis=1)
+                        best_ids = np.take_along_axis(best_ids, order, axis=1)
+                if best_cos is None:  # empty corpus: no neighbors here
+                    continue
+                top = best_ids.shape[1]
+                keep = np.isfinite(best_cos.ravel())
+                yield pd.DataFrame({
+                    "qid": np.repeat(qids, top)[keep],
+                    "nid": best_ids.ravel()[keep],
+                    "cosine": best_cos.ravel()[keep],
+                })
 
-    src = (queries or vectors)
+    src = _ensure_parallel(queries or vectors)
     # residual qid != nid: belt-and-braces (self slots are -inf-masked and
     # dropped above, but the guard is free on a candidate-sized frame)
     cand = src.mapInPandas(
@@ -392,7 +430,8 @@ def hyperplane_buckets(
                 "bucket": bucket,
             })
 
-    return vectors.select(id_col, vec_col).mapInPandas(gen, schema=out_schema)
+    return _ensure_parallel(vectors.select(id_col, vec_col)).mapInPandas(
+        gen, schema=out_schema)
 
 
 def _bucketed_matmul_topk(
@@ -578,7 +617,8 @@ def ivf_assign(
                 "cluster": np.argmax(sims, axis=1).astype(np.int32),
             })
 
-    return vectors.select(id_col, vec_col).mapInPandas(gen, schema=out_schema)
+    return _ensure_parallel(vectors.select(id_col, vec_col)).mapInPandas(
+        gen, schema=out_schema)
 
 
 def ivf_query_clusters(
@@ -618,7 +658,8 @@ def ivf_query_clusters(
                 "cluster": order.ravel().astype(np.int32),
             })
 
-    return vectors.select(id_col, vec_col).mapInPandas(gen, schema=out_schema)
+    return _ensure_parallel(vectors.select(id_col, vec_col)).mapInPandas(
+        gen, schema=out_schema)
 
 
 def ivf_topk(
@@ -698,22 +739,28 @@ def embedding_neardup_pairs(
             pdf = pdf[pdf[vec_col].notna()]
             if not len(pdf):
                 continue
-            q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            qn = _exact_sq_norms(q)
-            qu = q / qn[:, None]
-            qids = pdf[id_col].to_numpy().astype(np.int64)
-            for bc in bcs:
-                ids, mat, cn = bc.value
-                sims = (qu @ mat.T) / cn
-                keep = (sims >= tau - eps) & (qids[:, None] < ids[None, :])
-                qi, ci = np.nonzero(keep)
-                if qi.size:
-                    yield pd.DataFrame({
-                        "id_a": qids[qi], "id_b": ids[ci],
-                        "cosine": _exact_cosine_pairs(q, qn, mat, cn, qi, ci),
-                    })
+            q_all = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            qn_all = _exact_sq_norms(q_all)
+            qids_all = pdf[id_col].to_numpy().astype(np.int64)
+            max_block = max((bc.value[1].shape[0] for bc in bcs), default=1)
+            for s, e in _query_slices(len(qids_all), max_block):
+                q = q_all[s:e]
+                qn = qn_all[s:e]
+                qids = qids_all[s:e]
+                qu = q / qn[:, None]
+                for bc in bcs:
+                    ids, mat, cn = bc.value
+                    sims = (qu @ mat.T) / cn
+                    keep = (sims >= tau - eps) & (qids[:, None] < ids[None, :])
+                    qi, ci = np.nonzero(keep)
+                    if qi.size:
+                        yield pd.DataFrame({
+                            "id_a": qids[qi], "id_b": ids[ci],
+                            "cosine": _exact_cosine_pairs(q, qn, mat, cn, qi, ci),
+                        })
 
-    cand = vectors.mapInPandas(
+    vectors_par = _ensure_parallel(vectors)
+    cand = vectors_par.mapInPandas(
         candidates, schema="id_a long, id_b long, cosine double")
     # same residency rule as cosine_topk: candidates are bounded (output-
     # sized), so checkpoint them and release the corpus blocks right away
