@@ -1249,7 +1249,7 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_col,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_parallel(spark, sf_dir, "documents")
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -1338,7 +1338,7 @@ def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_media_table,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = _read_parallel(spark, sf_dir, "documents", ["doc_id"])
     media = synth_media_table(docs, id_col="doc_id")
     feats = extract_media_features(media, frame_stride=30, fake=True)
     return feats.select(
@@ -1350,14 +1350,14 @@ def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orc_rust_spark.operators.dedup import exact_dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _read_parallel(spark, sf_dir, "documents")
     return exact_dedup(docs)
 
 
 def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orc_rust_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+    docs = _read_parallel(spark, sf_dir, "documents").where(
         F.length(F.trim(F.col("text"))) > 0
     )
     # stop-shingle cap keeps the self-join from going quadratic on common
