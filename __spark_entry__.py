@@ -805,7 +805,14 @@ def q_orcx_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _clean_interop_sink_dirs("orcx_part")
     src = _read_parallel(spark, sf_dir, "documents",
                          ["doc_id", "lang", "source", "n_chars"])
-    (src.write.format("orcx").mode("overwrite")
+    # cluster by the partition column before the write (guide §6: the
+    # standard pre-partitionBy shuffle) — without it every task opened a
+    # writer for every language it saw, emitting tasks x languages tiny
+    # files whose tails the read side then had to plan one by one (r8;
+    # at very large scale a skewed partition value would additionally be
+    # salted here)
+    (src.repartition(F.col("lang"))
+     .write.format("orcx").mode("overwrite")
      .option("partition_columns", "lang").save(out))
     df = spark.read.format("orcx").load(out)
     return (df.where(F.col("lang").isin("en", "de"))

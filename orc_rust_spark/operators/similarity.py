@@ -176,8 +176,19 @@ def _corpus_block_broadcasts(
                 "rows": [b.num_rows], "dim": [vals.size // b.num_rows],
             })
 
-    packed = _ensure_parallel(vectors.select(id_col, vec_col)).mapInArrow(
+    packed = vectors.select(id_col, vec_col).mapInArrow(
         pack, schema="ids binary, mat binary, rows long, dim long")
+    try:
+        n_parts = packed.rdd.getNumPartitions()
+    except Exception:
+        n_parts = 1
+    if n_parts > 8:
+        # the driver iterator below runs one job per partition; cap that
+        # at 8 (pack is a linear memcpy pass, so 8-way task parallelism
+        # loses nothing, and a 64-file corpus stops paying 64 sequential
+        # driver jobs — measured ~2.9 s of ann_cosine_topk at sf0.1 when
+        # r8 briefly repartitioned this side to full parallelism)
+        packed = packed.coalesce(8)
     blocks = []
     pend_ids: list = []
     pend_mats: list = []
