@@ -473,3 +473,44 @@ def test_reliable_checkpoint_dir_honored(spark, tmp_path):
         scala_none = getattr(getattr(sc._jvm, "scala.None$"), "MODULE$")
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(scala_none)
     assert not has_reliable_checkpoint_dir(vectors)
+
+
+def test_exact_cosine_matches_jvm_fold(spark):
+    """r8 pin: the NumPy cumsum kernel that replaced the JVM re-score
+    fold must be BIT-identical to the zip_with/aggregate fold expression
+    (including float32->float64 casts, the 0.0 seed, and the zero-norm
+    guard) — the exact-ANN family's oracle equality rests on it."""
+    import numpy as np
+
+    from orc_rust_spark.operators.similarity import (
+        _dot,
+        _exact_cosine_pairs,
+        _exact_sq_norms,
+        _safe_norm,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim = 300, 64
+    a = rng.standard_normal((n, dim)).astype(np.float32)
+    b = (rng.standard_normal((n, dim)) * 10.0 ** rng.integers(
+        -12, 12, size=(n, 1))).astype(np.float32)
+    a[0] = 0.0  # zero-vector guard path
+    rows = [(i, [float(x) for x in a[i]], [float(x) for x in b[i]])
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "i long, va array<float>, vb array<float>")
+    jvm = {
+        r["i"]: r["cos"]
+        for r in df.select(
+            "i",
+            (_dot(F.col("va"), F.col("vb"))
+             / (_safe_norm(F.col("va")) * _safe_norm(F.col("vb"))))
+            .alias("cos"),
+        ).collect()
+    }
+    am = a.astype(np.float64)
+    bm = b.astype(np.float64)
+    ours = _exact_cosine_pairs(
+        am, _exact_sq_norms(am), bm, _exact_sq_norms(bm),
+        np.arange(n), np.arange(n))
+    for i in range(n):
+        assert ours[i] == jvm[i], (i, ours[i], jvm[i])
