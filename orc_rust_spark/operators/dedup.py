@@ -238,15 +238,16 @@ def minhash_lsh_pairs(
     # array_union halves the per-pair hash-set work of the verify join
     # (r8, guide §1.2 — the verify was the largest single stage of this
     # operator once candidate counts grew to millions).
-    # shuffle_hash: sort-merge would SORT the candidate side with both
-    # shingle arrays attached (the heaviest relation in the operator);
-    # hashing the doc-keyed side instead skips those sorts (~15% off the
-    # verify stage, r8)
+    # No forced join strategy here: sort-merge would SORT the candidate
+    # side with both shingle arrays attached (~15% of the verify stage
+    # at sf1), but a hard shuffle_hash hint also blocks the broadcast
+    # join that wins when the corpus is small (+1 s at sf0.1, measured).
+    # The session enables AQE's SMJ->shuffled-hash conversion
+    # (maxShuffledHashJoinLocalMapThreshold), so the planner picks
+    # broadcast / SHJ / SMJ per shape at runtime (guide §3.1).
     verified = (
-        cand.join(sh.alias("sa").hint("shuffle_hash"),
-                  F.col("id_a") == F.col("sa.id"))
-        .join(sh.alias("sb").hint("shuffle_hash"),
-              F.col("id_b") == F.col("sb.id"))
+        cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(sh.alias("sb"), F.col("id_b") == F.col("sb.id"))
         .withColumn("common", F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh"))))
         .withColumn(
             "union_",

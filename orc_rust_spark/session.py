@@ -49,6 +49,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE rewrite sort-merge to shuffled-hash when every
+        # post-shuffle partition's build side fits locally (default 0 =
+        # never): joins that attach array payloads (minhash verify)
+        # otherwise SORT the heavy side; scale-adaptive — large builds
+        # stay sort-merge (guide §3.1, r8)
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                "128m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
