@@ -1,14 +1,18 @@
 """Similarity search over an embedding column (array<float>).
 
 - cosine_topk         brute-force exact top-k neighbors (the baseline):
-                      broadcast-joined cross product, JVM-side dot product
-                      via zip_with + aggregate, window top-k
+                      blocked-broadcast corpus, NumPy matmul candidates,
+                      exact sequential-fold cosine in-task, window top-k
 - lsh_topk            scale path: random-hyperplane LSH buckets the
                       vectors so the join is bucket-local; approximate
 - embedding_neardup_pairs  cosine >= tau near-duplicate pairs
 
-Everything is built-in pyspark.sql.functions (whole-stage codegen); the
-dot product never leaves the JVM.
+Since r8 the reported cosines are computed in NumPy with a strict
+prefix-scan fold that is BIT-identical to the `_dot`/`_norm`
+zip_with+aggregate expressions (pinned by
+tests/test_ops_spark.py::test_exact_cosine_matches_jvm_fold) — the JVM
+fold expressions remain the reference semantics and the re-score path
+for `with_cosine` consumers.
 """
 
 from __future__ import annotations
