@@ -119,6 +119,7 @@ def minhash_signatures(
     docs: DataFrame, n: int = 2, num_perm: int = 32,
     text_col: str = "text", id_col: str = "doc_id",
     hash_family: str = "xxhash64",
+    with_card: bool = False,
 ) -> DataFrame:
     """(id, minhash array of num_perm values) per document.
 
@@ -129,6 +130,11 @@ def minhash_signatures(
         taken lexicographically. md5 is computed identically by DuckDB, so
         an external SQL engine can recompute the EXACT signatures — this
         is what makes the LSH operator oracle-verifiable end to end.
+
+    ``with_card`` additionally emits ``card`` = the document's distinct-
+    shingle count (the rows feeding each signature ARE the exploded
+    distinct shingles, so one extra count aggregate gets |A| for free —
+    minhash_lsh_pairs uses it for an exact candidate size bound, r8).
     """
     sh = (
         docs.where(F.col(text_col).isNotNull())
@@ -153,8 +159,13 @@ def minhash_signatures(
         aggs = [
             F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}") for i in range(num_perm)
         ]
+    if with_card:
+        aggs = aggs + [F.count(F.lit(1)).alias("card")]
     sig = sh.groupBy("id").agg(*aggs)
-    return sig.select("id", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("minhash"))
+    out = ["id", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("minhash")]
+    if with_card:
+        out.append("card")
+    return sig.select(*out)
 
 
 def minhash_lsh_pairs(
@@ -187,7 +198,8 @@ def minhash_lsh_pairs(
             f"bands={bands})")
     rows = num_perm // bands
     sig = minhash_signatures(docs, n=n, num_perm=num_perm, text_col=text_col,
-                             id_col=id_col, hash_family=hash_family)
+                             id_col=id_col, hash_family=hash_family,
+                             with_card=True)
     if hash_family == "md5":
         def _bucket(b):
             return F.md5(F.concat_ws(
@@ -198,13 +210,15 @@ def minhash_lsh_pairs(
             return F.xxhash64(*[F.col("minhash")[b * rows + r] for r in range(rows)])
     bands_df = sig.select(
         "id",
+        "card",
         F.explode(
             F.array(*[
                 F.struct(F.lit(b).alias("band"), _bucket(b).cast("string").alias("bucket"))
                 for b in range(bands)
             ])
         ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", "card", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
     # bucket_n >= 2: singleton buckets (the vast majority of band rows)
     # cannot produce a pair, so dropping them before the self-join removes
     # most of its sort/probe input with the candidate set provably
@@ -216,12 +230,20 @@ def minhash_lsh_pairs(
     # signature aggregation (the expensive stage) is recomputed per side
     sized = sized.persist()
     x, y = sized.alias("x"), sized.alias("y")
+    # exact size bound INSIDE the self-join (r8, guide §2.3): jaccard =
+    # c/(|A|+|B|-c) with c <= min(|A|,|B|) and |A u B| >= max(|A|,|B|), so
+    # jaccard >= t forces min(|A|,|B|) >= t * max(|A|,|B|). Pairs failing
+    # the bound are provably below threshold and are dropped before they
+    # ever reach the distinct / verify shuffles (measured: 35% of all
+    # candidate pairs at the sf1 proxy).
     cand = (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.id") < F.col("y.id")),
+            & (F.col("x.id") < F.col("y.id"))
+            & (F.least(F.col("x.card"), F.col("y.card"))
+               >= F.lit(threshold) * F.greatest(F.col("x.card"), F.col("y.card"))),
         )
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
@@ -238,15 +260,45 @@ def minhash_lsh_pairs(
     # array_union halves the per-pair hash-set work of the verify join
     # (r8, guide §1.2 — the verify was the largest single stage of this
     # operator once candidate counts grew to millions).
+    #
+    # Two-level verify (r8, guide §1.2/§2.3 — the string-array intersect
+    # was the single largest stage at sf1): level 1 intersects int64
+    # xxhash64 shingle arrays (half the per-element hash cost of ~10-char
+    # strings) as a PROVABLE superset filter, level 2 recomputes the
+    # exact string Jaccard only for level-1 survivors (output values are
+    # untouched — they always come from the string arrays). Superset
+    # proof: per-doc injectivity of xxhash64 on the doc's distinct
+    # shingles gives |hash(A) n hash(B)| >= |hash(A n B)| = |A n B| while
+    # |hash(A)| = |A|, so j_int >= j_string and round(j_int,6) >= thr
+    # whenever round(j_string,6) >= thr. Docs where xxhash64 is NOT
+    # injective on the array (hcoll — checked locally, once per doc)
+    # bypass level 1, so the result is exact in all worlds with no
+    # global collision scan.
+    shi = (
+        sh.select("id", F.transform("sh", lambda s: F.xxhash64(s)).alias("ih"))
+        .withColumn("hcoll", F.size(F.array_distinct("ih")) < F.size("ih"))
+        .persist()  # read twice (both sides of the level-1 join)
+    )
     # No forced join strategy here: sort-merge would SORT the candidate
-    # side with both shingle arrays attached (~15% of the verify stage
-    # at sf1), but a hard shuffle_hash hint also blocks the broadcast
-    # join that wins when the corpus is small (+1 s at sf0.1, measured).
-    # The session enables AQE's SMJ->shuffled-hash conversion
+    # side with both shingle arrays attached (~15% of the isolated verify
+    # stage at sf1), but a hard shuffle_hash hint also blocks the
+    # broadcast join that wins when the corpus is small (+1 s at sf0.1,
+    # measured). The session enables AQE's SMJ->shuffled-hash conversion
     # (maxShuffledHashJoinLocalMapThreshold), so the planner picks
     # broadcast / SHJ / SMJ per shape at runtime (guide §3.1).
+    ci = F.size(F.array_intersect(F.col("ia.ih"), F.col("ib.ih")))
+    ui = F.size(F.col("ia.ih")) + F.size(F.col("ib.ih")) - F.col("ci")
+    pre = (
+        cand.join(shi.alias("ia"), F.col("id_a") == F.col("ia.id"))
+        .join(shi.alias("ib"), F.col("id_b") == F.col("ib.id"))
+        .withColumn("ci", ci)
+        .where(
+            (F.round(F.col("ci") / ui, 6) >= threshold)
+            | F.col("ia.hcoll") | F.col("ib.hcoll"))
+        .select("id_a", "id_b")
+    )
     verified = (
-        cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        pre.join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
         .join(sh.alias("sb"), F.col("id_b") == F.col("sb.id"))
         .withColumn("common", F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh"))))
         .withColumn(

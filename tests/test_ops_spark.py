@@ -60,6 +60,34 @@ def test_minhash_lsh_finds_planted_dups(spark, docs):
     assert not any({a, b} == {1, 4} for a, b in pairs)
 
 
+def test_minhash_lsh_size_bound_boundary(spark):
+    """The r8 exact size bound (min(|A|,|B|) >= t * max(|A|,|B|)) and the
+    int-hash superset prefilter must keep a pair sitting EXACTLY at the
+    threshold: A's 2 distinct shingles are a subset of B's 4, so
+    jaccard = 2/4 = 0.5 = t and min = 2 = t * max — a `>` anywhere in the
+    bound or a non-superset level-1 filter would silently drop it."""
+    from orc_rust_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),           # shingles: {alpha beta, beta gamma}
+            (2, "alpha beta gamma delta oak"),  # 4 shingles, superset of doc 1's
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in minhash_lsh_pairs(
+                 docs, n=2, num_perm=32, bands=32, threshold=0.5).collect()}
+    # bands=32 -> every single-perm band of a subset doc can collide; the
+    # docs share 2 of 4 shingles so at least one band bucket matches
+    assert pairs.get((1, 2)) == 0.5
+    # with_card emits the exact distinct-shingle count used by the bound
+    cards = {r.id: r.card for r in minhash_signatures(
+        docs, n=2, num_perm=4, with_card=True).collect()}
+    assert cards == {1: 2, 2: 4}
+
+
 def test_simhash_hamming(spark, docs):
     from orc_rust_spark.operators.dedup import simhash, simhash_neardup_pairs
 
