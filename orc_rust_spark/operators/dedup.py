@@ -120,6 +120,7 @@ def minhash_signatures(
     text_col: str = "text", id_col: str = "doc_id",
     hash_family: str = "xxhash64",
     with_card: bool = False,
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
     """(id, minhash array of num_perm values) per document.
 
@@ -135,8 +136,14 @@ def minhash_signatures(
     shingle count (the rows feeding each signature ARE the exploded
     distinct shingles, so one extra count aggregate gets |A| for free —
     minhash_lsh_pairs uses it for an exact candidate size bound, r8).
+
+    ``exploded`` lets a caller that already holds the (id, shingle) rows
+    (e.g. minhash_lsh_pairs, which persists the per-doc shingle ARRAYS
+    for its verify stage) feed them in directly, so the shingling
+    expressions run once per document instead of once per consumer
+    (r8, guide §1.2 — don't compute things twice).
     """
-    sh = (
+    sh = exploded if exploded is not None else (
         docs.where(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("id"), F.explode(_shingles(F.col(text_col), n)).alias("s"))
     )
@@ -197,9 +204,20 @@ def minhash_lsh_pairs(
             f"bands must divide num_perm (got num_perm={num_perm}, "
             f"bands={bands})")
     rows = num_perm // bands
+    # one shingling pass for the whole operator (r8): the per-doc shingle
+    # ARRAYS are persisted once and feed (a) the signature aggregation via
+    # explode, (b) the int-hash level-1 verify, and (c) the exact string
+    # verify — previously the shingling expressions (regex split +
+    # n-gram transform) ran separately for signatures and verify.
+    sh = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), _shingles(F.col(text_col), n).alias("sh"))
+        .persist()
+    )
     sig = minhash_signatures(docs, n=n, num_perm=num_perm, text_col=text_col,
                              id_col=id_col, hash_family=hash_family,
-                             with_card=True)
+                             with_card=True,
+                             exploded=sh.select("id", F.explode("sh").alias("s")))
     if hash_family == "md5":
         def _bucket(b):
             return F.md5(F.concat_ws(
@@ -248,12 +266,8 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    # exact verify: recompute Jaccard only on candidates
-    sh = (
-        docs.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("id"), _shingles(F.col(text_col), n).alias("sh"))
-        .persist()  # read twice (both sides of the verify join)
-    )
+    # exact verify: recompute Jaccard only on candidates (sh — the
+    # operator-wide persisted shingle arrays — is read on both sides)
     # |A∪B| = |A| + |B| - |A∩B| exactly, because _shingles arrays are
     # element-distinct (array_distinct) — the identity the SQL oracle
     # itself uses. Computing it arithmetically instead of via
