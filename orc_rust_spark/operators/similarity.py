@@ -232,14 +232,21 @@ def _ensure_parallel(df: DataFrame) -> DataFrame:
     matmul single-threaded with multi-GB sims temporaries — 51 s where
     the many-file layout took 5 s). The vectors relation is small
     relative to the matmul work, so the one-off shuffle is cheap; at
-    scale the source has more splits than cores and this is a no-op."""
+    scale the source has more splits than cores and this is a no-op.
+
+    Keyed on the leading (id) column, not round-robin: a keyless
+    repartition locally SORTS its input first (sortBeforeRepartition,
+    SPARK-23207), which on an unsplittable single-file source runs
+    inside the one scan task; hash partitioning on the unique id needs
+    no sort and is retry-deterministic by construction (r8, guide
+    §2.5)."""
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
     try:
         n = df.rdd.getNumPartitions()
     except Exception:
         return df
-    return df.repartition(p) if n < max(2, p // 2) else df
+    return df.repartition(p, F.col(df.columns[0])) if n < max(2, p // 2) else df
 
 
 #: cap on elements of one sims slice (queries x block vectors, float64):
