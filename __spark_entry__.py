@@ -30,23 +30,83 @@ def _read_parallel(spark: SparkSession, sf_dir: str, table: str,
     only purpose is parallelism the layout already provides — measured
     ~25% off the encode+decode roundtrips on a 64-file source).
 
-    The repartition is keyed on the table's leading (id) column rather
-    than round-robin: a keyless repartition first SORTS its input
-    locally (spark.sql.execution.sortBeforeRepartition, on since
-    SPARK-23207 so retried tasks reproduce their row assignment — guide
-    §2.5), and on an unsplittable source that sort runs inside the ONE
-    scan task. Hash partitioning needs no sort and is deterministic
-    under retry by construction; the id columns are unique/near-unique
-    so the spread is even. Measured on the single-row-group sf1 proxy:
-    lineitem repartition 12.4 -> 4.1 s, repartition+encode
-    13.8 -> 5.4 s."""
-    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    For a LOCAL unsplittable file of bounded size the shuffle is removed
+    outright (r8, guide §2.4/§2.5): ``_read_sliced`` fans the row range
+    out over the task slots, each task decoding sequentially up to its
+    slice's end row with pyarrow and emitting only its slice — the input
+    crosses the Python boundary exactly once and NO exchange runs. The
+    amplification (task i decodes rows [0, end_i)) is bounded by the
+    size gate; larger or remote unsplittable sources fall back to a
+    repartition keyed on the table's leading (id) column rather than
+    round-robin — a keyless repartition first SORTS its input locally
+    (spark.sql.execution.sortBeforeRepartition, on since SPARK-23207 so
+    retried tasks reproduce their row assignment — guide §2.5), and on
+    an unsplittable source that sort runs inside the ONE scan task; hash
+    partitioning needs no sort, is retry-deterministic by construction,
+    and the id columns are unique/near-unique so the spread is even.
+    Measured on the single-row-group sf1 proxy lineitem, back-to-back:
+    round-robin repartition 12.4 s, hash repartition 4.1 s (2.8 warm),
+    sliced read 0.97 s; repartition+encode 13.8 -> 5.8 -> 3.3 s, with a
+    bit-identical multiset digest."""
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    df = spark.read.parquet(path)
     if cols:
         df = df.select(*cols)
     par = spark.sparkContext.defaultParallelism
-    if _parquet_splits(f"{sf_dir}/{table}.parquet", par) >= max(2, par // 2):
+    if _parquet_splits(path, par) >= max(2, par // 2):
         return df
+    if os.path.isfile(path) and os.path.getsize(path) <= _SLICED_READ_MAX_BYTES:
+        return _read_sliced(spark, path, df.schema, par)
     return df.repartition(par, F.col(df.columns[0]))
+
+
+#: size gate for the sliced single-file read: each of ``par`` tasks decodes
+#: at most the whole file, so total decode work is ~par/2 file scans —
+#: cheaper than a single-task sort+shuffle for files up to a couple of GB,
+#: the wrong trade beyond (a huge unsplittable file keeps the keyed
+#: repartition fallback; at real scale inputs are splittable and neither
+#: path triggers)
+_SLICED_READ_MAX_BYTES = 2 << 30
+
+
+def _read_sliced(spark: SparkSession, path: str, schema, par: int) -> DataFrame:
+    """Parallel read of one unsplittable local parquet file: ``par`` tasks
+    each stream-decode from row 0 and emit only rows [start_i, end_i) —
+    parquet cannot seek inside a row group, so early termination at
+    ``end_i`` is the only pruning available, and the decoded rows reach
+    the Python side of the pipeline with no Exchange at all."""
+    import pyarrow.parquet as pq
+
+    n_rows = pq.ParquetFile(path).metadata.num_rows
+    bounds = [i * n_rows // par for i in range(par + 1)]
+    rows = [(path, bounds[i], bounds[i + 1]) for i in range(par)]
+    names = [f.name for f in schema.fields]
+    slices = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, par), "p string, s long, e long")
+
+    def read_slice(batches):
+        import pyarrow.parquet as pq2
+
+        for b in batches:
+            for i in range(b.num_rows):
+                p = b.column(0)[i].as_py()
+                s = b.column(1)[i].as_py()
+                e = b.column(2)[i].as_py()
+                if e <= s:
+                    continue
+                pos = 0
+                for rb in pq2.ParquetFile(p).iter_batches(
+                        batch_size=65536, columns=names):
+                    lo, hi = max(s - pos, 0), min(e - pos, rb.num_rows)
+                    if lo < hi:
+                        yield rb.slice(lo, hi - lo)
+                    pos += rb.num_rows
+                    if pos >= e:
+                        break
+
+    return slices.mapInArrow(read_slice, schema=schema)
 
 
 def _parquet_splits(path: str, cap: int) -> int:
