@@ -175,6 +175,52 @@ def minhash_signatures(
     return sig.select(*out)
 
 
+def _md5_signatures_from_arrays(sh: DataFrame, num_perm: int) -> DataFrame:
+    """(id, minhash, card) from per-doc distinct-shingle ARRAYS, md5
+    family, computed per batch in NumPy (r8, guide §4.2): one hashlib
+    md5 per shingle plus a vectorized (h1 + i*h2) % M61 min-reduce per
+    document — bit-identical to the JVM explode + md5 + conv + 32
+    pmod-min aggregates it replaces (h1 < 2^60 and i*h2 < 2^37, so the
+    int64 arithmetic cannot overflow and % matches pmod on the
+    non-negative values; the md5 of the utf-8 shingle bytes is the same
+    function Spark's md5() and DuckDB's md5() compute). Docs with an
+    empty shingle array produce no row — exactly the explode's
+    behavior."""
+    import pandas as pd
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+
+        coeff = np.arange(num_perm, dtype=np.int64)
+        for pdf in batches:
+            ids, sigs, cards = [], [], []
+            for doc_id, arr in zip(pdf["id"].to_numpy(), pdf["sh"].to_numpy()):
+                n = len(arr)
+                if not n:
+                    continue
+                h1 = np.empty(n, dtype=np.int64)
+                h2 = np.empty(n, dtype=np.int64)
+                for j, s in enumerate(arr):
+                    hx = hashlib.md5(s.encode("utf-8")).hexdigest()
+                    h1[j] = int(hx[:15], 16)
+                    h2[j] = int(hx[15:23], 16)
+                perms = (h1[:, None] + coeff[None, :] * h2[:, None]) % MERSENNE61
+                ids.append(doc_id)
+                sigs.append(perms.min(axis=0))
+                cards.append(n)
+            yield pd.DataFrame({
+                "id": pd.Series(ids, dtype=pdf["id"].dtype),
+                "minhash": pd.Series(sigs, dtype=object),
+                "card": pd.Series(cards, dtype="int64"),
+            })
+
+    id_type = sh.schema["id"].dataType.simpleString()
+    return sh.mapInPandas(
+        gen, schema=f"id {id_type}, minhash array<bigint>, card bigint")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 2,
@@ -214,10 +260,16 @@ def minhash_lsh_pairs(
         .select(F.col(id_col).alias("id"), _shingles(F.col(text_col), n).alias("sh"))
         .persist()
     )
-    sig = minhash_signatures(docs, n=n, num_perm=num_perm, text_col=text_col,
-                             id_col=id_col, hash_family=hash_family,
-                             with_card=True,
-                             exploded=sh.select("id", F.explode("sh").alias("s")))
+    if hash_family == "md5":
+        # md5 signatures run as one vectorized NumPy/hashlib kernel over
+        # the cached arrays (guide §4.2) — bit-identical to the JVM
+        # aggregate path, measured ~2x the signature stage at sf1
+        sig = _md5_signatures_from_arrays(sh, num_perm)
+    else:
+        sig = minhash_signatures(
+            docs, n=n, num_perm=num_perm, text_col=text_col,
+            id_col=id_col, hash_family=hash_family, with_card=True,
+            exploded=sh.select("id", F.explode("sh").alias("s")))
     if hash_family == "md5":
         def _bucket(b):
             return F.md5(F.concat_ws(
