@@ -57,7 +57,8 @@ def _read_parallel(spark: SparkSession, sf_dir: str, table: str,
     par = spark.sparkContext.defaultParallelism
     if _parquet_splits(path, par) >= max(2, par // 2):
         return df
-    if os.path.isfile(path) and os.path.getsize(path) <= _SLICED_READ_MAX_BYTES:
+    if (os.path.isfile(path)
+            and _SLICED_READ_MIN_BYTES <= os.path.getsize(path) <= _SLICED_READ_MAX_BYTES):
         return _read_sliced(spark, path, df.schema, par)
     return df.repartition(par, F.col(df.columns[0]))
 
@@ -69,6 +70,16 @@ def _read_parallel(spark: SparkSession, sf_dir: str, table: str,
 #: repartition fallback; at real scale inputs are splittable and neither
 #: path triggers)
 _SLICED_READ_MAX_BYTES = 2 << 30
+
+#: below this, the sliced read LOSES to a keyed repartition: ``par``
+#: python tasks each opening + stream-decoding the file cost more than
+#: one cheap exchange of a few MB, and a cached frame built from a
+#: Python source stage taxes every downstream Python stage again.
+#: Measured at the sf1 proxy (back-to-back, min of 3): documents
+#: (5.7 MB) minhash_lsh 8.3 -> 5.5 s and word_jaccard 1.78 -> 0.25 s on
+#: the keyed path; events (17 MB) roundtrip 9.9 -> 8.4 s; lineitem
+#: (106 MB) keeps the sliced win (repartition+encode 5.8 -> 3.3 s).
+_SLICED_READ_MIN_BYTES = 32 << 20
 
 
 def _read_sliced(spark: SparkSession, path: str, schema, par: int) -> DataFrame:
